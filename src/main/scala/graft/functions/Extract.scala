@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import graft.html.Html
+import graft.sites.{SiteProfile, Sites}
+
+/** Extraction result per page (SURVEY G1/D1-D5): the filtered scope's
+  * text (byte-identical invariant target), hrefs in document order,
+  * and a non-null err when page filtering failed — the engine logs the
+  * error but still processes the partial result
+  * (crawler/crawler.go:84-87).
+  */
+final case class Extracted(text: String, links: Seq[String], err: String)
+
+object Extract {
+
+  /** One parse per page: filter scope + links + text in a single pass. */
+  def extractPage(html: Array[Byte], siteName: String): Extracted = {
+    if (html == null) return Extracted(null, Seq.empty, "null html")
+    val profile = Sites.all.getOrElse(siteName, Sites.wikipedia)
+    try {
+      val doc = Html.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+      val scope = profile.filterPage(Seq(doc))
+      Extracted(Html.textOf(scope), Html.links(scope), null)
+    } catch {
+      case e: Exception =>
+        // D5: tolerated — engine records the error, keeps partial output
+        Extracted("", Seq.empty, s"filter error: ${e.getMessage}")
+    }
+  }
+
+  /** `extract_page(html, site)` → STRUCT<text, links ARRAY<STRING>, err> */
+  val extractPageUdf = udf(extractPage _)
+
+  def extract_page(html: Column, site: Column): Column = extractPageUdf(html, site)
+
+  /** Standalone link list (tests / ops that don't need text). */
+  def links(html: Array[Byte], siteName: String): Seq[String] =
+    extractPage(html, siteName).links
+
+  /** Whole-document text irrespective of profile (for corpus `text`). */
+  def fullText(html: Array[Byte]): String =
+    Html.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8)).textContent
+}

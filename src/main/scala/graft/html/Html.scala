@@ -1,0 +1,321 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal, deterministic HTML DOM used by the link-extraction UDFs.
+  *
+  * The environment ships no HTML library (no jsoup jar), so this is a
+  * small hand-rolled parser that covers the constructs the reference's
+  * extraction pipeline exercises (see /root/reference):
+  *   - `a[href]` descendant scan in document order
+  *     (crawler/crawler.go:89-96 — goquery iterates in DOM order)
+  *   - class-scoped subtree selection `.syns` / `.word-opt`
+  *     (synonyms/synonyms.go:58-61, ar_synonyms/ar_synonyms.go:62-65)
+  *   - `[id^='Adjacent_counties']` → Parent → NextUntil("h3") →
+  *     Not("p") sibling-walk (counties/counties.go:63-72)
+  *   - `.Text()` — concatenated descendant text, entity-decoded
+  *
+  * Pure and allocation-light: safe inside codegen'd UDF hot paths.
+  */
+final class Node(
+    val tag: String, // "" for text nodes
+    val attrs: Map[String, String],
+    val text: String // text-node payload, already entity-decoded
+) {
+  var parent: Node = _
+  val children: ArrayBuffer[Node] = new ArrayBuffer[Node](4)
+  def isText: Boolean = tag.isEmpty
+
+  def attr(name: String): Option[String] = attrs.get(name)
+
+  def classes: Array[String] =
+    attrs.getOrElse("class", "").split("\\s+").filter(_.nonEmpty)
+
+  /** Descendant text concatenated in document order (goquery .Text()). */
+  def textContent: String = {
+    val sb = new java.lang.StringBuilder
+    def walk(n: Node): Unit = {
+      if (n.isText) sb.append(n.text)
+      else n.children.foreach(walk)
+    }
+    walk(this)
+    sb.toString
+  }
+
+  /** All descendant elements (not self), document order. */
+  def descendants: Iterator[Node] = {
+    val out = new ArrayBuffer[Node]
+    def walk(n: Node): Unit = n.children.foreach { c =>
+      if (!c.isText) { out += c; walk(c) }
+    }
+    walk(this)
+    out.iterator
+  }
+}
+
+object Html {
+
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val name = s.substring(i + 1, semi)
+          if (name.startsWith("#x") || name.startsWith("#X")) {
+            try { sb.appendCodePoint(Integer.parseInt(name.substring(2), 16)); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else if (name.startsWith("#")) {
+            try { sb.appendCodePoint(Integer.parseInt(name.substring(1))); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else namedEntities.get(name) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse an HTML document; returns the synthetic root node. */
+  def parse(html: String): Node = {
+    val root = new Node("#root", Map.empty, "")
+    var cur = root
+    var i = 0
+    val n = html.length
+
+    def pushText(end: Int, start: Int): Unit =
+      if (end > start) {
+        val t = new Node("", Map.empty, decodeEntities(html.substring(start, end)))
+        t.parent = cur
+        cur.children += t
+      }
+
+    var textStart = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { pushText(n, textStart); i = n }
+      else {
+        pushText(lt, textStart)
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+          textStart = i
+        } else if (lt + 1 < n && html.charAt(lt + 1) == '!') { // doctype etc.
+          val end = html.indexOf('>', lt)
+          i = if (end < 0) n else end + 1
+          textStart = i
+        } else if (lt + 1 < n && html.charAt(lt + 1) == '/') { // close tag
+          val end = html.indexOf('>', lt)
+          if (end < 0) { i = n; textStart = n }
+          else {
+            val name = html.substring(lt + 2, end).trim.toLowerCase
+            // pop to the matching open tag if one exists on the stack
+            var p = cur
+            while (p != root && p.tag != name) p = p.parent
+            if (p != root && p.tag == name) cur = p.parent
+            i = end + 1
+            textStart = i
+          }
+        } else { // open tag
+          val end = findTagEnd(html, lt)
+          if (end < 0) { pushText(n, lt); i = n; textStart = n }
+          else {
+            val (name, attrs, selfClosed) = parseTag(html.substring(lt + 1, end))
+            if (name.isEmpty) { i = end + 1; textStart = i }
+            else {
+              val el = new Node(name, attrs, "")
+              el.parent = cur
+              cur.children += el
+              i = end + 1
+              if (name == "script" || name == "style") {
+                // raw-text elements: scan to the literal close tag
+                val close = html.toLowerCase.indexOf(s"</$name", i)
+                val stop = if (close < 0) n else close
+                if (stop > i) {
+                  val t = new Node("", Map.empty, html.substring(i, stop))
+                  t.parent = el
+                  el.children += t
+                }
+                val gt = html.indexOf('>', stop)
+                i = if (close < 0 || gt < 0) n else gt + 1
+              } else if (!selfClosed && !voidTags.contains(name)) {
+                cur = el
+              }
+              textStart = i
+            }
+          }
+        }
+      }
+    }
+    root
+  }
+
+  /** index of the '>' closing this tag, respecting quoted attr values */
+  private def findTagEnd(html: String, lt: Int): Int = {
+    var i = lt + 1
+    var quote: Char = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseTag(s: String): (String, Map[String, String], Boolean) = {
+    val body = s.trim
+    val selfClosed = body.endsWith("/")
+    val inner = if (selfClosed) body.dropRight(1).trim else body
+    var i = 0
+    while (i < inner.length && !Character.isWhitespace(inner.charAt(i))) i += 1
+    val name = inner.substring(0, i).toLowerCase
+    if (!name.forall(c => c.isLetterOrDigit || c == '-')) return ("", Map.empty, selfClosed)
+    var attrs = Map.empty[String, String]
+    while (i < inner.length) {
+      while (i < inner.length && Character.isWhitespace(inner.charAt(i))) i += 1
+      if (i < inner.length) {
+        val keyStart = i
+        while (i < inner.length && !Character.isWhitespace(inner.charAt(i)) &&
+          inner.charAt(i) != '=') i += 1
+        val key = inner.substring(keyStart, i).toLowerCase
+        while (i < inner.length && Character.isWhitespace(inner.charAt(i))) i += 1
+        if (i < inner.length && inner.charAt(i) == '=') {
+          i += 1
+          while (i < inner.length && Character.isWhitespace(inner.charAt(i))) i += 1
+          if (i < inner.length && (inner.charAt(i) == '"' || inner.charAt(i) == '\'')) {
+            val q = inner.charAt(i)
+            val vStart = i + 1
+            val vEnd = inner.indexOf(q, vStart)
+            val v = if (vEnd < 0) inner.substring(vStart) else inner.substring(vStart, vEnd)
+            if (key.nonEmpty) attrs += key -> decodeEntities(v)
+            i = if (vEnd < 0) inner.length else vEnd + 1
+          } else {
+            val vStart = i
+            while (i < inner.length && !Character.isWhitespace(inner.charAt(i))) i += 1
+            if (key.nonEmpty) attrs += key -> decodeEntities(inner.substring(vStart, i))
+          }
+        } else if (key.nonEmpty) attrs += key -> ""
+      }
+    }
+    (name, attrs, selfClosed)
+  }
+
+  // ---- goquery-shaped selection ops (document-order, deterministic) ----
+
+  /** Find(".cls") / Find("tag") / Find("[id^='p']") on a selection:
+    * descendants of any selected node matching the simple selector.
+    */
+  def find(sel: Seq[Node], selector: String): Seq[Node] = {
+    val pred = predicateFor(selector)
+    val seen = new java.util.IdentityHashMap[Node, Boolean]
+    val out = new ArrayBuffer[Node]
+    sel.foreach(_.descendants.foreach { d =>
+      if (pred(d) && !seen.containsKey(d)) { seen.put(d, true); out += d }
+    })
+    out.toSeq
+  }
+
+  /** goquery Parent() */
+  def parentOf(sel: Seq[Node]): Seq[Node] = {
+    val seen = new java.util.IdentityHashMap[Node, Boolean]
+    sel.flatMap(n => Option(n.parent)).filter { p =>
+      if (seen.containsKey(p)) false else { seen.put(p, true); true }
+    }
+  }
+
+  /** goquery NextUntil(selector): following element siblings up to (not
+    * including) the first matching the selector.
+    */
+  def nextUntil(sel: Seq[Node], selector: String): Seq[Node] = {
+    val pred = predicateFor(selector)
+    val out = new ArrayBuffer[Node]
+    sel.foreach { n =>
+      val p = n.parent
+      if (p != null) {
+        val sibs = p.children.filter(!_.isText)
+        val idx = sibs.indexWhere(_ eq n)
+        if (idx >= 0) {
+          var j = idx + 1
+          var stop = false
+          while (j < sibs.length && !stop) {
+            if (pred(sibs(j))) stop = true
+            else { out += sibs(j); j += 1 }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** goquery Not(selector): drop matching nodes from the selection. */
+  def not(sel: Seq[Node], selector: String): Seq[Node] = {
+    val pred = predicateFor(selector)
+    sel.filterNot(pred)
+  }
+
+  /** simple selector predicates: "tag", ".class", "#id", "[attr^='v']",
+    * "tag[attr]"
+    */
+  def predicateFor(selector: String): Node => Boolean = {
+    val s = selector.trim
+    if (s.startsWith(".")) { val cls = s.substring(1); n => n.classes.contains(cls) }
+    else if (s.startsWith("#")) { val id = s.substring(1); n => n.attrs.get("id").contains(id) }
+    else if (s.startsWith("[")) attrPredicate(s, _ => true)
+    else {
+      val br = s.indexOf('[')
+      if (br >= 0) {
+        val tag = s.substring(0, br).toLowerCase
+        attrPredicate(s.substring(br), n => n.tag == tag)
+      } else { val tag = s.toLowerCase; n => n.tag == tag }
+    }
+  }
+
+  private def attrPredicate(s: String, also: Node => Boolean): Node => Boolean = {
+    // forms: [attr], [attr='v'], [attr^='v']
+    val inner = s.stripPrefix("[").stripSuffix("]")
+    val caret = inner.indexOf("^=")
+    val eq = inner.indexOf('=')
+    if (caret >= 0) {
+      val attr = inner.substring(0, caret).trim.toLowerCase
+      val v = stripQuotes(inner.substring(caret + 2).trim)
+      n => also(n) && n.attrs.get(attr).exists(_.startsWith(v))
+    } else if (eq >= 0) {
+      val attr = inner.substring(0, eq).trim.toLowerCase
+      val v = stripQuotes(inner.substring(eq + 1).trim)
+      n => also(n) && n.attrs.get(attr).contains(v)
+    } else {
+      val attr = inner.trim.toLowerCase
+      n => also(n) && n.attrs.contains(attr)
+    }
+  }
+
+  private def stripQuotes(v: String): String =
+    if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head)
+      v.substring(1, v.length - 1)
+    else v
+
+  /** Text of a selection: per-node descendant text concatenated in
+    * selection order (goquery Selection.Text()).
+    */
+  def textOf(sel: Seq[Node]): String = sel.map(_.textContent).mkString
+
+  /** hrefs of `a[href]` under the selection, document order per
+    * selected node (crawler/crawler.go:89-96).
+    */
+  def links(sel: Seq[Node]): Seq[String] =
+    find(sel, "a[href]").flatMap(_.attr("href"))
+}

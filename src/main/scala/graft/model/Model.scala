@@ -1,0 +1,61 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Input corpus row (BASELINE.json input_hint): Common-Crawl-style page. */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Frontier entry — the reference's implicit colly request queue made
+  * explicit (crawler/crawler.go:66-74,113-118). Ordering contract:
+  * (priority, depth, seq) lexicographic = deterministic BFS-ish
+  * discovery order (SURVEY §2.8).
+  */
+final case class FrontierRow(
+    url: String,
+    canon: String,
+    host: String,
+    depth: Int,
+    seq: Long,
+    priority: Long,
+    batch_id: Long)
+
+/** Dictionary row — replaces the remote twowaykv id service
+  * (db/db.go:65-105); id = xxhash64(name), collision-checked.
+  */
+final case class NodeRow(name: String, id: Long)
+
+final case class EdgeRow(src: Long, dst: Long)
+
+/** Per-batch, per-partition lineage + metrics (north_rule). */
+final case class MetricsRow(
+    batch_id: Long,
+    partition_id: Int,
+    pages: Long,
+    nodes_added: Long,
+    max_depth: Int,
+    ts: Timestamp)
+
+final case class FetchErrorRow(url: String, batch_id: Long, reason: String)
+
+/** Serialized Bloom shard of the URL-seen set, keyed by
+  * shard = pmod(xxhash64(canon_url), numShards) — explicit range
+  * partitioning of the hash space (north_rule 10^10-URL scale).
+  */
+final case class SeenShard(shard: Int, bloom: Array[Byte], count: Long)
+
+/** Engine configuration (reference env surface, main.go:20-48). */
+final case class CrawlConfig(
+    site: String,
+    maxNodes: Long = -1L, // MAX_APPROX_NODES; -1 = unlimited
+    batchSize: Int = 10000, // frontier URLs fetched per micro-batch
+    hostBudget: Int = Int.MaxValue, // politeness: pages/host/batch (A4)
+    numShards: Int = 64, // bloom shards
+    bloomItemsPerShard: Long = 1L << 20,
+    bloomFpp: Double = 0.01,
+    maxBatches: Int = 1000,
+    salt: Int = 8) // salting factor for the per-host cap
