@@ -1,13 +1,400 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.CrawlEngine
+import graft.functions.canon
+import graft.model.CrawlConfig
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sites.{Sites, SyntheticWeb}
+import graft.state.Store
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md
+  * §2 (+ the training-data ops), each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible. Non-SQL ops (LSH, simhash,
+  * crawl loop) get rows-only checks here and full oracles in the
+  * ScalaTest suites (BFS oracle, recall-vs-exact checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: end-to-end crawl on the deterministic synthetic
+    * wikipedia-like corpus — edges joined back to node names.
+    * Corpus size is fixed (independent of sf) so the driver smoke
+    * check is cheap; Bench has its own scaled corpus.
+    */
+  private def crawlEdges(s: SparkSession, numPages: Long): DataFrame = {
+    val spec = SyntheticWeb.Spec("wikipedia", numPages = numPages, seed = 42L)
+    val pages = SyntheticWeb.pages(s, spec).toDF()
+    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val cfg = CrawlConfig(site = "wikipedia", batchSize = 64,
+      numShards = 8, bloomItemsPerShard = 1 << 14)
+    val eng = new CrawlEngine(s, new Store(root, s), Sites.wikipedia, cfg, pages)
+    eng.seed(Seq(SyntheticWeb.pageUrl(spec, 0L)))
+    eng.run()
+    val nodes = eng.store.read("nodes").get
+    eng.store.read("edges").get
+      .join(nodes.withColumnRenamed("name", "src_name")
+        .withColumnRenamed("id", "src"), Seq("src"))
+      .join(nodes.withColumnRenamed("name", "dst_name")
+        .withColumnRenamed("id", "dst"), Seq("dst"))
+      .select(col("src_name"), col("dst_name"))
+  }
+
+  def entry(spark: SparkSession): DataFrame = crawlEdges(spark, 60L)
+
+  // ---- shared builders (Spark side and oracle side stay in sync) ----
+
+  private val enStops = TextOps.stopwords("en")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1: CleanUrl canonicalization kernel (wikipedia/wiki.go:63-75)
+    "q_clean_name" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        canon.clean_name(
+          concat(lit("https://en.wikipedia.org/wiki/"),
+            regexp_replace(col("p_name"), " ", "_")),
+          "https://en.wikipedia.org", "", "/wiki/").as("name"))
+    }),
+
+    // north_rule URL canonicalization: lowercase scheme/host, strip
+    // default port + fragment, sort query params
+    "q_canonical_url" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        canon.canonical_url(
+          concat(lit("HTTPS://ShOP.Example.COM:443/o/"),
+            col("o_orderkey").cast("string"),
+            lit("?z="), col("o_custkey").cast("string"), lit("&a=1#frag")))
+          .as("url"))
+    }),
+
+    "q_host_of" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        canon.host_of(
+          concat(lit("https://H"), (col("c_nationkey") % 7).cast("string"),
+            lit(".Example.org:8080/path?q=1"))).as("host"))
+    }),
+
+    // F1: wikipedia IsValidCrawlLink predicate (wiki.go:24-29)
+    "q_valid_link_wiki" -> ((s, dir) => {
+      val profile = Sites.wikipedia
+      val href = when(pmod(col("p_partkey"), lit(5)) === 0,
+        concat(lit("/wiki/"), regexp_replace(col("p_name"), " ", "_")))
+        .when(pmod(col("p_partkey"), lit(5)) === 1, lit("/wiki/Main_Page"))
+        .when(pmod(col("p_partkey"), lit(5)) === 2,
+          concat(lit("/wiki/Category:"), regexp_replace(col("p_name"), " ", "_")))
+        .when(pmod(col("p_partkey"), lit(5)) === 3,
+          concat(lit("/wiki/"), regexp_replace(col("p_name"), " ", "_"), lit("#sec")))
+        .otherwise(lit("https://off.example.com/x"))
+      t(s, dir, "part").select(col("p_partkey"), href.as("href"))
+        .filter(profile.isValidLink(col("href")))
+    }),
+
+    // §2.8 frontier ordering: global sort + limit (TakeOrderedAndProject)
+    "q_frontier_order" -> ((s, dir) => {
+      t(s, dir, "events")
+        .orderBy(col("value").desc, col("ts").asc, col("event_id").asc)
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    }),
+
+    // A4: per-host politeness cap as a grouped top-k window
+    "q_politeness_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("ts"), col("rn"))
+    }),
+
+    // J3/S5: only-new-edges anti-join dedup (db/db_test.go:259-287)
+    "q_edge_dedup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val candidates = li.select(col("l_orderkey").as("src"),
+        col("l_partkey").as("dst")).distinct()
+      val existing = li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      candidates.join(existing, Seq("src", "dst"), "left_anti")
+    }),
+
+    // S6/J1: name-dictionary upsert — new names only (db/db.go:65-105)
+    "q_node_upsert" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val existing = c.filter(col("c_custkey") <= 100).select(col("c_name"))
+      c.filter(col("c_acctbal") > 0).select(col("c_name"))
+        .join(existing, Seq("c_name"), "left_anti")
+        .select(col("c_name").as("name")).distinct()
+    }),
+
+    // J6/S1: frontier ⋈ corpus fetch join
+    "q_fetch_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+    }),
+
+    // F6: unfetchable side of the fetch join → error sink. The frontier
+    // carries both resolvable keys and synthetic misses (key+5000000)
+    // so the anti side is provably non-empty.
+    "q_fetch_errors" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val frontier = c.select(col("c_custkey"))
+        .union(c.select((col("c_custkey") + 5000000).as("c_custkey")))
+      frontier
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+
+    // S2: first-discovery-wins recursion (min struct per key)
+    "q_first_discovery" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))).as("f"))
+        .select(col("l_partkey"), col("f.l_shipdate").as("l_shipdate"),
+          col("f.l_orderkey").as("l_orderkey"),
+          col("f.l_linenumber").as("l_linenumber"))
+    }),
+
+    // A1-A3: per-batch metrics aggregation shape
+    "q_metrics_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pages"),
+          sum(col("l_quantity")).as("qty"),
+          max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    // S8: deterministic seed pick (ORDER BY digest LIMIT 1)
+    "q_seed_pick" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .orderBy(md5(col("c_name")), col("c_name"))
+        .limit(1).select(col("c_name").as("word"))
+    }),
+
+    // streaming-surface shape: event-time hourly windows
+    "q_event_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    }),
+
+    // ---- training-data ops over documents/embeddings ----
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"))
+        .select(col("keep_id"), col("n_dups"))),
+
+    "q_token_count" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+
+    "q_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_guess"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprintMinShingle(col("text")).as("fp"))),
+
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), shingleN = 3, threshold = 0.8)),
+
+    // LSH/minhash/simhash: not ANSI-SQL-expressible — rows-only here,
+    // recall-vs-exact oracles live in DedupSpec
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), k = 16, bands = 4,
+        shingleN = 3, threshold = 0.8)),
+
+    "q_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.simhash(col("text")).as("fp"))),
+
+    "q_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(queries, emb, k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 4).as("sim_r"))
+    }),
+
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(queries, emb, k = 5, nBits = 6, tables = 6)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 4).as("sim_r"))
+    }),
+
+    "q_embed_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(Similarity.l2norm(col("embedding")), 4).as("norm_r"))),
+
+    // multimodal plumbing (stub decode, deterministic)
+    "q_media_meta" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 200L)).toDF()
+    }),
+
+    // flagship crawl (BFS-oracle-verified in EngineSpec)
+    "q_crawl_edges" -> ((s, _) => crawlEdges(s, 60L))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_clean_name" ->
+      "SELECT p_partkey, lower(p_name) AS name FROM part",
+
+    "q_canonical_url" ->
+      ("SELECT o_orderkey, 'https://shop.example.com/o/' || CAST(o_orderkey AS VARCHAR) " +
+        "|| '?a=1&z=' || CAST(o_custkey AS VARCHAR) AS url FROM orders"),
+
+    "q_host_of" ->
+      ("SELECT c_custkey, 'h' || CAST(c_nationkey % 7 AS VARCHAR) || '.example.org' AS host " +
+        "FROM customer"),
+
+    "q_valid_link_wiki" ->
+      ("SELECT p_partkey, '/wiki/' || replace(p_name, ' ', '_') AS href " +
+        "FROM part WHERE p_partkey % 5 = 0"),
+
+    "q_frontier_order" ->
+      ("SELECT event_id, user_id, ts, value FROM events " +
+        "ORDER BY value DESC, ts ASC, event_id ASC LIMIT 100"),
+
+    "q_politeness_cap" ->
+      ("SELECT user_id, event_id, ts, rn FROM (SELECT user_id, event_id, ts, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events) WHERE rn <= 3"),
+
+    "q_edge_dedup" ->
+      ("SELECT DISTINCT c.l_orderkey AS src, c.l_partkey AS dst FROM lineitem c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem e WHERE e.l_linenumber = 1 " +
+        "AND e.l_orderkey = c.l_orderkey AND e.l_partkey = c.l_partkey)"),
+
+    "q_node_upsert" ->
+      ("SELECT DISTINCT c_name AS name FROM customer WHERE c_acctbal > 0 " +
+        "AND c_name NOT IN (SELECT c_name FROM customer WHERE c_custkey <= 100)"),
+
+    "q_fetch_join" ->
+      ("SELECT o_orderkey, o_custkey, c_name FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey"),
+
+    "q_fetch_errors" ->
+      ("WITH f AS (SELECT c_custkey FROM customer UNION ALL " +
+        "SELECT c_custkey + 5000000 AS c_custkey FROM customer) " +
+        "SELECT c_custkey FROM f WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = f.c_custkey)"),
+
+    "q_first_discovery" ->
+      ("SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber FROM " +
+        "(SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, " +
+        "row_number() OVER (PARTITION BY l_partkey ORDER BY l_shipdate, " +
+        "l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn = 1"),
+
+    "q_metrics_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS pages, " +
+        "sum(l_quantity) AS qty, max(l_shipdate) AS max_ship " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    "q_seed_pick" ->
+      "SELECT c_name AS word FROM customer ORDER BY md5(c_name), c_name LIMIT 1",
+
+    "q_event_windows" ->
+      ("SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2"),
+
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+
+    "q_token_count" ->
+      ("SELECT doc_id, len(string_split_regex(text, '\\s+')) AS ws_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens " +
+        "FROM documents"),
+
+    "q_quality" -> qualityOracle,
+
+    "q_lang_id" -> langIdOracle,
+
+    "q_fingerprint" ->
+      ("SELECT doc_id, min(md5(t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2])) AS fp " +
+        "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "(SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 2 GROUP BY doc_id"),
+
+    "q_jaccard_pairs" -> jaccardOracle,
+
+    "q_knn_cosine" -> knnOracle,
+
+    "q_embed_norm" ->
+      ("SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS norm_r " +
+        "FROM embeddings")
+  )
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def stopLenSql(lang: String): String =
+    s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ${sqlList(TextOps.stopwords(lang))}))"
+
+  private def qualityOracle: String = {
+    val stops = stopLenSql("en")
+    s"""SELECT doc_id, length(text) AS n_chars,
+       | len(string_split_regex(text, '\\s+')) AS n_tokens,
+       | CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       | CAST($stops AS DOUBLE) / len(string_split_regex(text, '\\s+')) AS stop_ratio,
+       | CAST(length(text) - len(string_split_regex(text, '\\s+')) + 1 AS DOUBLE) / len(string_split_regex(text, '\\s+')) AS mean_tok_len,
+       | (CASE WHEN len(string_split_regex(text, '\\s+')) >= 10 THEN 0.5 ELSE 0.0 END
+       |  + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) <= 0.1 THEN 0.25 ELSE 0.0 END
+       |  + CASE WHEN CAST($stops AS DOUBLE) / len(string_split_regex(text, '\\s+')) >= 0.05 THEN 0.25 ELSE 0.0 END) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  private def langIdOracle: String = {
+    val scores = Seq("en", "de", "fr", "es")
+      .map(l => l -> stopLenSql(l)).toMap
+    val g = s"greatest(${scores.values.mkString(", ")})"
+    s"""SELECT doc_id, CASE
+       | WHEN ${scores("en")} = $g AND $g > 0 THEN 'en'
+       | WHEN ${scores("de")} = $g AND $g > 0 THEN 'de'
+       | WHEN ${scores("fr")} = $g AND $g > 0 THEN 'fr'
+       | WHEN ${scores("es")} = $g AND $g > 0 THEN 'es'
+       | ELSE 'und' END AS lang_guess
+       |FROM documents""".stripMargin
+  }
+
+  private def jaccardOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      | g AS (SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS gram
+      |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 2),
+      | sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+      |FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+      |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""".stripMargin
+
+  private def knnOracle: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+      | ranked AS (SELECT query_id, vec_id, sim,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      |   FROM sims)
+      |SELECT query_id, rank, vec_id, round(sim, 4) AS sim_r FROM ranked WHERE rank <= 5""".stripMargin
 }

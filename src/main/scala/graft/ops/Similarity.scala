@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators (ARRAY<FLOAT> columns).
+  *
+  * Brute-force top-k is the exactness baseline: broadcast the (small)
+  * query set against the corpus — one corpus scan, no shuffle of the
+  * corpus, a partial per-partition top-k before the global one.
+  * The scale path is hyperplane-LSH bucketing: candidates come from an
+  * equi-join on bucket ids, so the corpus shuffles once by bucket and
+  * each query probes only its own buckets.
+  */
+object Similarity {
+
+  /** dot product of two ARRAY<numeric> columns in index order —
+    * deterministic FP summation (left-to-right), codegen-friendly.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** zero-norm vectors get similarity 0 (CASE short-circuits, so the
+    * ANSI divide-by-zero path is never evaluated)
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val n = l2norm(a) * l2norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(dot(a, b) / n)
+  }
+
+  /** Exact top-k neighbors per query vector (brute force).
+    *
+    * @param queries  (query_id BIGINT, embedding ARRAY<FLOAT>) — small,
+    *                 broadcast side
+    * @param corpus   (vec_id BIGINT, embedding ARRAY<FLOAT>)
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.query_id") =!= col("c.vec_id")) // exclude self-match
+      .select(
+        col("q.query_id"),
+        col("c.vec_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim, seeded splitmix64
+    * mapped to [-1, 1). Tiny (nBits·dim doubles) ⇒ literal in the plan.
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        val h = graft.sites.SyntheticWeb.mix(seed, b.toLong, d.toLong)
+        (h.toDouble / Long.MaxValue.toDouble) // in (-1, 1)
+      }
+    }
+
+  /** sign-bit bucket id of an embedding under the given hyperplanes */
+  def lshBucket(embedding: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(embedding, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH: `tables`
+    * independent bucketings of `nBits` each; a query's candidates are
+    * the union of its buckets across tables, then exact cosine ranks
+    * them. Recall grows with `tables`, candidate count shrinks with
+    * `nBits` — both stay equi-joins at corpus scale.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val allPlanes = Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed + t))
+
+    def bucketed(df: DataFrame, idCol: String): DataFrame =
+      df.select(
+        col(idCol), col("embedding"),
+        posexplode(array(allPlanes.zipWithIndex.map { case (p, t) =>
+          lshBucket(col("embedding"), p)
+        }: _*)).as(Seq("table_id", "bucket")))
+
+    val cands = bucketed(corpus, "vec_id").as("c")
+      .join(broadcast(bucketed(queries, "query_id").as("q")),
+        col("q.table_id") === col("c.table_id") &&
+          col("q.bucket") === col("c.bucket") &&
+          col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        col("q.embedding").as("qe"), col("c.embedding").as("ce"))
+      .distinct()
+    val scored = cands.select(
+      col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+}

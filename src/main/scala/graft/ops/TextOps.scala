@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * all expressed as per-row Column algebra (whole-stage codegen, zero
+  * shuffle) so they stream over a 100 TB corpus at scan speed.
+  */
+object TextOps {
+
+  /** whitespace tokens (split keeps no trailing empty for non-empty
+    * docs; matches DuckDB string_split_regex on single-space text)
+    */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish lexer: letter runs | digit runs | single non-space symbol */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(wsTokens(text)).as("ws_tokens"),
+      size(bpeTokens(text)).as("bpe_tokens"))
+
+  /** tiny per-language stopword profiles (public-knowledge lists) */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts;
+    * 'und' (undetermined) when nothing matches. Deterministic ties:
+    * language order en > de > fr > es (greatest()+when cascade).
+    */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(text)
+    val scores = Seq("en", "de", "fr", "es").map { l =>
+      l -> stopCount(toks, stopwords(l))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), e) =>
+      when(s === best && best > 0, lit(l)).otherwise(e)
+    }
+  }
+
+  /** Quality features + score (length / punctuation / stopword ratios,
+    * mean token length) — the standard cheap pre-filters before
+    * training-data inclusion.
+    */
+  def qualityScore(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = wsTokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val punct = nChar - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    val stops = size(filter(toks, t => t.isInCollection(stopwords("en"))))
+    df.select(
+      col("doc_id"),
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      (punct.cast("double") / nChar).as("punct_ratio"),
+      (stops.cast("double") / nTok).as("stop_ratio"),
+      ((nChar - nTok + 1).cast("double") / nTok).as("mean_tok_len"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 10, lit(0.5)).otherwise(lit(0.0)) +
+          when(col("punct_ratio") <= 0.1, lit(0.25)).otherwise(lit(0.0)) +
+          when(col("stop_ratio") >= 0.05, lit(0.25)).otherwise(lit(0.0)))
+  }
+
+  /** word n-gram shingles as an array column (per-row, no shuffle) */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    // sequence() is empty when size < n ⇒ empty shingle array
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Min-wise content fingerprint: min over md5(word-3-gram). Two docs
+    * sharing their lowest shingle hash collide — a cheap locality-
+    * sensitive fingerprint (1-hash MinHash), and md5 keeps it
+    * oracle-checkable in ANSI SQL.
+    */
+  def fingerprintMinShingle(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** 64-bit SimHash over whitespace tokens, pure Column algebra:
+    * per-token xxhash64 → per-bit ±1 votes folded with aggregate()/
+    * zip_with() → sign bits reassembled. No shuffle, stays in codegen.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(wsTokens(text), t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(getbit(h, i) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data operator semantics: scala-oracle checks for the ops
+  * whose contracts aren't ANSI-SQL-expressible (LSH recall vs exact,
+  * simhash locality, multimodal plumbing shape).
+  */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = {
+    // deterministic corpus: 40 base docs + near-dup copies of 10 of
+    // them (one word changed) + 3 exact dups
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(i: Int, mutate: Boolean): String = {
+      val words = (0 until 30).map { j =>
+        vocab((SyntheticRnd.mix(i.toLong, j.toLong) % vocab.length).toInt)
+      }
+      val w = if (mutate) words.updated(15, "MUTANT") else words
+      w.mkString(" ")
+    }
+    val base = (0 until 40).map(i => (i.toLong, text(i, mutate = false)))
+    val near = (0 until 10).map(i => (100L + i, text(i, mutate = true)))
+    val exact = (0 until 3).map(i => (200L + i, text(i, mutate = false)))
+    (base ++ near ++ exact).toDF("doc_id", "text")
+  }
+
+  object SyntheticRnd {
+    def mix(a: Long, b: Long): Long =
+      graft.sites.SyntheticWeb.mix(99L, a, b) & Long.MaxValue
+  }
+
+  test("exact dedup keeps min doc_id per content, counts dups") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 50) // 53 docs, 3 exact dups collapse
+    val dupGroups = groups.filter(_.getAs[Long]("n_dups") > 1)
+    assert(dupGroups.length === 3)
+    assert(dupGroups.forall(_.getAs[Long]("keep_id") < 40))
+    assert(Dedup.dropExactDups(docs).count() === 50)
+  }
+
+  test("minhash LSH near-dups: full recall of exact jaccard pairs here") {
+    val exact = Dedup.jaccardPairs(docs, shingleN = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = Dedup.minhashNearDups(docs, k = 16, bands = 8, shingleN = 3,
+      threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two-phase: lsh output is exact-verified ⇒ subset of exact pairs
+    assert(lsh.subsetOf(exact))
+    // recall: 8 bands of 2 rows at j≥0.5 ⇒ expect ≥90% here
+    assert(lsh.size.toDouble / exact.size >= 0.9,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: exact dups collide, near-dups within distance, far docs far") {
+    val fps = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach(i => assert(fps(i.toLong) === fps(200L + i)))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    // near-dup (1 word of 30 changed) stays within a small radius
+    (0 until 10).foreach(i => assert(dist(i.toLong, 100L + i) <= 16))
+    // unrelated docs are farther than near-dup pairs on average
+    val nearAvg = (0 until 10).map(i => dist(i.toLong, 100L + i)).sum / 10.0
+    val farAvg = (0 until 10).map(i => dist(i.toLong, 20L + i)).sum / 10.0
+    assert(nearAvg < farAvg)
+  }
+
+  test("simhashNearDups finds the exact-dup pairs via chunk join") {
+    val pairs = Dedup.simhashNearDups(docs, maxDist = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach(i => assert(pairs.contains((i.toLong, 200L + i))))
+  }
+
+  test("brute-force kNN matches a driver-side oracle") {
+    val emb = spark.range(0, 60).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => sin(col("id") * (i + 1)).cast("float")).as("embedding"))
+      .cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.bruteForceTopK(queries, emb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      val n = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) 0.0 else d / n
+    }
+    val want = (0L until 3L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(vecs(q), vecs(v))))
+        .sortBy { case (v, s) => (-s, v) }
+        .take(4).zipWithIndex
+        .map { case ((v, _), i) => (q, i + 1, v) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("LSH kNN: recall ≥ 0.5 vs brute force on clustered vectors") {
+    // clustered embeddings so LSH buckets are meaningful
+    val emb = spark.range(0, 200).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin((col("id") % 8) * (i + 1)) +
+          sin(col("id") * (i + 3)) * 0.1).cast("float")).as("embedding"))
+      .cache()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, k = 5, nBits = 6, tables = 8)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("multimodal: sniffing real, stub decode deterministic, frame fan-out bounded") {
+    val media = Multimodal.syntheticMedia(spark, 30L)
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length === 30)
+    assert(meta.map(_.format).toSet === Set("png", "jpeg", "mp4"))
+    assert(meta.forall(m => m.width >= 64 && m.height >= 64 && m.channels == 3))
+    // determinism
+    val meta2 = Multimodal.decodeMeta(media).collect()
+    assert(meta.sortBy(_.media_id).toSeq === meta2.sortBy(_.media_id).toSeq)
+
+    val frames = Multimodal.sampleFrames(media, strideMs = 1000L, maxFrames = 5)
+    val byId = frames.collect().groupBy(_.media_id)
+    assert(byId.size === 30)
+    assert(byId.values.forall(f => f.length >= 1 && f.length <= 5))
+    assert(byId.values.forall(_.forall(_.feature.length === 16)))
+  }
+
+  test("token counts / quality / lang-id / fingerprint shapes") {
+    val tc = TextOps.tokenCounts(docs).collect()
+    assert(tc.forall(_.getAs[Int]("ws_tokens") === 30))
+    val q = TextOps.qualityScore(docs)
+    assert(q.columns.toSet === Set("doc_id", "n_chars", "n_tokens",
+      "punct_ratio", "stop_ratio", "mean_tok_len", "quality"))
+    assert(q.filter(col("n_tokens") === 30).count() === docs.count())
+    val lang = docs.select(TextOps.langId(col("text")).as("l"))
+      .groupBy("l").count().collect()
+    assert(lang.forall(_.getString(0) === "und")) // greek-letter vocab: no stopwords
+    val fp = docs.select(col("doc_id"),
+      TextOps.fingerprintMinShingle(col("text")).as("fp")).collect()
+    val fpMap = fp.map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until 3).foreach(i => assert(fpMap(i.toLong) === fpMap(200L + i)))
+  }
+}
