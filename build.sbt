@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pin the initial heap: adaptive growth makes early benchmark runs
+  // GC-thrash and look 5-8× slower than steady state
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput collector: the parse-heavy crawl path is allocation-
+  // bound; ParallelGC scales it better than G1 at local[32].
+  // GC threads capped (STW pauses inflate when the oversubscribed
+  // hypervisor can't schedule a wide GC team) and a large young gen
+  // keeps the pipeline's short-lived garbage from ever promoting.
+  "-XX:+UseParallelGC",
+  "-XX:ParallelGCThreads=8",
+  "-Xmn16g",
 )

@@ -41,7 +41,8 @@ final class CrawlEngine(
     profile: SiteProfile,
     cfg: CrawlConfig,
     pages: DataFrame,
-    allowList: Option[DataFrame] = None) {
+    allowList: Option[DataFrame] = None,
+    robots: Option[DataFrame] = None) {
 
   import spark.implicits._
 
@@ -172,7 +173,7 @@ final class CrawlEngine(
 
     // --- parse + extract + validate (S4/G1/D1-D5/F1-F4) ---
     val extracted = fetched
-      .withColumn("__ex", Extract.extract_page(col("html"), lit(profile.name)))
+      .withColumn("__ex", Extract.extract_links(col("html"), lit(profile.name)))
       .select(
         col("url").as("src_url"),
         profile.cleanName(col("url")).as("src_name"),
@@ -237,10 +238,17 @@ final class CrawlEngine(
       .withColumn("depth", col("parent_depth") + 1)
       .withColumn("priority", col("depth").cast("long")) // BFS tier
 
+    // robots.txt politeness (north_rule): disallowed (host, path
+    // prefix) pairs never enter the frontier
+    val allowedDiscoveries = robots match {
+      case Some(rules) => graft.sites.Robots.filterAllowed(discoveries, rules)
+      case None => discoveries
+    }
+
     // URL-level guard (reference colly visited layer, J4): bloom
     // prefilter, exact anti-join vs pending frontier for maybes.
-    val probed = Bloom.probeSeen(discoveries, seenShards, cfg.numShards)
-    val guarded = discoveries.join(probed, Seq("canon"), "left")
+    val probed = Bloom.probeSeen(allowedDiscoveries, seenShards, cfg.numShards)
+    val guarded = allowedDiscoveries.join(probed, Seq("canon"), "left")
       .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
     val definitelyNew = guarded.filter(!col("maybe_seen")).drop("maybe_seen")
     val confirmedNew = guarded.filter(col("maybe_seen")).drop("maybe_seen")

@@ -35,6 +35,33 @@ object Extract {
 
   def extract_page(html: Column, site: Column): Column = extractPageUdf(html, site)
 
+  /** links + err only — skips the (expensive) whole-scope text concat;
+    * the hot path for the crawl loop, which never re-derives `text`.
+    */
+  final case class LinksOnly(links: Seq[String], err: String)
+
+  def extractLinksOnly(html: Array[Byte], siteName: String): LinksOnly = {
+    if (html == null) return LinksOnly(Seq.empty, "null html")
+    val profile = Sites.all.getOrElse(siteName, Sites.wikipedia)
+    try {
+      if (profile.wholePage)
+        // identity page filter ⇒ byte-level scan: no document decode,
+        // no DOM build — only hrefs ever become Strings
+        LinksOnly(Html.scanLinksBytes(html), null)
+      else {
+        val doc = Html.parse(
+          new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        LinksOnly(Html.links(profile.filterPage(Seq(doc))), null)
+      }
+    } catch {
+      case e: Exception => LinksOnly(Seq.empty, s"filter error: ${e.getMessage}")
+    }
+  }
+
+  val extractLinksUdf = udf(extractLinksOnly _)
+
+  def extract_links(html: Column, site: Column): Column = extractLinksUdf(html, site)
+
   /** Standalone link list (tests / ops that don't need text). */
   def links(html: Array[Byte], siteName: String): Seq[String] =
     extractPage(html, siteName).links

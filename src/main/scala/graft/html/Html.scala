@@ -141,7 +141,7 @@ object Html {
               i = end + 1
               if (name == "script" || name == "style") {
                 // raw-text elements: scan to the literal close tag
-                val close = html.toLowerCase.indexOf(s"</$name", i)
+                val close = indexOfIgnoreCase(html, "</" + name, i)
                 val stop = if (close < 0) n else close
                 if (stop > i) {
                   val t = new Node("", Map.empty, html.substring(i, stop))
@@ -160,6 +160,173 @@ object Html {
       }
     }
     root
+  }
+
+  // ---- byte-level scanner -------------------------------------------
+  // Equivalent to scanLinks but over raw UTF-8 bytes: no document-wide
+  // decode, no char[] doubling — the parse stage's memory traffic is
+  // what saturates a wide executor, so hrefs are the only bytes that
+  // ever become Strings.
+
+  private def lower(b: Byte): Int =
+    if (b >= 'A' && b <= 'Z') b + 32 else b & 0xFF
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  /** ASCII letter/digit; multi-byte UTF-8 lead/continuation bytes are
+    * treated as letters (Character.isLetterOrDigit is true for nearly
+    * all of them in tag-name position)
+    */
+  private def isNameByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || (b & 0x80) != 0
+
+  private def regionEqIgnoreCase(h: Array[Byte], at: Int, needle: String): Boolean = {
+    if (at + needle.length > h.length) return false
+    var i = 0
+    while (i < needle.length) {
+      if (lower(h(at + i)) != needle.charAt(i).toInt) return false
+      i += 1
+    }
+    true
+  }
+
+  private def indexOfBytesIgnoreCase(h: Array[Byte], needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = h.length - needle.length
+    while (i <= last) {
+      if (regionEqIgnoreCase(h, i, needle)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def findTagEndBytes(h: Array[Byte], lt: Int): Int = {
+    var i = lt + 1
+    var quote: Int = 0
+    while (i < h.length) {
+      val c = h(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def utf8(h: Array[Byte], from: Int, until: Int): String =
+    new String(h, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** scan an open tag's body (past the name) for its href attribute;
+    * mirrors parseTag exactly: body trimmed, one trailing "/" dropped
+    * then re-trimmed, LAST href wins (Map overwrite), entity-decoded.
+    * Returns null when absent.
+    */
+  private def hrefOfTagBody(h: Array[Byte], from: Int, until: Int): String = {
+    // parseTag: body.trim → drop trailing "/" → trim again
+    var end = until
+    while (end > from && isWs(h(end - 1))) end -= 1
+    if (end > from && h(end - 1) == '/') {
+      end -= 1
+      while (end > from && isWs(h(end - 1))) end -= 1
+    }
+    var i = from
+    var found: String = null
+    while (i < end) {
+      while (i < end && isWs(h(i))) i += 1
+      if (i < end) {
+        val keyStart = i
+        while (i < end && !isWs(h(i)) && h(i) != '=') i += 1
+        val isHref = i - keyStart == 4 &&
+          lower(h(keyStart)) == 'h' && lower(h(keyStart + 1)) == 'r' &&
+          lower(h(keyStart + 2)) == 'e' && lower(h(keyStart + 3)) == 'f'
+        while (i < end && isWs(h(i))) i += 1
+        if (i < end && h(i) == '=') {
+          i += 1
+          while (i < end && isWs(h(i))) i += 1
+          if (i < end && (h(i) == '"' || h(i) == '\'')) {
+            val q = h(i)
+            val vStart = i + 1
+            var vEnd = vStart
+            while (vEnd < end && h(vEnd) != q) vEnd += 1
+            if (isHref) found = decodeEntities(utf8(h, vStart, vEnd))
+            i = if (vEnd < end) vEnd + 1 else end
+          } else {
+            val vStart = i
+            while (i < end && !isWs(h(i))) i += 1
+            if (isHref) found = decodeEntities(utf8(h, vStart, i))
+          }
+        } else if (isHref) found = "" // bare `href` attr: empty value
+      }
+    }
+    found
+  }
+
+  /** Byte-level twin of scanLinks — same outputs for the same
+    * document bytes (asserted by ScanLinksSpec across profiles and
+    * malformed inputs).
+    */
+  def scanLinksBytes(h: Array[Byte]): Seq[String] = {
+    val out = new ArrayBuffer[String](16)
+    val n = h.length
+    var i = 0
+    while (i < n) {
+      while (i < n && h(i) != '<') i += 1
+      if (i < n) {
+        val lt = i
+        if (regionEqIgnoreCase(h, lt, "<!--")) {
+          val end = indexOfBytesIgnoreCase(h, "-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lt + 1 < n && h(lt + 1) == '!') {
+          var j = lt
+          while (j < n && h(j) != '>') j += 1
+          i = if (j >= n) n else j + 1
+        } else {
+          val end = findTagEndBytes(h, lt)
+          if (end < 0) i = n
+          else {
+            val c1 = if (lt + 1 < n) lower(h(lt + 1)) else ' '.toInt
+            // after "a": whitespace (attrs follow) or an immediate ">"
+            // — anything else makes parseTag's name ≠ "a" (e.g. "a/",
+            // "a-x", "a=") and the DOM walk emits nothing
+            if (c1 == 'a' && (lt + 2 == end || isWs(h(lt + 2)))) {
+              val href = hrefOfTagBody(h, lt + 2, end)
+              if (href != null) out += href
+              i = end + 1
+            } else if (c1 == 's') {
+              val isScript = regionEqIgnoreCase(h, lt + 1, "script") &&
+                (lt + 7 >= n || !isNameByte(h(lt + 7)))
+              val isStyle = !isScript && regionEqIgnoreCase(h, lt + 1, "style") &&
+                (lt + 6 >= n || !isNameByte(h(lt + 6)))
+              val selfClosed = end > lt && h(end - 1) == '/'
+              if ((isScript || isStyle) && !selfClosed) {
+                val name = if (isScript) "script" else "style"
+                val close = indexOfBytesIgnoreCase(h, "</" + name, end + 1)
+                if (close < 0) i = n
+                else {
+                  var j = close
+                  while (j < n && h(j) != '>') j += 1
+                  i = if (j >= n) n else j + 1
+                }
+              } else i = end + 1
+            } else i = end + 1
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = s.length
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, needle, 0, m)) return i
+      i += 1
+    }
+    -1
   }
 
   /** index of the '>' closing this tag, respecting quoted attr values */
@@ -318,4 +485,49 @@ object Html {
     */
   def links(sel: Seq[Node]): Seq[String] =
     find(sel, "a[href]").flatMap(_.attr("href"))
+
+  /** Allocation-light whole-document link scan — behaviorally identical
+    * to `links(Seq(parse(html)))` for the identity page filter (no DOM
+    * tree built; comments, doctype, and script/style raw text skipped
+    * exactly as the parser does). The crawl hot path at corpus scale:
+    * parsing garbage, not CPU, is what stops a 32-thread executor from
+    * scaling, so the scanner only allocates for actual <a> tags.
+    */
+  def scanLinks(html: String): Seq[String] = {
+    val out = new ArrayBuffer[String](16)
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (lt + 1 < n && html.charAt(lt + 1) == '!') {
+        val end = html.indexOf('>', lt)
+        i = if (end < 0) n else end + 1
+      } else {
+        val end = findTagEnd(html, lt)
+        if (end < 0) i = n
+        else {
+          val c1 = if (lt + 1 < n) html.charAt(lt + 1) else ' '
+          if ((c1 == 'a' || c1 == 'A') &&
+            (lt + 2 >= n || !Character.isLetterOrDigit(html.charAt(lt + 2)))) {
+            val (name, attrs, _) = parseTag(html.substring(lt + 1, end))
+            if (name == "a") attrs.get("href").foreach(out += _)
+            i = end + 1
+          } else if (c1 == 's' || c1 == 'S') {
+            // script/style raw text: anchors inside never become DOM
+            val (name, _, selfClosed) = parseTag(html.substring(lt + 1, end))
+            if (!selfClosed && (name == "script" || name == "style")) {
+              val close = indexOfIgnoreCase(html, "</" + name, end + 1)
+              val gt = if (close < 0) -1 else html.indexOf('>', close)
+              i = if (close < 0 || gt < 0) n else gt + 1
+            } else i = end + 1
+          } else i = end + 1
+        }
+      }
+    }
+    out.toSeq
+  }
 }

@@ -35,14 +35,22 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
-  /** MinHash signature as k parallel min-hashes over word-n-gram
-    * shingles — per-row, no shuffle: sig[j] = min over shingles of
-    * xxhash64(shingle, j).
+  /** 64-bit hashes of a doc's word-n-gram shingles (per-row) — the
+    * unit all near-dup ops work over, so the expensive string-level
+    * shingle build happens exactly once per row and everything
+    * downstream is long arithmetic.
     */
-  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column =
+  def shingleHashes(text: Column, shingleN: Int = 3): Column =
+    transform(TextOps.shingles(text, shingleN), s => xxhash64(s))
+
+  /** MinHash signature as k parallel min-hashes over the shingle
+    * hashes: sig[j] = min over shingles of xxhash64(h, j) — hashing
+    * the 64-bit shingle hash with per-row-independent seeds is a
+    * standard hash family for min-wise sketching.
+    */
+  def minhashSignature(shingleHs: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(TextOps.shingles(text, shingleN),
-        s => xxhash64(s, j))))
+      j => array_min(transform(shingleHs, h => xxhash64(h, j))))
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * r = k/bands rows; docs sharing any band hash become a candidate
@@ -57,9 +65,9 @@ object Dedup {
       shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
-    val sigs = docs.select(
-      col("doc_id"),
-      minhashSignature(col("text"), k, shingleN).as("sig"))
+    val sigs = docs
+      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -88,9 +96,11 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, shingleN: Int = 3,
       threshold: Double = 0.9): DataFrame = {
+    // hashed grams: the inverted-index join shuffles 8-byte keys, not
+    // shingle strings (64-bit collisions are negligible for set sizes)
     val grams = docs.select(
       col("doc_id"),
-      explode(array_distinct(TextOps.shingles(col("text"), shingleN)))
+      explode(array_distinct(shingleHashes(col("text"), shingleN)))
         .as("gram"))
     val sizes = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
@@ -115,17 +125,19 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
     val cands = lshCandidates(docs, k, bands, shingleN)
-    val slim = docs.select(col("doc_id"), col("text"))
+    // shingle-hash set computed ONCE per doc, then joined to both pair
+    // sides — recomputing shingles per candidate pair is quadratic in
+    // exactly the regime (many moderately-similar docs) LSH is for
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingleHashes(col("text"), shingleN)).as("g"))
     val paired = cands
-      .join(slim.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-      .join(slim.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-    val withSets = paired
-      .withColumn("ga", array_distinct(TextOps.shingles(col("text_a"), shingleN)))
-      .withColumn("gb", array_distinct(TextOps.shingles(col("text_b"), shingleN)))
+      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+    paired
       .withColumn("c", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard",
         col("c").cast("double") / (size(col("ga")) + size(col("gb")) - col("c")))
-    withSets.filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 

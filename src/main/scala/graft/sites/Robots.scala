@@ -1,0 +1,68 @@
+package graft.sites
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness rules (north_rule: "per-host politeness
+  * budgets and robots.txt rules").
+  *
+  * Simplified-but-standard semantics (public robots exclusion
+  * protocol): `Disallow:` path prefixes under `User-agent: *`.
+  * Rules live in a `(host, disallow)` table; enforcement is a
+  * LEFT ANTI hash join on host with a startsWith residual — scales as
+  * an ordinary shuffled equi join at millions-of-hosts corpus size,
+  * or a broadcast join when the rule set is small.
+  */
+object Robots {
+
+  /** parse one robots.txt body: Disallow prefixes for User-agent: * */
+  def parse(content: String): Seq[String] = {
+    if (content == null) return Seq.empty
+    var inStar = false
+    val out = Seq.newBuilder[String]
+    content.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" => inStar = value == "*"
+          case "disallow" if inStar && value.nonEmpty => out += value
+          case _ => ()
+        }
+      }
+    }
+    out.result().distinct
+  }
+
+  private val parseUdf = udf(parse _)
+
+  /** Build the rules table from robots.txt pages present in the
+    * corpus (url == scheme://host/robots.txt). Output (host, disallow).
+    */
+  def rulesFromPages(pages: DataFrame): DataFrame = {
+    import graft.functions.canon
+    pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(canon.host_of(col("url")).as("host"),
+        explode(parseUdf(decode(col("html"), "UTF-8"))).as("disallow"))
+  }
+
+  /** url path component ("" when absent), for prefix matching */
+  def pathOf(url: Column): Column =
+    regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+
+  /** Drop rows whose (host, path) hits a disallow prefix. `df` must
+    * carry `host` and `url` columns. Broadcasts the rules when small
+    * enough (Catalyst decides via the usual threshold when we hint).
+    */
+  def filterAllowed(df: DataFrame, rules: DataFrame,
+      broadcastRules: Boolean = true): DataFrame = {
+    val r = if (broadcastRules) broadcast(rules) else rules
+    df.join(r,
+      df("host") === r("host") &&
+        pathOf(df("url")).startsWith(r("disallow")),
+      "left_anti")
+  }
+}

@@ -57,6 +57,11 @@ final case class SiteProfile(
     notReject && structural && notMain
   }
 
+  /** identity page filter ⇒ link extraction may use the allocation-
+    * light whole-document scanner instead of a DOM build
+    */
+  def wholePage: Boolean = pageSelector.isEmpty
+
   /** FilterPage (D1-D4): restrict a parsed DOM to this site's scope. */
   def filterPage(rootSel: Seq[Node]): Seq[Node] = name match {
     case "synonyms" => Html.find(rootSel, ".syns") // synonyms.go:58-61

@@ -44,7 +44,8 @@ object SyntheticWeb {
       seed: Long = 42L,
       minDeg: Int = 2,
       maxDeg: Int = 8,
-      numHosts: Int = 16) // web profile only
+      numHosts: Int = 16, // web profile only
+      fillerWords: Int = 0) // body text volume (real pages are ~10-100KB)
 
   def pageUrl(spec: Spec, i: Long): String = spec.site match {
     case "wikipedia" => s"https://en.wikipedia.org/wiki/Node_$i"
@@ -84,14 +85,35 @@ object SyntheticWeb {
   /** Build the page HTML. Includes per-profile decoys that the valid-
     * link predicates / DOM scoping must reject.
     */
+  private val fillerVocab = Array("lorem", "ipsum", "dolor", "amet",
+    "consectetur", "adipiscing", "elit", "tempor", "incididunt", "labore",
+    "magna", "aliqua", "veniam", "nostrud", "ullamco", "laboris")
+
+  /** deterministic body filler, ~7 bytes/word; paragraphs of 40 words */
+  def filler(spec: Spec, i: Long): String = {
+    if (spec.fillerWords <= 0) return ""
+    val sb = new java.lang.StringBuilder(spec.fillerWords * 8)
+    var w = 0
+    while (w < spec.fillerWords) {
+      if (w % 40 == 0) sb.append(if (w == 0) "<p>" else "</p>\n<p>")
+      else sb.append(' ')
+      sb.append(fillerVocab((pos(mix(spec.seed, i, 5000L + w)) % fillerVocab.length).toInt))
+      w += 1
+    }
+    sb.append("</p>")
+    sb.toString
+  }
+
   def htmlFor(spec: Spec, i: Long): String = {
     val ts = targets(spec, i)
     val anchors = ts.map(j => s"""<a href="${linkHref(spec, j)}">t$j</a>""").mkString("\n")
+    val body = filler(spec, i)
     spec.site match {
       case "wikipedia" | "web" =>
         s"""<!doctype html><html><head><title>Node $i</title></head><body>
            |<h1>Node $i</h1>
            |<p>Synthetic page $i of ${spec.numPages}.</p>
+           |$body
            |$anchors
            |<a href="/wiki/Category:Synth">cat</a>
            |<a href="/wiki/Main_Page">main</a>

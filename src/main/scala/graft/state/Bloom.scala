@@ -18,6 +18,30 @@ import org.apache.spark.util.sketch.BloomFilter
   * typed Aggregator per shard, then OR-merged with the previous
   * snapshot's blobs via a second Aggregator — no driver-side state.
   */
+/** per-executor deserialized-filter cache for the broadcast probe.
+  * Bounded: one generation of seen-state is live at a time, so a new
+  * broadcast id evicts everything older (otherwise every batch leaks
+  * a full filter set into the old gen).
+  */
+object BloomCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, BloomFilter]]()
+  def filters(id: Long, blobs: => Map[Int, Array[Byte]]): Map[Int, BloomFilter] = {
+    val got = cache.get(id)
+    if (got != null) got
+    else {
+      val built = blobs.map { case (s, b) => s -> Bloom.deserialize(b) }
+      val it = cache.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (k < id) cache.remove(k)
+      }
+      cache.putIfAbsent(id, built)
+      built
+    }
+  }
+}
+
 object Bloom {
 
   /** Builds a serialized Bloom blob from the hashes of one shard. */
@@ -64,6 +88,11 @@ object Bloom {
   /** Build per-shard delta blobs for a batch of canonical urls.
     * Input df needs column `canon`; output (shard INT, bloom BINARY,
     * count BIGINT).
+    *
+    * Pre-repartitioned by shard so map-side partial aggregation sees
+    * one or two shards per task — without this, every map task builds
+    * (and shuffles) a full-size filter for *all* shards, turning an
+    * 8-byte-per-row shuffle into numShards×blobSize per task.
     */
   def buildShards(urls: DataFrame, numShards: Int, itemsPerShard: Long,
       fpp: Double): DataFrame = {
@@ -73,6 +102,7 @@ object Bloom {
     urls
       .select(shardOf(col("canon"), numShards).as("shard"),
         xxhash64(col("canon")).as("h"))
+      .repartition(numShards, $"shard")
       .groupBy($"shard")
       .agg(agg($"h").as("bloom"), count(lit(1)).as("count"))
   }
@@ -97,39 +127,97 @@ object Bloom {
     * negatives); true ⇒ confirm with the exact anti-join (phase 2) so
     * bloom FPs never drop a URL the reference would visit.
     *
-    * Scale shape: both sides shuffle by shard (explicit hash-space
-    * range partitioning), rows are sorted by shard within each task,
-    * and the probe deserializes each shard's blob exactly once per
-    * task — no broadcast of the (potentially GBs) filter state, no
-    * per-row deserialization.
+    * Scale shape: candidates shuffle once by shard (8-byte hashes) and
+    * collapse to ONE row per shard; the 64-row join then moves each
+    * blob exactly once and a single UDF call probes the whole shard's
+    * candidate batch against one deserialized filter. No broadcast of
+    * the (potentially GBs of) filter state, no per-row blob copies —
+    * memory per task is one shard's candidates + one blob.
     */
   def probeSeen(candidates: DataFrame, seenShards: DataFrame,
+      numShards: Int): DataFrame =
+    probeSeenAuto(candidates, seenShards, numShards)
+
+  /** Strategy selection à la broadcast-vs-shuffle join: when the whole
+    * filter state fits comfortably on executors, broadcast it and
+    * probe per-row with zero shuffles; beyond the threshold, fall back
+    * to the shard-shuffle probe that never materializes more than one
+    * shard's state per task.
+    */
+  def probeSeenAuto(candidates: DataFrame, seenShards: DataFrame,
+      numShards: Int, broadcastThreshold: Long = 256L << 20): DataFrame = {
+    val totalBytes = seenShards
+      .agg(coalesce(sum(length(col("bloom"))), lit(0L)))
+      .head().getLong(0)
+    if (totalBytes <= broadcastThreshold)
+      probeSeenBroadcast(candidates, seenShards, numShards)
+    else probeSeenShuffle(candidates, seenShards, numShards)
+  }
+
+  /** Broadcast probe: ships the serialized shard map once per
+    * executor (deserialized once, cached per broadcast id), then the
+    * probe is a per-row UDF — no shuffle at all.
+    */
+  def probeSeenBroadcast(candidates: DataFrame, seenShards: DataFrame,
       numShards: Int): DataFrame = {
     val spark = candidates.sparkSession
-    import spark.implicits._
-    val keyed = candidates.select(col("canon")).distinct()
+    val blobs: Map[Int, Array[Byte]] = seenShards
+      .select(col("shard"), col("bloom")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bc = spark.sparkContext.broadcast(blobs)
+    val probeUdf = udf { (canon: String, h: Long, shard: Int) =>
+      val filters = BloomCache.filters(bc.id, bc.value)
+      filters.get(shard).exists(_.mightContainLong(h))
+    }
+    candidates.select(col("canon")).distinct()
       .withColumn("__h", xxhash64(col("canon")))
       .withColumn("__shard", pmod(col("__h"), lit(numShards)).cast("int"))
-    val joined = keyed
-      .join(seenShards.select(col("shard").as("__shard"), col("bloom")),
-        Seq("__shard"), "left")
-      .select(col("__shard"), col("canon"), col("__h"), col("bloom"))
-      .repartition(col("__shard"))
-      .sortWithinPartitions(col("__shard"))
-    joined.mapPartitions { rows =>
-      var curShard = Int.MinValue
-      var curFilter: BloomFilter = null
-      rows.map { r =>
-        val shard = r.getInt(0)
-        val canon = r.getString(1)
-        val h = r.getLong(2)
-        val blob = if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)
-        if (shard != curShard) {
-          curShard = shard
-          curFilter = if (blob == null) null else deserialize(blob)
-        }
-        (canon, curFilter != null && curFilter.mightContainLong(h))
+      .select(col("canon"),
+        probeUdf(col("canon"), col("__h"), col("__shard")).as("maybe_seen"))
+  }
+
+  /** Inline broadcast probe as a Column — zero extra stages: callers
+    * add `maybe_seen` directly to their plan. Only valid when the
+    * filter state fits on executors (the caller checked, or state is
+    * known-small); the 10^10-scale path is probeSeenShuffle.
+    */
+  def maybeSeenColumn(spark: org.apache.spark.sql.SparkSession,
+      seenShards: DataFrame, numShards: Int, canonCol: Column): Column = {
+    val blobs: Map[Int, Array[Byte]] = seenShards
+      .select(col("shard"), col("bloom")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bc = spark.sparkContext.broadcast(blobs)
+    val probeUdf = udf { (h: Long, shard: Int) =>
+      BloomCache.filters(bc.id, bc.value).get(shard).exists(_.mightContainLong(h))
+    }
+    probeUdf(xxhash64(canonCol),
+      pmod(xxhash64(canonCol), lit(numShards)).cast("int"))
+  }
+
+  /** Shard-shuffle probe: candidates shuffle once by shard (8-byte
+    * hashes) and collapse to ONE row per shard; the numShards-row join
+    * moves each blob exactly once and a single UDF call probes the
+    * whole shard's candidate batch — memory per task is one shard's
+    * candidates + one blob. The 10^10-URL path.
+    */
+  def probeSeenShuffle(candidates: DataFrame, seenShards: DataFrame,
+      numShards: Int): DataFrame = {
+    val probeUdf = udf { (canons: Seq[String], hs: Seq[Long], blob: Array[Byte]) =>
+      val filter = if (blob == null) null else deserialize(blob)
+      canons.indices.map { i =>
+        (canons(i), filter != null && filter.mightContainLong(hs(i)))
       }
-    }.toDF("canon", "maybe_seen")
+    }
+    val grouped = candidates.select(col("canon")).distinct()
+      .withColumn("__h", xxhash64(col("canon")))
+      .withColumn("shard", pmod(col("__h"), lit(numShards)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .groupBy(col("shard"))
+      .agg(collect_list(col("canon")).as("canons"),
+        collect_list(col("__h")).as("hs"))
+    grouped
+      .join(seenShards.select(col("shard"), col("bloom")), Seq("shard"), "left")
+      .select(explode(probeUdf(col("canons"), col("hs"), col("bloom"))).as("r"))
+      .select(col("r._1").as("canon"), col("r._2").as("maybe_seen"))
   }
 }

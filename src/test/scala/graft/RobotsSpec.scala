@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.CrawlEngine
+import graft.model.CrawlConfig
+import graft.sites.{Robots, Sites, SyntheticWeb}
+import graft.state.Store
+
+class RobotsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("robots.txt parser: * agent sections, comments, other agents") {
+    val body =
+      """# global rules
+        |User-agent: *
+        |Disallow: /private/
+        |Disallow: /tmp   # trailing comment
+        |Allow: /tmp/ok
+        |
+        |User-agent: special-bot
+        |Disallow: /only-for-special
+        |
+        |User-Agent: *
+        |Disallow: /also-blocked
+        |Disallow:
+        |""".stripMargin
+    assert(Robots.parse(body) === Seq("/private/", "/tmp", "/also-blocked"))
+    assert(Robots.parse("") === Seq.empty)
+    assert(Robots.parse(null) === Seq.empty)
+  }
+
+  test("filterAllowed drops disallowed (host, path-prefix) rows only") {
+    val rows = Seq(
+      ("https://a.test/private/x", "a.test"),
+      ("https://a.test/public/x", "a.test"),
+      ("https://b.test/private/x", "b.test"), // other host: allowed
+      ("https://a.test/priv", "a.test")) // shorter than prefix: allowed
+      .toDF("url", "host")
+    val rules = Seq(("a.test", "/private/")).toDF("host", "disallow")
+    val kept = Robots.filterAllowed(rows, rules)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept === Set("https://a.test/public/x",
+      "https://b.test/private/x", "https://a.test/priv"))
+  }
+
+  test("engine with robots rules never enqueues disallowed urls") {
+    val spec = SyntheticWeb.Spec("web", numPages = 30L, seed = 11L, numHosts = 4)
+    val pages = SyntheticWeb.pages(spark, spec).toDF()
+    // block the /wiki/ path on the hottest host entirely
+    val rules = Seq(("h0.web.test", "/wiki/")).toDF("host", "disallow")
+    val root = Files.createTempDirectory("graft-robots").toString
+    val cfg = CrawlConfig(site = "web", batchSize = 50,
+      numShards = 8, bloomItemsPerShard = 4096)
+    val eng = new CrawlEngine(spark, new Store(root, spark), Sites.web, cfg,
+      pages, robots = Some(rules))
+    val seed = (0L until 30L).map(i => SyntheticWeb.pageUrl(spec, i))
+      .find(!_.startsWith("https://h0.")).get
+    eng.seed(Seq(seed))
+    eng.run()
+    // robots blocks FETCHING, not naming: disallowed urls may appear
+    // as edge targets (the page linked to them) but must never be
+    // fetched, i.e. never appear as an edge source. Node names are
+    // canonical urls under the web profile.
+    val nodes = eng.store.read("nodes").get
+    val srcNames = eng.store.read("edges").get
+      .join(nodes.withColumnRenamed("name", "src_name")
+        .withColumnRenamed("id", "src"), Seq("src"))
+      .select("src_name").collect().map(_.getString(0))
+    assert(srcNames.nonEmpty)
+    assert(!srcNames.exists(_.startsWith("https://h0.web.test/wiki/")),
+      "a disallowed url was fetched")
+  }
+}
