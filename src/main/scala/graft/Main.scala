@@ -69,6 +69,21 @@ object Main {
     val store = new Store(storeRoot, spark)
     val engine = new CrawlEngine(spark, store, profile, cfg, pages, allowList)
 
+    // SEED_STREAM_DIR switches to streaming ingestion: seed files are
+    // consumed exactly-once (checkpointed) and each batch crawls
+    sys.env.get("SEED_STREAM_DIR").filter(_.nonEmpty) match {
+      case Some(seedDir) =>
+        val ckpt = sys.env.getOrElse("SEED_STREAM_CHECKPOINT",
+          s"$storeRoot/_seed_checkpoint")
+        println(s"[graft] streaming seeds from $seedDir (checkpoint $ckpt)")
+        val q = graft.streaming.CrawlStream.seedDriven(spark, engine, seedDir, ckpt)
+        q.awaitTermination()
+        println(s"[graft] done: totalNodes=${engine.nodesTotal}")
+        spark.stop()
+        return
+      case None => ()
+    }
+
     if (!store.exists("frontier")) {
       val seed = sys.env.get("STARTING_ENDPOINT").filter(_.nonEmpty)
         .getOrElse(SyntheticWeb.pageUrl(spec, 0L))

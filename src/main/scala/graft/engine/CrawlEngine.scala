@@ -97,6 +97,49 @@ final class CrawlEngine(
       replaces = Seq("frontier" -> frontier0, "seen_shards" -> seen0))
   }
 
+  /** Enqueue additional seed URLs into a live crawl (the streaming
+    * ingestion path): rows the frontier or the node dictionary has
+    * already seen are dropped, the rest join the frontier at depth 0.
+    */
+  def enqueue(urls: Seq[String]): Unit = {
+    if (!store.exists("frontier")) { seed(urls); return }
+    val frontier = store.readOr("frontier", emptyFrontier)
+    val nodes = store.readOr("nodes", emptyNodes)
+    val maxSeq = frontier.agg(coalesce(max("seq"), lit(0L))).as[Long].head()
+    val batchId = store.batchId + 1
+    val seedDf = urls.distinct.zipWithIndex.toDF("url", "i")
+      .withColumn("canon", canon.canonical_url(col("url")))
+      .withColumn("host", canon.host_of(col("url")))
+      .withColumn("depth", lit(0))
+      .withColumn("seq", col("i").cast("long") + lit(maxSeq + 1))
+      .withColumn("priority", lit(0L))
+      .withColumn("batch_id", lit(batchId))
+      .drop("i")
+    val fresh = seedDf
+      .join(frontier.select("canon"), Seq("canon"), "left_anti")
+      .join(nodes.select(col("name")),
+        profile.cleanName(col("url")) === col("name"), "left_anti")
+      .select(col("url"), col("canon"), col("host"), col("depth"),
+        col("seq"), col("priority"), col("batch_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (fresh.isEmpty) { fresh.unpersist(); return }
+    val newNodes = fresh.select(profile.cleanName(col("url")).as("name"))
+      .distinct()
+      .join(nodes.select("name"), Seq("name"), "left_anti")
+      .withColumn("id", xxhash64(col("name")))
+    val delta = Bloom.buildShards(fresh.select("canon"), cfg.numShards,
+      cfg.bloomItemsPerShard, cfg.bloomFpp)
+    val seen = store.readOr("seen_shards", emptySeen)
+    val mergedSeen =
+      if (store.exists("seen_shards"))
+        Bloom.mergeShards(seen, delta, cfg.bloomItemsPerShard, cfg.bloomFpp)
+      else delta
+    store.commit(batchId,
+      appends = Seq("nodes" -> newNodes, "frontier" -> fresh),
+      replaces = Seq("seen_shards" -> mergedSeen))
+    fresh.unpersist()
+  }
+
   /** A4: per-host politeness cap, salt-first to defuse hot-host skew
     * (north_rule). Phase 1 caps each (host, salt) bucket — a cheap
     * window whose partitions are S× finer than the hot host — so phase

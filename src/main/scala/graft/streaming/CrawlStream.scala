@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine.CrawlEngine
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The crawl loop itself is a self-feeding work queue — a driver-side
+  * micro-batch loop, not a source-driven stream (the reference's colly
+  * queue has the same shape). What IS source-driven:
+  *
+  *   1. seed ingestion — new seed-list files land in a directory; the
+  *      file source + checkpoint gives exactly-once consumption, and
+  *      each micro-batch enqueues its new URLs into the live engine
+  *      and drives the crawl (`foreachBatch` is the idiomatic bridge
+  *      from a stream to arbitrary batch dataflow);
+  *   2. monitoring — event-time windowed aggregation with a watermark
+  *      over a metrics/event stream.
+  */
+object CrawlStream {
+
+  /** Continuous crawl service: consume seed files from `seedDir`
+    * (one URL per line), enqueue and crawl each micro-batch.
+    * `Trigger.AvailableNow` drains what exists and stops — the
+    * restartable "catch up then exit" mode; pass a processing-time
+    * trigger for an always-on service.
+    */
+  def seedDriven(spark: SparkSession, engine: CrawlEngine, seedDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val seeds = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(seedDir)
+    seeds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val urls = batch.select(trim(col("value")).as("url"))
+          .filter(col("url") =!= "")
+          .as[String].collect().toSeq
+        if (urls.nonEmpty) {
+          engine.enqueue(urls)
+          engine.run()
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time windowed counts with a watermark — the monitoring
+    * aggregation over a (ts TIMESTAMP, event_type STRING) stream.
+    * Late rows beyond the watermark are dropped; output is append-mode
+    * finalized windows.
+    */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+}
