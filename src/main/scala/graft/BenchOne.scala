@@ -37,12 +37,11 @@ object BenchOne {
         }
       }
     })
-    val table = Bench.registerCorpus(s, corpusDir)
-    val seen = Bench.buildSeenState(s, table, 64)
+    val state = Bench.buildSeenState(s, Bench.registerCorpus(s, corpusDir), 64)
     val mapOnly = sys.env.get("MAPONLY").isDefined
     def mapOnlyRun(): Long = {
       import org.apache.spark.sql.functions._
-      val n = s.table(table)
+      val n = s.table(state.table)
         .select(explode(graft.functions.Extract.extract_links(col("html"),
           lit("web")).getField("links")).as("href"))
         .select(count(col("href"))).head().getLong(0)
@@ -51,7 +50,7 @@ object BenchOne {
     (1 to rounds).foreach { r =>
       val g0 = gcMillis
       val t0 = System.nanoTime()
-      val n = if (mapOnly) mapOnlyRun() else Bench.frontierPipeline(s, table, seen)
+      val n = if (mapOnly) mapOnlyRun() else Bench.frontierPipeline(s, state)
       val dt = (System.nanoTime() - t0) / 1e9
       val g = gcMillis - g0
       println(f"[benchone] cpus=$cpus round=$r n=$n dt=$dt%.2f s tp=${n / dt}%.0f/s gc=${g}ms")

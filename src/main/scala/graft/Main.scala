@@ -85,7 +85,15 @@ object Main {
     }
 
     if (!store.exists("frontier")) {
+      // seed resolution order mirrors crawler/crawler.go:30-39:
+      // explicit STARTING_ENDPOINT, else a word-list pick
+      // (util/util.go:15-44, deterministic here), else page 0
       val seed = sys.env.get("STARTING_ENDPOINT").filter(_.nonEmpty)
+        .orElse(sys.env.get("WORD_LIST_PATH").filter(_.nonEmpty).map { path =>
+          val words = graft.sites.Seeds.readWordList(spark, path,
+            toLower = profile.name == "synonyms")
+          graft.sites.Seeds.seedUrl(profile, graft.sites.Seeds.pickSeed(words))
+        })
         .getOrElse(SyntheticWeb.pageUrl(spec, 0L))
       engine.seed(Seq(seed))
       println(s"[graft] seeded $seed")

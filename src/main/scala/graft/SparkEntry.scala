@@ -249,6 +249,21 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 200L)).toDF()
     }),
 
+    // robots.txt rule enforcement: anti join on host + path prefix
+    "q_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "part").select(
+        col("p_partkey"),
+        concat(lit("https://h"), pmod(col("p_partkey"), lit(10)).cast("string"),
+          lit(".test/"), col("p_type")).as("url"),
+        concat(lit("h"), pmod(col("p_partkey"), lit(10)).cast("string"),
+          lit(".test")).as("host"))
+      val rules = Seq(("h0.test", "/STANDARD"), ("h1.test", "/SMALL"),
+        ("h2.test", "/MEDIUM")).toDF("host", "disallow")
+      graft.sites.Robots.filterAllowed(pages, rules)
+        .select(col("p_partkey"), col("url"))
+    }),
+
     // flagship crawl (BFS-oracle-verified in EngineSpec)
     "q_crawl_edges" -> ((s, _) => crawlEdges(s, 60L))
   )
@@ -335,6 +350,18 @@ object SparkEntry {
     "q_jaccard_pairs" -> jaccardOracle,
 
     "q_knn_cosine" -> knnOracle,
+
+    "q_robots_filter" ->
+      ("""WITH p AS (SELECT p_partkey,
+        |  'https://h' || CAST(p_partkey % 10 AS VARCHAR) || '.test/' || p_type AS url,
+        |  'h' || CAST(p_partkey % 10 AS VARCHAR) || '.test' AS host,
+        |  '/' || p_type AS path FROM part),
+        | r(host, disallow) AS (VALUES ('h0.test', '/STANDARD'),
+        |   ('h1.test', '/SMALL'), ('h2.test', '/MEDIUM'))
+        |SELECT p_partkey, url FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM r
+        |  WHERE r.host = p.host AND starts_with(p.path, r.disallow))"""
+        .stripMargin),
 
     "q_embed_norm" ->
       ("SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding, " +

@@ -47,6 +47,26 @@ class RobotsSpec extends SparkSpec {
       "https://b.test/private/x", "https://a.test/priv"))
   }
 
+  test("word-list seed source: deterministic pick, lowercase, fatal on empty") {
+    val f = Files.createTempDirectory("graft-words").resolve("words.txt")
+    Files.writeString(f, "Apple\nBanana\n\n  Cherry  \n")
+    val words = graft.sites.Seeds.readWordList(spark, f.toString, toLower = true)
+    assert(words.collect().map(_.getString(0)).toSet ===
+      Set("apple", "banana", "cherry"))
+    val p1 = graft.sites.Seeds.pickSeed(words)
+    assert(p1 === graft.sites.Seeds.pickSeed(words)) // deterministic
+    assert(Set("apple", "banana", "cherry").contains(p1))
+    // different salt can move the pick; url assembly uses the profile
+    val url = graft.sites.Seeds.seedUrl(Sites.wikipedia, p1)
+    assert(url === s"https://en.wikipedia.org/wiki/$p1")
+    val empty = Files.createTempDirectory("graft-words2").resolve("e.txt")
+    Files.writeString(empty, "\n\n")
+    intercept[IllegalArgumentException] {
+      graft.sites.Seeds.pickSeed(
+        graft.sites.Seeds.readWordList(spark, empty.toString))
+    }
+  }
+
   test("engine with robots rules never enqueues disallowed urls") {
     val spec = SyntheticWeb.Spec("web", numPages = 30L, seed = 11L, numHosts = 4)
     val pages = SyntheticWeb.pages(spark, spec).toDF()
