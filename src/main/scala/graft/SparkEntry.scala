@@ -264,6 +264,31 @@ object SparkEntry {
         .select(col("p_partkey"), col("url"))
     }),
 
+    // ---- graph analytics over the edge table (the reference's
+    //      companion-service queries) ----
+
+    "q_out_degree" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      graft.ops.GraphOps.outDegreeDistribution(edges)
+    }),
+
+    "q_top_indegree" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      graft.ops.GraphOps.topByInDegree(edges, 20)
+    }),
+
+    "q_khop" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      val sources = s.range(1, 4).select(col("id").as("node"))
+      graft.ops.GraphOps.reachable(edges, sources, maxHops = 3)
+    }),
+
     // flagship crawl (BFS-oracle-verified in EngineSpec)
     "q_crawl_edges" -> ((s, _) => crawlEdges(s, 60L))
   )
@@ -361,6 +386,25 @@ object SparkEntry {
         |SELECT p_partkey, url FROM p
         |WHERE NOT EXISTS (SELECT 1 FROM r
         |  WHERE r.host = p.host AND starts_with(p.path, r.disallow))"""
+        .stripMargin),
+
+    "q_out_degree" ->
+      ("SELECT degree, count(*) AS n_nodes FROM (SELECT l_orderkey, " +
+        "count(DISTINCT l_partkey) AS degree FROM lineitem GROUP BY l_orderkey) " +
+        "GROUP BY degree"),
+
+    "q_top_indegree" ->
+      ("SELECT dst, in_degree FROM (SELECT l_partkey AS dst, " +
+        "count(DISTINCT l_orderkey) AS in_degree FROM lineitem GROUP BY l_partkey) " +
+        "ORDER BY in_degree DESC, dst ASC LIMIT 20"),
+
+    "q_khop" ->
+      ("""WITH RECURSIVE e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        | r(node, hops) AS (
+        |   SELECT CAST(v.node AS BIGINT), v.hops FROM (VALUES (1, 0), (2, 0), (3, 0)) v(node, hops)
+        |   UNION ALL
+        |   SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node WHERE r.hops < 3)
+        |SELECT node, min(hops) AS hops FROM r GROUP BY node"""
         .stripMargin),
 
     "q_embed_norm" ->
