@@ -133,17 +133,8 @@ object Bench {
     // ordering happens inside the window sorts; the engine's global
     // batch take is top-K with K ≪ frontier (TakeOrderedAndProject),
     // meaningless at mega-batch granularity, so not replicated here
-    val salted = fresh.withColumn("__salt", pmod(xxhash64(col("url")), lit(salt)))
-    val w1 = Window.partitionBy(col("host"), col("__salt"))
-      .orderBy(col("priority"), col("depth"), col("seq"))
-    val w2 = Window.partitionBy(col("host"))
-      .orderBy(col("priority"), col("depth"), col("seq"))
-    val scheduled = salted
-      .withColumn("__rn1", row_number().over(w1))
-      .filter(col("__rn1") <= lit(hostBudget))
-      .withColumn("__rn2", row_number().over(w2))
-      .filter(col("__rn2") <= lit(hostBudget))
-      .drop("__salt", "__rn1", "__rn2")
+    val scheduled = graft.engine.Politeness.capPerHost(fresh, hostBudget,
+      salt, Seq(col("priority"), col("depth"), col("seq")))
 
     // fetch + extract + canonicalize + id + edge dedup
     val fetched = scheduled.join(pages.select(col("url"), col("html")), Seq("url"))

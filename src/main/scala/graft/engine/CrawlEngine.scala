@@ -146,19 +146,8 @@ final class CrawlEngine(
     * 2's exact per-host window sees at most salt*budget rows per host,
     * not the host's full (possibly billions-deep) frontier backlog.
     */
-  private def politenessCap(frontier: DataFrame): DataFrame = {
-    if (cfg.hostBudget == Int.MaxValue) return frontier
-    val salted = frontier.withColumn(
-      "__salt", pmod(xxhash64(col("url")), lit(cfg.salt)))
-    val w1 = Window.partitionBy(col("host"), col("__salt")).orderBy(ordering: _*)
-    val w2 = Window.partitionBy(col("host")).orderBy(ordering: _*)
-    salted
-      .withColumn("__rn1", row_number().over(w1))
-      .filter(col("__rn1") <= cfg.hostBudget)
-      .withColumn("__rn2", row_number().over(w2))
-      .filter(col("__rn2") <= cfg.hostBudget)
-      .drop("__salt", "__rn1", "__rn2")
-  }
+  private def politenessCap(frontier: DataFrame): DataFrame =
+    Politeness.capPerHost(frontier, cfg.hostBudget, cfg.salt, ordering)
 
   /** Deterministic global sequence numbers without a single-partition
     * window: range-partition by the order columns, then add per-
