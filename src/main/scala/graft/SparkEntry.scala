@@ -239,6 +239,15 @@ object SparkEntry {
           round(col("sim"), 4).as("sim_r"))
     }),
 
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(queries, emb, k = 5, nCentroids = 16, nprobe = 6)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 4).as("sim_r"))
+    }),
+
     "q_embed_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"),
         round(Similarity.l2norm(col("embedding")), 4).as("norm_r"))),

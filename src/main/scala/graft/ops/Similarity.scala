@@ -74,6 +74,63 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF coarse quantizer: `k` centroids picked deterministically from
+    * the corpus (hash-ordered sample — the classic cheap init for a
+    * coarse quantizer baseline; a Lloyd refinement would slot in here),
+    * collected to the driver and broadcast.
+    */
+  def ivfCentroids(corpus: DataFrame, k: Int): Array[Array[Double]] =
+    corpus
+      .orderBy(md5(concat_ws(",", col("vec_id"))), col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private def nearestCentroids(v: Seq[Float], cents: Array[Array[Double]],
+      n: Int): Seq[Int] = {
+    val ds = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+      (d, i)
+    }
+    ds.sortBy { case (d, i) => (d, i) }.take(n).map(_._2).toSeq
+  }
+
+  /** Approximate top-k via IVF: corpus rows live in their nearest
+    * centroid's bucket (one shuffle-free assignment pass + one
+    * bucket-partitioned layout at scale); each query probes its
+    * `nprobe` nearest buckets and exact cosine ranks the candidates.
+    * Complement to LSH: data-adaptive buckets vs oblivious hashes.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroids(corpus, nCentroids)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, 1).head)
+    val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, nprobe))
+
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("bucket"))
+    val probed = queries.select(col("query_id"), col("embedding"),
+      explode(probeUdf(col("embedding"))).as("bucket"))
+
+    val cands = bucketed.as("c")
+      .join(broadcast(probed.as("q")),
+        col("q.bucket") === col("c.bucket") &&
+          col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
     * independent bucketings of `nBits` each; a query's candidates are
     * the union of its buckets across tables, then exact cosine ranks

@@ -125,6 +125,30 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF kNN: recall vs brute force on clustered vectors") {
+    val emb = spark.range(0, 200).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin((col("id") % 8) * (i + 1)) +
+          sin(col("id") * (i + 3)) * 0.1).cast("float")).as("embedding"))
+      .cache()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5, nCentroids = 12, nprobe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // determinism: same centroids, same result
+    val ivf2 = Similarity.ivfTopK(queries, emb, k = 5, nCentroids = 12, nprobe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf === ivf2)
+  }
+
   test("multimodal: sniffing real, stub decode deterministic, frame fan-out bounded") {
     val media = Multimodal.syntheticMedia(spark, 30L)
     val meta = Multimodal.decodeMeta(media).collect()
