@@ -22,17 +22,21 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship: end-to-end crawl on the deterministic synthetic
-    * wikipedia-like corpus — edges joined back to node names.
-    * Corpus size is fixed (independent of sf) so the driver smoke
-    * check is cheap; Bench has its own scaled corpus.
+    * corpus — edges joined back to node names. Corpus size is fixed
+    * (independent of sf) so the driver smoke check is cheap; Bench has
+    * its own scaled corpus.
     */
-  private def crawlEdges(s: SparkSession, numPages: Long): DataFrame = {
-    val spec = SyntheticWeb.Spec("wikipedia", numPages = numPages, seed = 42L)
+  private def crawlEdges(s: SparkSession, site: String, numPages: Long): DataFrame = {
+    val spec = SyntheticWeb.Spec(site, numPages = numPages, seed = 42L)
+    val profile = Sites.all(site)
     val pages = SyntheticWeb.pages(s, spec).toDF()
+    val allowList =
+      if (profile.usesAllowList) Some(SyntheticWeb.countiesAllowList(s, spec))
+      else None
     val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
-    val cfg = CrawlConfig(site = "wikipedia", batchSize = 64,
+    val cfg = CrawlConfig(site = site, batchSize = 64,
       numShards = 8, bloomItemsPerShard = 1 << 14)
-    val eng = new CrawlEngine(s, new Store(root, s), Sites.wikipedia, cfg, pages)
+    val eng = new CrawlEngine(s, new Store(root, s), profile, cfg, pages, allowList)
     eng.seed(Seq(SyntheticWeb.pageUrl(spec, 0L)))
     eng.run()
     val nodes = eng.store.read("nodes").get
@@ -44,7 +48,62 @@ object SparkEntry {
       .select(col("src_name"), col("dst_name"))
   }
 
-  def entry(spark: SparkSession): DataFrame = crawlEdges(spark, 60L)
+  def entry(spark: SparkSession): DataFrame = crawlEdges(spark, "wikipedia", 60L)
+
+  /** DuckDB oracle for the flagship crawls: the synthetic corpus's
+    * valid-link list (extraction itself is oracled by ScanLinksSpec/
+    * HtmlSpec against DOM semantics) is inlined as VALUES, and DuckDB
+    * independently recomputes the crawl — reachability from the seed
+    * as a recursive CTE, edge set as links whose source was fetched —
+    * so the engine's frontier/dedup/first-discovery machinery is
+    * checked by a foreign implementation, not by itself.
+    */
+  private def crawlOracle(site: String, numPages: Long): String = {
+    val spec = SyntheticWeb.Spec(site, numPages = numPages, seed = 42L)
+    val profile = Sites.all(site)
+    def clean(s: String) =
+      graft.functions.GoUrl.cleanName(s, profile.base, profile.altBase, profile.prefix)
+    def lower(s: String) = graft.functions.GoUrl.goToLower(s)
+    def isValid(h: String): Boolean = {
+      val structural =
+        if (site == "us_counties") lower(h).contains("_county,_")
+        else h.startsWith(profile.prefix) && !h.contains(":") && !h.contains("#")
+      val notMain = site != "wikipedia" || lower(h) != "/wiki/main_page"
+      val notReject =
+        profile.rejectPrefix.isEmpty || !h.startsWith(profile.rejectPrefix)
+      notReject && structural && notMain
+    }
+    // allowListSemiJoin key (counties.go:31-46): href minus prefix, lowered
+    def allowKey(h: String) =
+      lower(if (h.startsWith(profile.prefix)) h.substring(profile.prefix.length) else h)
+    val links = (0L until numPages).flatMap { i =>
+      val html = SyntheticWeb.htmlFor(spec, i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val src = clean(SyntheticWeb.pageUrl(spec, i))
+      graft.functions.Extract.links(html, site).filter(isValid)
+        .map(h => (src, clean(h), allowKey(h)))
+    }.distinct
+    val linkValues = links
+      .map { case (s, d, k) => s"('$s','$d','$k')" }.mkString(", ")
+    val seedName = clean(SyntheticWeb.pageUrl(spec, 0L))
+    val allowCte =
+      if (!profile.usesAllowList) ""
+      else {
+        val names = (0L until numPages).filter(_ % 2 == 0)
+          .map(i => s"('${lower(SyntheticWeb.countyName(i))}')").mkString(", ")
+        s" a(name) AS (VALUES $names),\n"
+      }
+    val linkSource =
+      if (profile.usesAllowList)
+        "SELECT l0.src_name, l0.dst_name FROM l0 JOIN a ON l0.allow_key = a.name"
+      else "SELECT src_name, dst_name FROM l0"
+    s"""WITH RECURSIVE l0(src_name, dst_name, allow_key) AS (VALUES $linkValues),
+       |$allowCte l AS ($linkSource),
+       | r(name) AS (SELECT '$seedName' UNION
+       |   SELECT l.dst_name FROM r JOIN l ON l.src_name = r.name)
+       |SELECT DISTINCT l.src_name, l.dst_name FROM l JOIN r ON l.src_name = r.name"""
+      .stripMargin
+  }
 
   // ---- shared builders (Spark side and oracle side stay in sync) ----
 
@@ -298,8 +357,13 @@ object SparkEntry {
       graft.ops.GraphOps.reachable(edges, sources, maxHops = 3)
     }),
 
-    // flagship crawl (BFS-oracle-verified in EngineSpec)
-    "q_crawl_edges" -> ((s, _) => crawlEdges(s, 60L))
+    // flagship crawl — now ALSO DuckDB-verified via the recursive-CTE
+    // oracle (EngineSpec's scala BFS oracle remains as belt-and-braces)
+    "q_crawl_edges" -> ((s, _) => crawlEdges(s, "wikipedia", 60L)),
+
+    // counties adapter end-to-end: DOM scoping (D4) + allow-list
+    // semi-join (F4/J5) wired through the live engine
+    "q_crawl_edges_counties" -> ((s, _) => crawlEdges(s, "us_counties", 40L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -419,7 +483,11 @@ object SparkEntry {
     "q_embed_norm" ->
       ("SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS norm_r " +
-        "FROM embeddings")
+        "FROM embeddings"),
+
+    "q_crawl_edges" -> crawlOracle("wikipedia", 60L),
+
+    "q_crawl_edges_counties" -> crawlOracle("us_counties", 40L)
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1,9 +1,12 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import scala.collection.mutable
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.{canon, Extract}
 import graft.model._
@@ -30,10 +33,32 @@ final case class BatchResult(
   *
   * Everything between driver decisions is declarative DataFrame
   * algebra: Catalyst does pushdown/pruning, AQE picks join strategies
-  * and splits skewed partitions. Control returns to the driver only
-  * for the stop-gate count and batch scheduling — the same
-  * "approximate at batch granularity" contract as the reference's
-  * post-page check (crawler/crawler.go:107-111).
+  * and splits skewed partitions.
+  *
+  * Scale shape of the state updates (the part that must survive a
+  * 10^10-URL frontier):
+  *
+  *   - The frontier and the Bloom URL-seen set are HASH-SHARDED tables
+  *     (shard = pmod(xxhash64(canon), numShards)); a batch rewrites
+  *     ONLY the shards it touched — the shards that lost selected rows
+  *     or gained discoveries. Untouched shards' files are not read,
+  *     not written, and stay byte-identical (asserted by EngineSpec).
+  *     Per-batch write cost is O(batch), never O(frontier).
+  *   - Sequence numbers are (batchId << SEQ_BATCH_SHIFT) | rank — unique
+  *     and monotone across batches BY CONSTRUCTION, so resume needs no
+  *     max(seq) scan and replay can never reissue a seq.
+  *   - Batch counters ride the commit's own write jobs as
+  *     `Observation`s instead of separate count() actions; per batch
+  *     the driver runs exactly 3 non-write jobs (schedule gate,
+  *     sequence-count collect, touched-shard collect).
+  *   - When the whole filter state fits under
+  *     `cfg.seenDriverStateLimit`, the driver keeps the deserialized
+  *     shard filters, folds each batch's new 8-byte hashes in
+  *     (bit-identical to the distributed mergeInPlace), probes via a
+  *     broadcast Column (zero probe jobs/shuffles) and writes touched
+  *     blobs straight from memory. Past the limit it switches to the
+  *     shard-shuffle probe + distributed delta merge that never holds
+  *     more than one shard's state per task.
   */
 final class CrawlEngine(
     spark: SparkSession,
@@ -49,6 +74,50 @@ final class CrawlEngine(
   private val ordering: Seq[Column] =
     Seq(col("priority"), col("depth"), col("seq"))
 
+  private val frontierColNames =
+    Seq("url", "canon", "host", "depth", "seq", "priority", "batch_id")
+  private def frontierCols: Seq[Column] = frontierColNames.map(col)
+
+  private def shardCol(c: Column): Column = Bloom.shardOf(c, cfg.numShards)
+
+  /** intra-batch seq bits: up to 2^44 discoveries per batch, 2^19
+    * batches — far beyond any crawl, asserted at runtime.
+    */
+  private val seqBatchShift = 44
+
+  private def seqBase(batchId: Long): Long = {
+    require(batchId < (1L << (63 - seqBatchShift)), s"batch id $batchId overflows seq encoding")
+    batchId << seqBatchShift
+  }
+
+  /** id = xxhash64(name) (S6). Tests inject a narrow width via
+    * cfg.idHashBits to force the collision guard to actually fire —
+    * real 64-bit collisions are a 2^32-work birthday search.
+    */
+  private def idOf(name: Column): Column =
+    if (cfg.idHashBits >= 64) xxhash64(name)
+    else pmod(xxhash64(name), lit(1L << cfg.idHashBits))
+
+  /** Runtime id-collision guard (reference parity: the serial id
+    * service, db/db.go:65-105, can never collide; silently merging two
+    * names into one node corrupts the graph). Grouping the delta by id
+    * costs one 8-byte-key shuffle of the (small) new-name delta and
+    * fails the batch loudly — inside the plan, before anything
+    * commits — if two distinct names share an id.
+    */
+  private def withCollisionGuard(names: DataFrame): DataFrame =
+    names
+      .groupBy(idOf(col("name")).as("id"))
+      .agg(collect_set(col("name")).as("__names"))
+      .select(
+        when(size(col("__names")) > 1,
+          raise_error(concat(lit("node id collision between names: "),
+            concat_ws(", ", col("__names")))))
+          .otherwise(element_at(col("__names"), 1)).as("name"),
+        col("id"))
+
+  // ---- driver-tracked state (recovered from the store on resume) ----
+
   /** running total for the stop gate (reference totalNodesAdded,
     * crawler/metrics.go:70-77) — recovered from the metrics table on
     * resume.
@@ -61,6 +130,62 @@ final class CrawlEngine(
 
   def nodesTotal: Long = totalNodesAdded
 
+  /** pending frontier rows — maintained by arithmetic per batch
+    * (prev − selected + discovered); read from the store exactly once.
+    */
+  private var pendingCount: Long =
+    store.read("frontier").map(_.count()).getOrElse(0L)
+
+  // ---- driver-resident seen state (small-state mode) ----
+
+  private val blobBytes: Long =
+    Bloom.serialize(BloomFilter.create(cfg.bloomItemsPerShard, cfg.bloomFpp)).length.toLong
+
+  /** filters have FIXED size (bits allocated from itemsPerShard/fpp at
+    * creation), so the mode is static for a given config
+    */
+  private val driverSeenMode: Boolean =
+    cfg.numShards.toLong * blobBytes <= cfg.seenDriverStateLimit
+
+  private val driverSeen = mutable.Map.empty[Int, BloomFilter]
+  private val driverBlobs = mutable.Map.empty[Int, Array[Byte]]
+  private val seenCounts = mutable.Map.empty[Int, Long]
+
+  if (driverSeenMode) store.read("seen_shards").foreach { df =>
+    df.select("shard", "bloom", "count").collect().foreach { r =>
+      val s = r.getInt(0)
+      val b = r.getAs[Array[Byte]](1)
+      driverSeen(s) = Bloom.deserialize(b)
+      driverBlobs(s) = b
+      seenCounts(s) = r.getLong(2)
+    }
+  }
+
+  /** fold a batch's new (shard, xxhash64(canon)) pairs into the
+    * driver-resident filters — same put sequence the distributed
+    * MergeAgg would apply, so blobs stay bit-identical to a
+    * distributed merge
+    */
+  private def absorbHashes(pairs: Array[(Int, Long)]): Unit = {
+    val touched = mutable.Set.empty[Int]
+    pairs.foreach { case (s, h) =>
+      driverSeen.getOrElseUpdate(s,
+        BloomFilter.create(cfg.bloomItemsPerShard, cfg.bloomFpp)).putLong(h)
+      seenCounts(s) = seenCounts.getOrElse(s, 0L) + 1L
+      touched += s
+    }
+    touched.foreach(s => driverBlobs(s) = Bloom.serialize(driverSeen(s)))
+  }
+
+  /** (shard, bloom, count, __shard) rows for the given shards, straight
+    * from driver memory — the small-state write path reads no old state
+    */
+  private def seenRowsFromDriver(shards: Seq[Int]): DataFrame =
+    shards.sorted
+      .map(s => SeenShard(s, driverBlobs(s), seenCounts.getOrElse(s, 0L)))
+      .toDF()
+      .withColumn("__shard", col("shard"))
+
   private def emptyFrontier: DataFrame =
     spark.emptyDataset[FrontierRow].toDF()
 
@@ -68,83 +193,116 @@ final class CrawlEngine(
   private def emptyEdges: DataFrame = spark.emptyDataset[EdgeRow].toDF()
   private def emptySeen: DataFrame = spark.emptyDataset[SeenShard].toDF()
 
+  private def applyRobots(df: DataFrame): DataFrame = robots match {
+    case Some(rules) => graft.sites.Robots.filterAllowed(df, rules)
+    case None => df
+  }
+
   /** Bootstrap: seed URLs become frontier depth-0 rows; their names go
     * into `nodes` (the reference's twowaykv upsert assigns the seed an
     * id on its first AddEdges call; we do it eagerly), their canonical
-    * urls into the seen shards.
+    * urls into the seen shards. Robots rules apply to seeds exactly as
+    * to discovered links — a disallowed URL is never fetched no matter
+    * how it arrived (reference enforces at fetch time).
     */
   def seed(urls: Seq[String]): Unit = {
-    val seedDf = urls.zipWithIndex.toDF("url", "i")
-      .withColumn("canon", canon.canonical_url(col("url")))
-      .withColumn("host", canon.host_of(col("url")))
-      .withColumn("depth", lit(0))
-      .withColumn("seq", col("i").cast("long"))
-      .withColumn("priority", lit(0L))
-      .withColumn("batch_id", lit(0L))
-      .drop("i")
-    val frontier0 = seedDf.select(
-      col("url"), col("canon"), col("host"), col("depth"), col("seq"),
-      col("priority"), col("batch_id"))
-    val nodes0 = seedDf
-      .select(profile.cleanName(col("url")).as("name"))
-      .distinct()
-      .withColumn("id", xxhash64(col("name")))
-    val seen0 = Bloom.buildShards(
-      frontier0.select(col("canon")), cfg.numShards,
-      cfg.bloomItemsPerShard, cfg.bloomFpp)
-    store.commit(0L,
-      appends = Seq("nodes" -> nodes0),
-      replaces = Seq("frontier" -> frontier0, "seen_shards" -> seen0))
+    val seedDf = applyRobots(
+      urls.zipWithIndex.toDF("url", "i")
+        .withColumn("canon", canon.canonical_url(col("url")))
+        .withColumn("host", canon.host_of(col("url")))
+        .withColumn("depth", lit(0))
+        .withColumn("seq", col("i").cast("long"))
+        .withColumn("priority", lit(0L))
+        .withColumn("batch_id", lit(0L))
+        .drop("i"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = seedDf
+      .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val shards = pairs.map(_._1).distinct.toSeq
+    val frontier0 = seedDf.select(frontierCols: _*)
+      .withColumn("__shard", shardCol(col("canon")))
+    val nodes0 = withCollisionGuard(
+      seedDf.select(profile.cleanName(col("url")).as("name")).distinct())
+
+    val staged = store.stage(0L)
+    staged.append("nodes", nodes0)
+    staged.replaceShards("frontier", frontier0, shards)
+    if (driverSeenMode) {
+      absorbHashes(pairs)
+      staged.replaceShards("seen_shards", seenRowsFromDriver(shards), shards)
+    } else {
+      val seen0 = Bloom.buildShards(
+        seedDf.select(col("canon")), cfg.numShards,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+        .withColumn("__shard", col("shard"))
+      staged.replaceShards("seen_shards", seen0, shards)
+    }
+    staged.publish()
+    pendingCount = pairs.length.toLong
+    seedDf.unpersist()
   }
 
   /** Enqueue additional seed URLs into a live crawl (the streaming
     * ingestion path): rows the frontier or the node dictionary has
     * already seen are dropped, the rest join the frontier at depth 0.
+    * Incremental like step(): only the shards gaining rows are
+    * rewritten.
     */
   def enqueue(urls: Seq[String]): Unit = {
     if (!store.exists("frontier")) { seed(urls); return }
     val frontier = store.readOr("frontier", emptyFrontier)
     val nodes = store.readOr("nodes", emptyNodes)
-    val maxSeq = frontier.agg(coalesce(max("seq"), lit(0L))).as[Long].head()
     val batchId = store.batchId + 1
-    val seedDf = urls.distinct.zipWithIndex.toDF("url", "i")
-      .withColumn("canon", canon.canonical_url(col("url")))
-      .withColumn("host", canon.host_of(col("url")))
-      .withColumn("depth", lit(0))
-      .withColumn("seq", col("i").cast("long") + lit(maxSeq + 1))
-      .withColumn("priority", lit(0L))
-      .withColumn("batch_id", lit(batchId))
-      .drop("i")
+    val seedDf = applyRobots(
+      urls.distinct.zipWithIndex.toDF("url", "i")
+        .withColumn("canon", canon.canonical_url(col("url")))
+        .withColumn("host", canon.host_of(col("url")))
+        .withColumn("depth", lit(0))
+        .withColumn("seq", col("i").cast("long") + lit(seqBase(batchId)))
+        .withColumn("priority", lit(0L))
+        .withColumn("batch_id", lit(batchId))
+        .drop("i"))
     val fresh = seedDf
       .join(frontier.select("canon"), Seq("canon"), "left_anti")
       .join(nodes.select(col("name")),
         profile.cleanName(col("url")) === col("name"), "left_anti")
-      .select(col("url"), col("canon"), col("host"), col("depth"),
-        col("seq"), col("priority"), col("batch_id"))
+      .select(frontierCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (fresh.isEmpty) { fresh.unpersist(); return }
-    val newNodes = fresh.select(profile.cleanName(col("url")).as("name"))
-      .distinct()
-      .join(nodes.select("name"), Seq("name"), "left_anti")
-      .withColumn("id", xxhash64(col("name")))
-    val delta = Bloom.buildShards(fresh.select("canon"), cfg.numShards,
-      cfg.bloomItemsPerShard, cfg.bloomFpp)
-    val seen = store.readOr("seen_shards", emptySeen)
-    val mergedSeen =
-      if (store.exists("seen_shards"))
-        Bloom.mergeShards(seen, delta, cfg.bloomItemsPerShard, cfg.bloomFpp)
-      else delta
-    store.commit(batchId,
-      appends = Seq("nodes" -> newNodes, "frontier" -> fresh),
-      replaces = Seq("seen_shards" -> mergedSeen))
+    val pairs = fresh
+      .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (pairs.isEmpty) { fresh.unpersist(); return }
+    val shards = pairs.map(_._1).distinct.toSeq
+    val newNodes = withCollisionGuard(
+      fresh.select(profile.cleanName(col("url")).as("name")).distinct()
+        .join(nodes.select("name"), Seq("name"), "left_anti"))
+    val pendingTouched = store.readShards("frontier", shards, emptyFrontier)
+      .unionByName(fresh)
+      .withColumn("__shard", shardCol(col("canon")))
+
+    val staged = store.stage(batchId)
+    staged.append("nodes", newNodes)
+    staged.replaceShards("frontier", pendingTouched, shards)
+    if (driverSeenMode) {
+      absorbHashes(pairs)
+      staged.replaceShards("seen_shards", seenRowsFromDriver(shards), shards)
+    } else {
+      val delta = Bloom.buildShards(fresh.select("canon"), cfg.numShards,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+      val merged = Bloom.mergeShards(
+        store.readShards("seen_shards", shards, emptySeen), delta,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+        .withColumn("__shard", col("shard"))
+      staged.replaceShards("seen_shards", merged, shards)
+    }
+    staged.publish()
+    pendingCount += pairs.length.toLong
     fresh.unpersist()
   }
 
   /** A4: per-host politeness cap, salt-first to defuse hot-host skew
-    * (north_rule). Phase 1 caps each (host, salt) bucket — a cheap
-    * window whose partitions are S× finer than the hot host — so phase
-    * 2's exact per-host window sees at most salt*budget rows per host,
-    * not the host's full (possibly billions-deep) frontier backlog.
+    * (north_rule).
     */
   private def politenessCap(frontier: DataFrame): DataFrame =
     Politeness.capPerHost(frontier, cfg.hostBudget, cfg.salt, ordering)
@@ -153,11 +311,12 @@ final class CrawlEngine(
     * window: range-partition by the order columns, then add per-
     * partition offsets (classic scalable zipWithIndex). The result
     * depends only on the total order of `orderCols`, not on the
-    * partitioning.
+    * partitioning. Returns (out, totalRows, cacheHandle) — the caller
+    * unpersists the handle once `out` is fully consumed.
     */
   private def withGlobalSeq(df: DataFrame, orderCols: Seq[Column],
-      outName: String, offset: Long): DataFrame = {
-    if (df.isEmpty) return df.withColumn(outName, lit(0L))
+      outName: String, offset: Long): (DataFrame, Long, Option[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
     val sorted = df.repartitionByRange(
         math.max(2, spark.sparkContext.defaultParallelism), orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -165,6 +324,11 @@ final class CrawlEngine(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total == 0L) {
+      sorted.unpersist()
+      return (df.withColumn(outName, lit(0L)), 0L, None)
+    }
     val offsetMap: Map[Int, Long] = {
       var acc = offset
       counts.map { case (pid, c) => val r = pid -> acc; acc += c; r }.toMap
@@ -176,32 +340,26 @@ final class CrawlEngine(
       .withColumn(outName,
         element_at(mapExpr, col("__pid")) + row_number().over(w).cast("long") - 1L)
       .drop("__pid")
-    out
+    (out, total, Some(sorted))
   }
 
   /** Run one micro-batch. Returns None when the frontier is empty. */
   def step(): Option[BatchResult] = {
     val batchId = store.batchId + 1
     val frontier = store.readOr("frontier", emptyFrontier)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = store.readOr("nodes", emptyNodes)
     val edges = store.readOr("edges", emptyEdges)
-    val seenShards = store.readOr("seen_shards", emptySeen)
 
     // --- schedule: politeness cap, then global priority-ordered take ---
     val eligible = politenessCap(frontier)
     val selected = eligible.orderBy(ordering: _*).limit(cfg.batchSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val selCount = selected.count()
-    if (selCount == 0) { frontier.unpersist(); selected.unpersist(); return None }
+    val selCount = selected.count() // non-write job 1 (the batch gate)
+    if (selCount == 0) { selected.unpersist(); return None }
 
-    val deferred = frontier.join(selected.select("canon"), Seq("canon"), "left_anti")
-
-    // --- fetch: frontier ⋈ pages (S1); misses → fetch_errors (F6) ---
+    // --- fetch: frontier ⋈ pages (S1); misses → fetch_errors (F6,
+    //     written below with its count observation attached) ---
     val fetched = selected.join(pages, Seq("url"), "inner")
-    val errors = selected.join(pages.select(col("url")), Seq("url"), "left_anti")
-      .select(col("url"), lit(batchId).as("batch_id"),
-        lit("page not in corpus").as("reason"))
 
     // --- parse + extract + validate (S4/G1/D1-D5/F1-F4) ---
     val extracted = fetched
@@ -231,13 +389,12 @@ final class CrawlEngine(
       .dropDuplicates("src_url", "dst_name")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- node upsert (S6/J1): id = xxhash64(name) ---
+    // --- node upsert (S6/J1) with the id-collision guard ---
     val batchNames = named.select(col("dst_name").as("name"))
       .union(extracted.select(col("src_name").as("name")))
       .distinct()
-    val newNodes = batchNames
-      .join(nodes.select("name"), Seq("name"), "left_anti")
-      .withColumn("id", xxhash64(col("name")))
+    val newNodes = withCollisionGuard(
+      batchNames.join(nodes.select("name"), Seq("name"), "left_anti"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- edges (J3/S5): candidates → anti-join → append-only dedup ---
@@ -250,7 +407,6 @@ final class CrawlEngine(
         .withColumnRenamed("id", "dst"), Seq("dst_name"))
       .select(col("src"), col("dst")).distinct()
     val newEdges = candidates.join(edges, Seq("src", "dst"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- recursion set (S2): first discovery of each *newly created*
     //     node wins; children enqueued in (parent seq, DOM pos) order ---
@@ -272,42 +428,107 @@ final class CrawlEngine(
 
     // robots.txt politeness (north_rule): disallowed (host, path
     // prefix) pairs never enter the frontier
-    val allowedDiscoveries = robots match {
-      case Some(rules) => graft.sites.Robots.filterAllowed(discoveries, rules)
-      case None => discoveries
-    }
+    val allowedDiscoveries = applyRobots(discoveries)
 
     // URL-level guard (reference colly visited layer, J4): bloom
     // prefilter, exact anti-join vs pending frontier for maybes.
-    val probed = Bloom.probeSeen(allowedDiscoveries, seenShards, cfg.numShards)
-    val guarded = allowedDiscoveries.join(probed, Seq("canon"), "left")
-      .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
+    // Small-state mode probes a broadcast of the driver-held blobs —
+    // zero jobs, zero shuffles; large-state mode shard-shuffles the
+    // candidates so no task ever holds more than one shard's filter.
+    val probeBc: Option[Broadcast[Map[Int, Array[Byte]]]] =
+      if (driverSeenMode) Some(spark.sparkContext.broadcast(driverBlobs.toMap))
+      else None
+    val guarded = probeBc match {
+      case Some(bc) =>
+        allowedDiscoveries.withColumn("maybe_seen",
+          Bloom.blobsColumnBc(bc, cfg.numShards, col("canon")))
+      case None =>
+        val probed = Bloom.probeSeenShuffle(allowedDiscoveries,
+          store.readOr("seen_shards", emptySeen), cfg.numShards)
+        allowedDiscoveries.join(probed, Seq("canon"), "left")
+          .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
+    }
     val definitelyNew = guarded.filter(!col("maybe_seen")).drop("maybe_seen")
     val confirmedNew = guarded.filter(col("maybe_seen")).drop("maybe_seen")
       .join(frontier.select("canon"), Seq("canon"), "left_anti")
-    val newDiscoveries = definitelyNew.union(confirmedNew)
+    val newDiscoveries = definitelyNew.unionByName(confirmedNew)
 
-    val maxSeq = frontier.agg(coalesce(max("seq"), lit(0L))).as[Long].head()
-    val newFrontier = withGlobalSeq(
-      newDiscoveries, Seq(col("src_seq"), col("pos")), "seq", maxSeq + 1)
+    // non-write job 2 (seq-offset collect) — also materializes the
+    // extracted/named/newNodes caches and fires their observations
+    val (sequenced, newCount, seqHandle) = withGlobalSeq(
+      newDiscoveries, Seq(col("src_seq"), col("pos")), "seq", seqBase(batchId))
+    val newFrontier = sequenced
       .withColumn("batch_id", lit(batchId))
-      .select(col("url"), col("canon"), col("host"), col("depth"),
-        col("seq"), col("priority"), col("batch_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(frontierCols: _*)
 
-    // --- seen-shard update (A5): delta blobs ∪ previous snapshot ---
-    val delta = Bloom.buildShards(newFrontier.select("canon"),
-      cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-    val mergedSeen =
-      if (store.exists("seen_shards"))
-        Bloom.mergeShards(seenShards, delta, cfg.bloomItemsPerShard, cfg.bloomFpp)
-      else delta
+    // non-write job 3: touched shards (selected ∪ new) and the new
+    // canon hashes in one collect — the hashes feed the driver-side
+    // filter fold; cached inputs only
+    val touchedRows = selected
+      .select(shardCol(col("canon")).as("s"), lit(null).cast("long").as("h"))
+      .distinct()
+      .union(newFrontier
+        .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+        .distinct())
+      .collect()
+    val touchedShards = touchedRows.map(_.getInt(0)).distinct.toSeq
+    val newHashes = touchedRows.filter(!_.isNullAt(1))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val deltaShards = newHashes.map(_._1).distinct.toSeq
 
-    // --- metrics (A1-A3) with per-partition lineage (north_rule) ---
-    val nodesAddedCount = newNodes.count()
-    val edgesAddedCount = newEdges.count()
-    val errorCount = errors.count()
-    val maxDepthBatch = extracted.agg(coalesce(max("depth"), lit(0))).as[Int].head()
+    // --- stage the commit; counters ride the writes as Observations.
+    //     NOTE: observe() is attached ON TOP of the persisted Datasets
+    //     at write time — a CollectMetrics node buried *below* a cache
+    //     is invisible to the outer query's observed metrics, so
+    //     observing the pre-persist plan would deadlock/miss. ---
+    val obsNodes = Observation()
+    val obsEdges = Observation()
+    val obsErr = Observation()
+    val obsDepth = Observation()
+    val staged = store.stage(batchId)
+    staged.append("nodes", newNodes.observe(obsNodes, count(lit(1)).as("n")))
+    staged.append("edges", newEdges.observe(obsEdges, count(lit(1)).as("n")))
+    // the depth metric rides the error write's scan of `selected`
+    // (observe sits between the cache scan and the anti join, so it
+    // sees every selected row): maxDepth = deepest row scheduled
+    val errorsObserved = selected
+      .observe(obsDepth, coalesce(max(col("depth")), lit(0)).as("maxd"))
+      .join(pages.select(col("url")), Seq("url"), "left_anti")
+      .select(col("url"), lit(batchId).as("batch_id"),
+        lit("page not in corpus").as("reason"))
+      .observe(obsErr, count(lit(1)).as("n"))
+    staged.append("fetch_errors", errorsObserved)
+
+    // frontier delta: ONLY touched shards are re-materialized (their
+    // pending rows minus selected, plus the new discoveries)
+    val pendingTouched = store.readShards("frontier", touchedShards, emptyFrontier)
+      .join(selected.select("canon"), Seq("canon"), "left_anti")
+      .unionByName(newFrontier)
+      .withColumn("__shard", shardCol(col("canon")))
+    staged.replaceShards("frontier", pendingTouched, touchedShards)
+
+    // seen-shard delta (A5): only shards with new canons
+    if (driverSeenMode) {
+      absorbHashes(newHashes)
+      if (deltaShards.nonEmpty)
+        staged.replaceShards("seen_shards",
+          seenRowsFromDriver(deltaShards), deltaShards)
+    } else if (deltaShards.nonEmpty) {
+      val delta = Bloom.buildShards(newFrontier.select("canon"),
+        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+      val merged = Bloom.mergeShards(
+        store.readShards("seen_shards", deltaShards, emptySeen), delta,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+        .withColumn("__shard", col("shard"))
+      staged.replaceShards("seen_shards", merged, deltaShards)
+    }
+
+    // --- metrics (A1-A3) with per-partition lineage (north_rule);
+    //     written last so the batch row can carry the observed counts ---
+    val nodesAddedCount = obsNodes.get("n").asInstanceOf[Long]
+    val edgesAddedCount = obsEdges.get("n").asInstanceOf[Long]
+    val errorCount = obsErr.get("n").asInstanceOf[Long]
+    val maxDepthBatch = obsDepth.get("maxd").asInstanceOf[Int]
     val partMetrics = newFrontier
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("nodes_added"), max("depth").as("max_depth"))
@@ -318,36 +539,24 @@ final class CrawlEngine(
       (batchId, -1, selCount, nodesAddedCount, maxDepthBatch))
       .toDF("batch_id", "partition_id", "pages", "nodes_added", "max_depth")
       .withColumn("ts", current_timestamp())
-    val metrics = batchMetrics.unionByName(partMetrics)
+    staged.append("metrics", batchMetrics.unionByName(partMetrics))
 
-    val pending = deferred.unionByName(newFrontier)
-    // NOTE(scale): `frontier` is rewritten per batch here. At 10^10-URL
-    // scale the pending set must be shard-partitioned and only touched
-    // shards rewritten (same layout as seen_shards); the manifest
-    // protocol already supports per-shard segment swap.
+    staged.publish()
 
-    store.commit(batchId,
-      appends = Seq(
-        "nodes" -> newNodes,
-        "edges" -> newEdges,
-        "metrics" -> metrics,
-        "fetch_errors" -> errors),
-      replaces = Seq(
-        "frontier" -> pending,
-        "seen_shards" -> mergedSeen))
-
-    val pendingCount = store.readOr("frontier", emptyFrontier).count()
+    pendingCount = pendingCount - selCount + newCount
     totalNodesAdded += nodesAddedCount
 
-    Seq(frontier, selected, extracted, named, newNodes, nodesAll, newEdges,
-      newFrontier).foreach(_.unpersist())
+    Seq(selected, extracted, named, newNodes, nodesAll).foreach(_.unpersist())
+    seqHandle.foreach(_.unpersist())
+    probeBc.foreach(_.destroy())
 
     Some(BatchResult(batchId, selCount, errorCount, nodesAddedCount,
       edgesAddedCount, maxDepthBatch, pendingCount))
   }
 
   /** Loop until budget (F5) or empty frontier; approximate stop at
-    * batch granularity like the reference's post-page check.
+    * batch granularity like the reference's post-page check
+    * (crawler/crawler.go:107-111).
     */
   def run(): Seq[BatchResult] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[BatchResult]

@@ -299,8 +299,11 @@ object Html {
                 (lt + 7 >= n || !isNameByte(h(lt + 7)))
               val isStyle = !isScript && regionEqIgnoreCase(h, lt + 1, "style") &&
                 (lt + 6 >= n || !isNameByte(h(lt + 6)))
-              val selfClosed = end > lt && h(end - 1) == '/'
-              if ((isScript || isStyle) && !selfClosed) {
+              // NOTE: no self-closing exemption — HTML5 ignores the
+              // self-closing flag on raw-text elements, so `<script/>`
+              // still swallows everything to the next </script>,
+              // exactly as the DOM parser does
+              if (isScript || isStyle) {
                 val name = if (isScript) "script" else "style"
                 val close = indexOfBytesIgnoreCase(h, "</" + name, end + 1)
                 if (close < 0) i = n
@@ -517,9 +520,11 @@ object Html {
             if (name == "a") attrs.get("href").foreach(out += _)
             i = end + 1
           } else if (c1 == 's' || c1 == 'S') {
-            // script/style raw text: anchors inside never become DOM
-            val (name, _, selfClosed) = parseTag(html.substring(lt + 1, end))
-            if (!selfClosed && (name == "script" || name == "style")) {
+            // script/style raw text: anchors inside never become DOM.
+            // The self-closing flag is deliberately ignored (HTML5
+            // ignores it on raw-text elements; the DOM parser does too)
+            val (name, _, _) = parseTag(html.substring(lt + 1, end))
+            if (name == "script" || name == "style") {
               val close = indexOfIgnoreCase(html, "</" + name, end + 1)
               val gt = if (close < 0) -1 else html.indexOf('>', close)
               i = if (close < 0 || gt < 0) n else gt + 1

@@ -58,4 +58,11 @@ final case class CrawlConfig(
     bloomItemsPerShard: Long = 1L << 20,
     bloomFpp: Double = 0.01,
     maxBatches: Int = 1000,
-    salt: Int = 8) // salting factor for the per-host cap
+    salt: Int = 8, // salting factor for the per-host cap
+    // id width for the collision guard: 64 = real xxhash64 ids; tests
+    // narrow it to force (and thus test) the loud-failure path
+    idHashBits: Int = 64,
+    // total-filter-state ceiling for the driver-resident seen mode;
+    // above it the engine switches to the shard-shuffle probe +
+    // distributed delta merge
+    seenDriverStateLimit: Long = 256L << 20)

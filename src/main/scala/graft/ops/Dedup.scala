@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   *     never shuffles the text itself.
   *   - MinHash signatures: per-row array algebra (no shuffle); the LSH
   *     band → bucket-join emits candidate pairs only, so the quadratic
-  *     blowup is bounded per bucket (big buckets are capped; cap count
-  *     is reported, not silently dropped).
+  *     blowup is bounded per bucket (buckets over maxBucket lose their
+  *     pairs — lshBucketStats quantifies the loss for a given cap).
   *   - SimHash: per-row fingerprint + band join on 16-bit chunks.
   */
 object Dedup {
@@ -58,11 +58,26 @@ object Dedup {
     *
     * @param maxBucket ignore degenerate buckets larger than this (a
     *   bucket of B docs emits B²/2 pairs — a skew bomb at corpus
-    *   scale); callers get the dropped-bucket count via the
-    *   "lsh_buckets_capped" accumulator-style side output if needed.
+    *   scale). Capping SILENTLY loses the largest duplicate clusters'
+    *   pairs — run [[lshBucketStats]] over the same corpus/params to
+    *   see how many buckets (and docs) the cap dropped before trusting
+    *   a capped run.
     */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame =
+    lshBuckets(docs, k, bands, shingleN)
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+          |    struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
+  /** (band, bucket, ids): the raw LSH buckets behind lshCandidates. */
+  private def lshBuckets(docs: DataFrame, k: Int, bands: Int,
+      shingleN: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
     val sigs = docs
@@ -73,35 +88,86 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
         .as(Seq("band", "bucket")))
-    // group docs per (band, bucket); emit intra-bucket pairs
-    val buckets = banded
+    banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    buckets
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
-          |    struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
   }
+
+  /** The cap's blast radius, surfaced: one row
+    * (n_buckets, n_capped_buckets, n_docs_in_capped, max_bucket) for
+    * the given params. The dedup pipeline's completeness check — a
+    * capped run with n_capped_buckets > 0 is a *partial* near-dup
+    * sweep over exactly the biggest duplicate clusters.
+    */
+  def lshBucketStats(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame =
+    lshBuckets(docs, k, bands, shingleN)
+      .select(size(col("ids")).as("b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("b") > maxBucket, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(col("b") > maxBucket, col("b").cast("long")).otherwise(0L))
+          .as("n_docs_in_capped"),
+        max(col("b")).as("max_bucket"))
+
+  /** Per-doc distinct shingle-hash postings (doc_id, gram) with grams
+    * above the document-frequency cap removed. The df cap is the exact
+    * path's analogue of lshCandidates' maxBucket: one boilerplate
+    * shingle shared by 10⁵ docs emits 10¹⁰ join pairs, so grams hotter
+    * than `maxDf` are excluded from the similarity universe (both the
+    * intersection AND the set sizes, keeping the ratio consistent).
+    * [[gramDfStats]] surfaces what a given cap drops.
+    */
+  private def cappedGrams(docs: DataFrame, shingleN: Int, maxDf: Long): DataFrame = {
+    val grams = docs.select(
+      col("doc_id"),
+      explode(array_distinct(shingleHashes(col("text"), shingleN)))
+        .as("gram"))
+    if (maxDf == Long.MaxValue) grams
+    else {
+      // hot grams are by definition few (≤ totalGrams/maxDf distinct
+      // values) — AQE broadcasts this anti-join side at scale
+      val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("gram"))
+      grams.join(hot, Seq("gram"), "left_anti")
+    }
+  }
+
+  /** The df cap's blast radius, surfaced: one row
+    * (n_grams, n_hot_grams, n_postings_dropped, max_df). A run with
+    * n_hot_grams > 0 measured similarity over the boilerplate-free
+    * shingle universe — report it next to the pair output.
+    */
+  def gramDfStats(docs: DataFrame, shingleN: Int = 3,
+      maxDf: Long = defaultMaxDf): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingleHashes(col("text"), shingleN))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_hot_grams"),
+        sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+          .as("n_postings_dropped"),
+        max(col("df")).as("max_df"))
+
+  /** default df cap: far above any test corpus (so oracles see the
+    * uncapped exact result) yet a real bound at web-corpus scale —
+    * a gram in >100k docs is boilerplate, not content.
+    */
+  val defaultMaxDf: Long = 100000L
 
   /** Exact word-n-gram Jaccard similarity for all pairs above a
     * threshold — the verification stage behind LSH candidates (and the
     * small-scale oracle for them). Inverted-index join: explode
     * distinct shingles, self-join on shingle, count intersections,
-    * then |A∪B| = |A|+|B|−|A∩B|.
+    * then |A∪B| = |A|+|B|−|A∩B|. Grams with document frequency above
+    * `maxDf` are dropped from the universe first (see cappedGrams) —
+    * without that cap the self-join is quadratic in per-gram df and
+    * detonates on corpus boilerplate.
     */
   def jaccardPairs(docs: DataFrame, shingleN: Int = 3,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, maxDf: Long = defaultMaxDf): DataFrame = {
     // hashed grams: the inverted-index join shuffles 8-byte keys, not
     // shingle strings (64-bit collisions are negligible for set sizes)
-    val grams = docs.select(
-      col("doc_id"),
-      explode(array_distinct(shingleHashes(col("text"), shingleN)))
-        .as("gram"))
+    val grams = cappedGrams(docs, shingleN, maxDf)
     val sizes = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
     val inter = grams.as("a")
@@ -121,22 +187,43 @@ object Dedup {
   /** LSH candidates verified with exact Jaccard — the full near-dup
     * pipeline: candidates bound the joins, exact check kills LSH false
     * positives (two-phase, same contract as the Bloom URL-seen set).
+    *
+    * Verify stage is an inverted-index intersection count restricted
+    * to the candidate doc set: grams of candidate docs explode to
+    * (doc, gram) postings ONCE (persisted — signatures already cost
+    * one shingle pass over the full corpus; the verify pass re-hashes
+    * only candidates), pairs join their a-side postings to the b-side
+    * by (doc_b, gram), and the match count per pair is the exact
+    * intersection. Every shuffle moves 8-byte keys — no shingle
+    * arrays ship with candidate pairs, which at corpus scale is the
+    * difference between moving |pairs|·8B and |pairs|·|doc| bytes.
     */
   def minhashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val cands = lshCandidates(docs, k, bands, shingleN)
-    // shingle-hash set computed ONCE per doc, then joined to both pair
-    // sides — recomputing shingles per candidate pair is quadratic in
-    // exactly the regime (many moderately-similar docs) LSH is for
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shingleHashes(col("text"), shingleN)).as("g"))
-    val paired = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
-    paired
-      .withColumn("c", size(array_intersect(col("ga"), col("gb"))))
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cands = lshCandidates(docs, k, bands, shingleN, maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val grams = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(shingleHashes(col("text"), shingleN))).as("gram"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairGrams = cands
+      .join(grams.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("gram"))
+    val inter = pairGrams
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+        Seq("doc_b", "gram"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
-        col("c").cast("double") / (size(col("ga")) + size(col("gb")) - col("c")))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Analytics over the crawl's edge table — the queries the reference's
   * companion services answer against its graph store (degree stats,
@@ -35,24 +34,41 @@ object GraphOps {
   /** Nodes reachable from `sources` within `maxHops` edges; returns
     * (node, hops) with the MINIMUM hop count (BFS layering).
     * `sources` needs a single column `node`.
+    *
+    * Deep-BFS hygiene: each wave's persist is dropped once the next
+    * wave is materialized, and `visited` is localCheckpoint'ed every
+    * few hops — otherwise the union lineage grows linearly in depth
+    * and the cache holds every historical wave (fine at 3 hops, fatal
+    * at 20+).
     */
   def reachable(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    val spark = edges.sparkSession
+    val checkpointEvery = 4
     var visited = sources.select(col("node"), lit(0).as("hops"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = visited
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    var done = false
+    while (hop < maxHops && !done) {
       hop += 1
+      // EAGER localCheckpoint per wave: materializes it and truncates
+      // its plan to a leaf. Without this, wave k's logical plan nests
+      // wave k-1's and the visited union tree — exponential plan
+      // growth that OOMs the optimizer long before the data does.
       val next = frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      visited = visited.unionByName(next)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      frontier = next
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        // visited stays a flat union of checkpointed wave leaves;
+        // re-checkpoint every few hops so even that stays shallow
+        val grown = visited.unionByName(next)
+        visited =
+          if (hop % checkpointEvery == 0) grown.localCheckpoint(true) else grown
+        frontier = next
+      }
     }
     visited
   }

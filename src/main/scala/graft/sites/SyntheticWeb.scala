@@ -50,7 +50,10 @@ object SyntheticWeb {
   def pageUrl(spec: Spec, i: Long): String = spec.site match {
     case "wikipedia" => s"https://en.wikipedia.org/wiki/Node_$i"
     case "synonyms" => s"http://www.synonyms.com/synonym/word$i"
-    case "synonyms-ar" => s"https://synonyms.reverso.net/synonym/ar/كلمة$i"
+    // corpus urls are percent-encoded like real WARC records — the
+    // fetch join matches base+href byte-for-byte; CleanUrl decodes to
+    // the Arabic name (ar_synonyms.go:44-59)
+    case "synonyms-ar" => s"https://synonyms.reverso.net/synonym/ar/%D9%83%D9%84%D9%85%D8%A9$i"
     case "us_counties" =>
       s"https://en.wikipedia.org/wiki/${countyName(i)}"
     case _ =>

@@ -19,27 +19,33 @@ import org.apache.spark.util.sketch.BloomFilter
   * snapshot's blobs via a second Aggregator — no driver-side state.
   */
 /** per-executor deserialized-filter cache for the broadcast probe.
-  * Bounded: one generation of seen-state is live at a time, so a new
-  * broadcast id evicts everything older (otherwise every batch leaks
-  * a full filter set into the old gen).
+  *
+  * Keyed by a per-broadcast UUID token minted where the broadcast is
+  * created and shipped inside the UDF closure — NOT by broadcast id:
+  * broadcast ids restart at 0 for every new SparkContext in the same
+  * JVM (tests/bench spin up many local sessions), so an id-keyed
+  * cache could serve a previous context's filters and silently return
+  * wrong maybe_seen answers. Bounded LRU (a handful of generations)
+  * so repeated sessions never leak filter sets.
   */
 object BloomCache {
+  private val maxEntries = 4
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, BloomFilter]]()
-  def filters(id: Long, blobs: => Map[Int, Array[Byte]]): Map[Int, BloomFilter] = {
-    val got = cache.get(id)
-    if (got != null) got
-    else {
-      val built = blobs.map { case (s, b) => s -> Bloom.deserialize(b) }
-      val it = cache.keys()
-      while (it.hasMoreElements) {
-        val k = it.nextElement()
-        if (k < id) cache.remove(k)
-      }
-      cache.putIfAbsent(id, built)
-      built
+    new java.util.LinkedHashMap[String, Map[Int, BloomFilter]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[Int, BloomFilter]]): Boolean =
+        size() > maxEntries
     }
-  }
+  def filters(token: String, blobs: => Map[Int, Array[Byte]]): Map[Int, BloomFilter] =
+    cache.synchronized {
+      val got = cache.get(token)
+      if (got != null) got
+      else {
+        val built = blobs.map { case (s, b) => s -> Bloom.deserialize(b) }
+        cache.put(token, built)
+        built
+      }
+    }
 }
 
 object Bloom {
@@ -165,8 +171,9 @@ object Bloom {
       .select(col("shard"), col("bloom")).collect()
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
     val bc = spark.sparkContext.broadcast(blobs)
+    val token = java.util.UUID.randomUUID().toString
     val probeUdf = udf { (canon: String, h: Long, shard: Int) =>
-      val filters = BloomCache.filters(bc.id, bc.value)
+      val filters = BloomCache.filters(token, bc.value)
       filters.get(shard).exists(_.mightContainLong(h))
     }
     candidates.select(col("canon")).distinct()
@@ -186,9 +193,25 @@ object Bloom {
     val blobs: Map[Int, Array[Byte]] = seenShards
       .select(col("shard"), col("bloom")).collect()
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-    val bc = spark.sparkContext.broadcast(blobs)
+    blobsColumn(spark, blobs, numShards, canonCol)
+  }
+
+  /** maybeSeenColumn over an already-collected blob map (the engine
+    * caches blobs across batches — no per-batch collect).
+    */
+  def blobsColumn(spark: org.apache.spark.sql.SparkSession,
+      blobs: Map[Int, Array[Byte]], numShards: Int, canonCol: Column): Column =
+    blobsColumnBc(spark.sparkContext.broadcast(blobs), numShards, canonCol)
+
+  /** blobsColumn over a caller-managed broadcast — the caller can (and
+    * the engine does) destroy the broadcast once the batch's jobs are
+    * done, so per-batch filter broadcasts don't accumulate.
+    */
+  def blobsColumnBc(bc: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]],
+      numShards: Int, canonCol: Column): Column = {
+    val token = java.util.UUID.randomUUID().toString
     val probeUdf = udf { (h: Long, shard: Int) =>
-      BloomCache.filters(bc.id, bc.value).get(shard).exists(_.mightContainLong(h))
+      BloomCache.filters(token, bc.value).get(shard).exists(_.mightContainLong(h))
     }
     probeUdf(xxhash64(canonCol),
       pmod(xxhash64(canonCol), lit(numShards)).cast("int"))

@@ -14,10 +14,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * published manifest; orphan directories from a dead batch are simply
   * never referenced (and are swept on open).
   *
+  * Hash-sharded tables: a table may be maintained as S independent
+  * shards (shard = pmod(xxhash64(key), S)); a batch replaces ONLY the
+  * shards it touched — one partitioned write emits
+  * `{table}/r{batch}/__shard=K/` per touched shard, the manifest keeps
+  * untouched shards' previous directories byte-identical. This is the
+  * per-partition-lineage layout that makes a 10^10-row frontier
+  * maintainable: per-batch write cost is O(touched shards), never
+  * O(table).
+  *
   * Layout:
   *   {root}/_manifest.json            — current snapshot (atomic swap)
   *   {root}/{table}/b{batch}-{n}/     — appended parquet segment
   *   {root}/{table}/r{batch}/         — full replacement segment
+  *   {root}/{table}/r{batch}/__shard=K/ — shard replacement segment
   *
   * Manifest: {"batchId":N,"tables":{"edges":["edges/b0-0","edges/b1-0"]}}
   */
@@ -44,7 +54,11 @@ final class Store(val root: String, spark: SparkSession) {
     }
   }
 
-  def exists(table: String): Boolean = tables.get(table).exists(_.nonEmpty)
+  /** true once the table has ever been committed — a sharded table
+    * whose shards all drained to empty still exists (an empty frontier
+    * after a finished crawl must read as "resume", not "seed afresh")
+    */
+  def exists(table: String): Boolean = tables.contains(table)
 
   def read(table: String): Option[DataFrame] =
     tables.get(table).filter(_.nonEmpty).map { dirs =>
@@ -54,38 +68,107 @@ final class Store(val root: String, spark: SparkSession) {
   def readOr(table: String, empty: => DataFrame): DataFrame =
     read(table).getOrElse(empty)
 
+  /** Read ONLY the given shards of a hash-sharded table. Legacy
+    * (unsharded) segments carry no shard marker and are conservatively
+    * included in every call.
+    */
+  def readShards(table: String, shards: Seq[Int],
+      empty: => DataFrame): DataFrame = {
+    val want = shards.toSet
+    val dirs = tables.getOrElse(table, Vector.empty).filter { d =>
+      Store.shardOfDir(d).forall(want.contains)
+    }
+    if (dirs.isEmpty) empty
+    else spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+  }
+
+  /** live segment dirs (relative), for tests asserting untouched-shard
+    * stability across commits
+    */
+  def segmentDirs(table: String): Vector[String] =
+    tables.getOrElse(table, Vector.empty)
+
+  /** A staged batch: segments are written eagerly as each call runs
+    * (so the caller can interleave driver work — e.g. reading
+    * `Observation` metrics off a completed write — between them), and
+    * nothing becomes visible until `publish()` swaps the manifest.
+    * A crash before publish leaves the previous snapshot intact.
+    */
+  final class Staged private[Store] (newBatchId: Long) {
+    private var next = tables
+    private var appendIdx = 0
+    private var published = false
+
+    def append(table: String, df: DataFrame): Unit = {
+      val rel = s"$table/b$newBatchId-$appendIdx"
+      appendIdx += 1
+      df.write.mode("overwrite").parquet(s"$root/$rel")
+      next = next.updated(table, next.getOrElse(table, Vector.empty) :+ rel)
+    }
+
+    def replace(table: String, df: DataFrame): Unit = {
+      val rel = s"$table/r$newBatchId"
+      df.write.mode("overwrite").parquet(s"$root/$rel")
+      next = next.updated(table, Vector(rel))
+    }
+
+    /** Replace ONLY `shards` of a hash-sharded table. `df` must hold
+      * exactly those shards' new contents and carry an int column
+      * `__shard`; a listed shard with no rows is replaced with
+      * emptiness (its old segment is dropped). Untouched shards'
+      * segments are not rewritten — or even read.
+      */
+    def replaceShards(table: String, df: DataFrame, shards: Seq[Int]): Unit = {
+      val rel = s"$table/r$newBatchId"
+      df.write.mode("overwrite").partitionBy("__shard").parquet(s"$root/$rel")
+      val replaced = shards.toSet
+      val kept = next.getOrElse(table, Vector.empty).filterNot { d =>
+        Store.shardOfDir(d).exists(replaced.contains)
+      }
+      // reference only subdirs that materialized (empty shard ⇒ none)
+      val written = shards.sorted.flatMap { s =>
+        val sub = s"$rel/__shard=$s"
+        if (Files.isDirectory(Paths.get(root, sub))) Some(sub) else None
+      }
+      next = next.updated(table, kept ++ written)
+    }
+
+    def publish(): Unit = {
+      require(!published, "staged batch already published")
+      val json = Store.renderManifest(newBatchId, next)
+      val tmp = Paths.get(root, s"_manifest.tmp.$newBatchId")
+      Files.write(tmp, json.getBytes("UTF-8"))
+      Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      tables = next
+      batchIdLoaded = newBatchId
+      published = true
+    }
+  }
+
+  def stage(newBatchId: Long): Staged = new Staged(newBatchId)
+
   /** Stage + atomically publish one batch: appends add segments,
-    * replaces swap a table's full contents. All writes complete before
-    * the manifest swap; a crash mid-commit leaves the previous
-    * snapshot intact.
+    * replaces swap a table's full contents.
     */
   def commit(
       newBatchId: Long,
       appends: Seq[(String, DataFrame)] = Nil,
       replaces: Seq[(String, DataFrame)] = Nil): Unit = {
-    var next = tables
-    appends.zipWithIndex.foreach { case ((table, df), i) =>
-      val rel = s"$table/b$newBatchId-$i"
-      df.write.mode("overwrite").parquet(s"$root/$rel")
-      next = next.updated(table, next.getOrElse(table, Vector.empty) :+ rel)
-    }
-    replaces.foreach { case (table, df) =>
-      val rel = s"$table/r$newBatchId"
-      df.write.mode("overwrite").parquet(s"$root/$rel")
-      next = next.updated(table, Vector(rel))
-    }
-    val json = Store.renderManifest(newBatchId, next)
-    val tmp = Paths.get(root, s"_manifest.tmp.$newBatchId")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    tables = next
-    batchIdLoaded = newBatchId
+    val staged = stage(newBatchId)
+    appends.foreach { case (t, df) => staged.append(t, df) }
+    replaces.foreach { case (t, df) => staged.replace(t, df) }
+    staged.publish()
   }
 
   /** Drop segment dirs no manifest references (dead-batch garbage). */
   def sweepOrphans(): Unit = {
     val live: Set[String] = tables.values.flatten.toSet
+    // a live shard subdir keeps its parent r{batch} dir alive
+    val liveParents: Set[String] = live.map { d =>
+      val i = d.indexOf("/__shard=")
+      if (i >= 0) d.substring(0, i) else d
+    }
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return
     Files.list(rootPath).iterator().asScala
@@ -93,13 +176,29 @@ final class Store(val root: String, spark: SparkSession) {
       .foreach { tableDir =>
         Files.list(tableDir).iterator().asScala.toList.foreach { seg =>
           val rel = s"${tableDir.getFileName}/${seg.getFileName}"
-          if (!live.contains(rel)) Store.deleteRecursively(seg)
+          if (!live.contains(rel) && !liveParents.contains(rel))
+            Store.deleteRecursively(seg)
+          else if (!live.contains(rel) && Files.isDirectory(seg)) {
+            // live parent of shard subdirs: sweep superseded shards
+            Files.list(seg).iterator().asScala.toList
+              .filter(_.getFileName.toString.startsWith("__shard="))
+              .foreach { sub =>
+                if (!live.contains(s"$rel/${sub.getFileName}"))
+                  Store.deleteRecursively(sub)
+              }
+          }
         }
       }
   }
 }
 
 object Store {
+
+  /** shard number of a shard-replacement segment dir, None for plain
+    * segments
+    */
+  def shardOfDir(dir: String): Option[Int] =
+    "__shard=(\\d+)$".r.findFirstMatchIn(dir).map(_.group(1).toInt)
 
   def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

@@ -39,9 +39,16 @@ object CrawlStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // driver-side collect is bounded by maxFilesPerTrigger, but a
+        // single pathological seed file could still blow the driver —
+        // fail loudly instead of OOMing silently
+        val maxSeedsPerBatch = 5000000L
         val urls = batch.select(trim(col("value")).as("url"))
           .filter(col("url") =!= "")
+          .limit(maxSeedsPerBatch.toInt + 1)
           .as[String].collect().toSeq
+        require(urls.length <= maxSeedsPerBatch,
+          s"seed micro-batch exceeds $maxSeedsPerBatch urls; split the seed files")
         if (urls.nonEmpty) {
           engine.enqueue(urls)
           engine.run()

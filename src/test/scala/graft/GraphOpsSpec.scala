@@ -37,4 +37,18 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(oneHop === Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
+
+  test("deep BFS (20+ hops) completes: per-wave checkpoints keep plans flat") {
+    // 30-node chain: hop counts equal node ids. Without the per-wave
+    // localCheckpoint this OOMs the *optimizer* (exponentially nested
+    // union/join plans) long before the data is big.
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.reachable(chain, Seq(0L).toDF("node"), maxHops = 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === (0L to 20L).map(i => i -> i.toInt).toMap)
+    // early termination when the frontier drains before maxHops
+    val short = GraphOps.reachable(chain, Seq(27L).toDF("node"), maxHops = 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(short === Map(27L -> 0, 28L -> 1, 29L -> 2))
+  }
 }

@@ -57,6 +57,48 @@ class OpsSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("jaccard df-cap bounds hot-shingle blowup and is surfaced in stats") {
+    // 20 docs: 12 unique words each + one shared 5-word boilerplate
+    // tail — the tail's 3 interior 3-grams have df=20 (a miniature
+    // boilerplate bomb: uncapped they alone join all 190 pairs)
+    val tail = "copyright footer terms of service"
+    val hotDocs = (0 until 20).map { i =>
+      val uniq = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$uniq $tail")
+    }.toDF("doc_id", "text")
+
+    // uncapped: every pair shares the 3 boilerplate grams
+    val uncapped = Dedup.jaccardPairs(hotDocs, shingleN = 3, threshold = 0.05)
+    assert(uncapped.count() === 190) // all C(20,2) pairs — the blowup
+    // capped at df≤5: boilerplate grams leave the universe; no doc
+    // pair shares a content gram, so the pair output collapses
+    assert(Dedup.jaccardPairs(hotDocs, shingleN = 3, threshold = 0.05,
+      maxDf = 5L).count() === 0)
+    // and the cap's blast radius is reported, not silent
+    val st = Dedup.gramDfStats(hotDocs, shingleN = 3, maxDf = 5L).collect()(0)
+    assert(st.getAs[Long]("n_hot_grams") === 3)
+    assert(st.getAs[Long]("max_df") === 20)
+    assert(st.getAs[Long]("n_postings_dropped") === 60)
+    // default cap is far above any test corpus: identical to uncapped
+    assert(Dedup.jaccardPairs(docs, shingleN = 3, threshold = 0.5).count() ===
+      Dedup.jaccardPairs(docs, shingleN = 3, threshold = 0.5,
+        maxDf = Long.MaxValue).count())
+  }
+
+  test("lsh maxBucket drop is quantified by lshBucketStats") {
+    // maxBucket=1 drops every usable bucket (any dup bucket has ≥2 ids)
+    assert(Dedup.lshCandidates(docs, k = 16, bands = 8, shingleN = 3,
+      maxBucket = 1).count() === 0)
+    val st = Dedup.lshBucketStats(docs, k = 16, bands = 8, shingleN = 3,
+      maxBucket = 1).collect()(0)
+    assert(st.getAs[Long]("n_capped_buckets") > 0)
+    assert(st.getAs[Int]("max_bucket") >= 2)
+    // at the default cap nothing is dropped on this corpus
+    val st2 = Dedup.lshBucketStats(docs, k = 16, bands = 8, shingleN = 3)
+      .collect()(0)
+    assert(st2.getAs[Long]("n_capped_buckets") === 0)
+  }
+
   test("simhash: exact dups collide, near-dups within distance, far docs far") {
     val fps = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

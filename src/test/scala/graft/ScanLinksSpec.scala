@@ -54,6 +54,22 @@ class ScanLinksSpec extends AnyFunSuite {
       .foreach(h => assertAll(h, h))
   }
 
+  test("self-closed script/style is STILL raw text (HTML5: flag ignored)") {
+    // Browsers ignore the self-closing flag on raw-text elements:
+    // `<script/>` swallows everything until the next </script>. All
+    // three implementations must agree on that — with and without
+    // trailing whitespace before the '>', closed and unclosed.
+    Seq(
+      """<script/><a href="/swallowed">t</a></script><a href="/seen">t</a>""",
+      """<script/ ><a href="/swallowed">t</a></script><a href="/seen">t</a>""",
+      """<script / ><a href="/swallowed">t</a></script><a href="/seen">t</a>""",
+      """<style/	><a href="/swallowed">t</a></style><a href="/seen">t</a>""",
+      """<script/ >no close: everything below is swallowed <a href="/gone">t</a>""")
+      .foreach(h => assertAll(h, h))
+    assert(Html.scanLinks(
+      """<script/><a href="/x">t</a></script><a href="/seen">t</a>""") === Seq("/seen"))
+  }
+
   test("scanLinks handles comments, script/style raw text, doctype, entities") {
     val html =
       """<!doctype html><html><body>

@@ -53,7 +53,7 @@ class StreamSpec extends SparkSpec {
     // already-connected graph: page 13 was reachable, so no new nodes,
     // and the duplicate seed adds nothing
     assert(store.read("nodes").get.count() === nodes1)
-    assert(store.read("frontier").get.count() === 0L)
+    assert(store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
   }
 
   test("windowed event counts with watermark drop late rows") {
