@@ -238,7 +238,8 @@ object Bench {
     val headline = Seq("q_metrics_agg", "q_fetch_join", "q_edge_dedup",
       "q_politeness_cap", "q_frontier_order", "q_token_count", "q_quality",
       "q_dedup_exact", "q_minhash_pairs", "q_jaccard_pairs", "q_knn_cosine",
-      "q_knn_lsh", "q_simhash", "q_fingerprint", "q_lang_id",
+      "q_knn_lsh", "q_knn_ivf", "q_cosine_pairs", "q_cosine_pairs_lsh",
+      "q_simhash", "q_fingerprint", "q_lang_id",
       "q_valid_link_wiki", "q_clean_name", "q_canonical_url")
     val s32 = session(32)
     val queryTimes = headline.flatMap { name =>

@@ -311,6 +311,19 @@ object SparkEntry {
       t(s, dir, "embeddings").select(col("vec_id"),
         round(Similarity.l2norm(col("embedding")), 4).as("norm_r"))),
 
+    // embedding-cosine near-dup pairs: exact variant is oracle-checked;
+    // LSH-bucketed variant (the 100 TB path) is rows-only here with a
+    // recall-vs-exact oracle in OpsSpec. Thresholds fit the synthetic
+    // near-orthogonal embeddings (max pairwise cos ≈ 0.46).
+    "q_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairsExact(t(s, dir, "embeddings"), 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim_r"))),
+
+    "q_cosine_pairs_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), 0.3,
+        nBits = 4, tables = 8)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim_r"))),
+
     // multimodal plumbing (stub decode, deterministic)
     "q_media_meta" -> ((s, _) => {
       import s.implicits._
@@ -484,6 +497,16 @@ object SparkEntry {
       ("SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS norm_r " +
         "FROM embeddings"),
+
+    "q_cosine_pairs" ->
+      ("""WITH s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |  / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |   * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(sim, 4) AS sim_r FROM s WHERE sim >= 0.35"""
+        .stripMargin),
 
     "q_crawl_edges" -> crawlOracle("wikipedia", 60L),
 

@@ -38,19 +38,31 @@ object Dedup {
   /** 64-bit hashes of a doc's word-n-gram shingles (per-row) — the
     * unit all near-dup ops work over, so the expensive string-level
     * shingle build happens exactly once per row and everything
-    * downstream is long arithmetic.
+    * downstream is long arithmetic. Backed by the single-pass
+    * ShingleHash64 Catalyst expression — value-identical to
+    * `transform(TextOps.shingles(text, n), s => xxhash64(s))`
+    * (OpsSpec asserts the equivalence) at a fraction of the cost.
     */
   def shingleHashes(text: Column, shingleN: Int = 3): Column =
-    transform(TextOps.shingles(text, shingleN), s => xxhash64(s))
+    graft.functions.texthash.shingle_hash64(text, shingleN)
 
   /** MinHash signature as k parallel min-hashes over the shingle
     * hashes: sig[j] = min over shingles of xxhash64(h, j) — hashing
     * the 64-bit shingle hash with per-row-independent seeds is a
     * standard hash family for min-wise sketching.
+    *
+    * Expressed as ONE fold over the shingle array (not k nested
+    * transforms): `shingleHs` is usually an expensive expression
+    * (tokenize→shingle→hash), and CollapseProject inlines it into
+    * every lambda that references it — the nested form re-evaluated
+    * the whole shingle build k times per row (measured 16× slowdown
+    * at k=16). The fold evaluates it exactly once and produces
+    * bit-identical signatures.
     */
   def minhashSignature(shingleHs: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleHs, h => xxhash64(h, j))))
+    aggregate(shingleHs, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, j) => least(a, xxhash64(h, j))))
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * r = k/bands rows; docs sharing any band hash become a candidate
@@ -118,10 +130,15 @@ object Dedup {
     * [[gramDfStats]] surfaces what a given cap drops.
     */
   private def cappedGrams(docs: DataFrame, shingleN: Int, maxDf: Long): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted: the postings feed the df-cap AND three downstream
+    // subplans (sizes + both join sides) — recomputing the shingle
+    // explode per use is the dominant cost otherwise
     val grams = docs.select(
       col("doc_id"),
       explode(array_distinct(shingleHashes(col("text"), shingleN)))
         .as("gram"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     if (maxDf == Long.MaxValue) grams
     else {
       // hot grams are by definition few (≤ totalGrams/maxDf distinct

@@ -131,6 +131,52 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS, exact: all (a, b) with
+    * a < b and cosine ≥ threshold. Quadratic — the small-side oracle
+    * and the final verify stage; the corpus-scale path is
+    * [[cosineNearDups]].
+    */
+  def cosinePairsExact(emb: DataFrame, threshold: Double): DataFrame =
+    emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+
+  /** Embedding-cosine near-dup pairs at scale: multi-table hyperplane
+    * LSH buckets generate candidate pairs (the shuffles move 8-byte
+    * ids; embeddings are joined back only for surviving candidates),
+    * exact cosine verifies — the same two-phase contract as
+    * minhashNearDups, so output ⊆ cosinePairsExact at the same
+    * threshold. Buckets above `maxBucket` are dropped (B²/2 skew
+    * bomb), mirroring Dedup.lshCandidates' cap.
+    */
+  def cosineNearDups(emb: DataFrame, threshold: Double, nBits: Int = 4,
+      tables: Int = 8, maxBucket: Int = 10000, seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val allPlanes = Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed + t))
+    val bucketed = emb.select(
+      col("vec_id"),
+      posexplode(array(allPlanes.map(p => lshBucket(col("embedding"), p)): _*))
+        .as(Seq("table_id", "bucket")))
+    val pairs = bucketed
+      .groupBy(col("table_id"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+          |    struct(least(a, b) AS vec_a, greatest(a, b) AS vec_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables`
     * independent bucketings of `nBits` each; a query's candidates are
     * the union of its buckets across tables, then exact cosine ranks

@@ -72,13 +72,17 @@ object TextOps {
           when(col("stop_ratio") >= 0.05, lit(0.25)).otherwise(lit(0.0)))
   }
 
-  /** word n-gram shingles as an array column (per-row, no shuffle) */
+  /** word n-gram shingles as an array column (per-row, no shuffle).
+    * Short docs (< n tokens) yield an EMPTY array — the guard is
+    * explicit because sequence(0, -1) is a DESCENDING two-element
+    * sequence in Spark, not empty (it made slice throw on short docs).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = wsTokens(text)
-    // sequence() is empty when size < n ⇒ empty shingle array
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
   /** Min-wise content fingerprint: min over md5(word-3-gram). Two docs

@@ -57,6 +57,23 @@ class OpsSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("ShingleHash64 expression ≡ the Column-algebra shingle hash") {
+    // the custom expression must be value-identical to the declarative
+    // form it replaces (split \s+ / space joins / xxhash64 seed 42),
+    // including whitespace edge cases
+    val texts = docs.select(col("text")).collect().map(_.getString(0)) ++ Seq(
+      "one two three four", "a  b\tc\nd e", " leading space", "trailing ",
+      "", "short one", "exactly three words")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("i", "text")
+    val ref = transform(TextOps.shingles(col("text"), 3), s => xxhash64(s))
+    val rows = df.select(col("i"),
+      Dedup.shingleHashes(col("text"), 3).as("fast"), ref.as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"row ${r.getInt(0)}")
+    }
+  }
+
   test("jaccard df-cap bounds hot-shingle blowup and is surfaced in stats") {
     // 20 docs: 12 unique words each + one shared 5-word boilerplate
     // tail — the tail's 3 interior 3-grams have df=20 (a miniature
@@ -165,6 +182,30 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("cosine near-dup pairs: LSH output ⊆ exact, high recall on clusters") {
+    // 8 tight clusters ⇒ intra-cluster cosine is high, cross-cluster low
+    val emb = spark.range(0, 160).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin((col("id") % 8) * (i + 1)) +
+          sin(col("id") * (i + 3)) * 0.05).cast("float")).as("embedding"))
+      .cache()
+    val exact = Similarity.cosinePairsExact(emb, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = Similarity.cosineNearDups(emb, 0.9, nBits = 4, tables = 8)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two-phase: exact verify ⇒ no false positives
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+    // maxBucket=1 drops every bucket ⇒ no pairs (cap is effective)
+    assert(Similarity.cosineNearDups(emb, 0.9, nBits = 4, tables = 8,
+      maxBucket = 1).count() === 0)
   }
 
   test("IVF kNN: recall vs brute force on clustered vectors") {
