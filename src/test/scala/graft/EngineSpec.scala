@@ -169,6 +169,40 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(eng.nodesTotal - lastBatchAdd < 10)
   }
 
+  test("maxDepth parity with the reference ratchet (metrics.go:55-67)") {
+    // The reference bumps maxDepth by +1 whenever a deeper page is
+    // crawled; processed in order, that ratchet ends at the true BFS
+    // eccentricity. Our deterministic (priority=depth) frontier order
+    // guarantees in-order processing, so the engine's reported max
+    // must equal the oracle BFS max depth, reached without skips.
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    // oracle BFS depths over the valid-link graph
+    val byUrl = (0L until spec.numPages)
+      .map(i => SyntheticWeb.pageUrl(spec, i) -> i).toMap
+    var depth = Map(seedUrl -> 0)
+    var q = List(seedUrl)
+    while (q.nonEmpty) {
+      val url = q.head; q = q.tail
+      byUrl.get(url).foreach { i =>
+        val html = SyntheticWeb.htmlFor(spec, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Extract.links(html, profile.name).filter(isValidFor(profile)).foreach { h =>
+          val u = profile.base + h
+          if (!depth.contains(u)) { depth += u -> (depth(url) + 1); q = q :+ u }
+        }
+      }
+    }
+    val oracleMax = depth.filter(kv => byUrl.contains(kv._1)).values.max
+    val root = Files.createTempDirectory("graft-depth").toString
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 5))
+    eng.seed(Seq(seedUrl))
+    val results = eng.run()
+    val perBatch = results.map(_.maxDepth)
+    assert(perBatch.max === oracleMax)
+    // BFS order: the per-batch max never decreases (the ratchet's path)
+    assert(perBatch === perBatch.scanLeft(0)(math.max).tail)
+  }
+
   test("resume from checkpoint reproduces the uninterrupted run") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val cfg = CrawlConfig(site = "wikipedia", batchSize = 6)
