@@ -234,6 +234,40 @@ object Bench {
     val eff832 = (best(32) / best(8)) / 4.0
     val eff = math.max(eff416, eff832)
 
+    // ---- engine micro-batch wall time at a ≥1M-row pending frontier
+    //      (the sharded-frontier criterion: per-batch cost must track
+    //      the BATCH, not the frontier — round 1 rewrote the whole
+    //      pending set every batch) ----
+    val engineBatches = {
+      val s = session(32)
+      try {
+        val pages = s.read.parquet(corpusDir)
+        val cfg = graft.model.CrawlConfig(site = "web", batchSize = 20000,
+          numShards = 64, bloomItemsPerShard = 1L << 17, salt = 16)
+        val store = new graft.state.Store(
+          s"/dev/shm/graft-bench-engine-${System.nanoTime()}", s)
+        val eng = new graft.engine.CrawlEngine(s, store, Sites.web, cfg, pages)
+        eng.seed(Seq(SyntheticWeb.pageUrl(spec, 0L)))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var go = true
+        while (go && out.length < 12) {
+          val t0 = System.nanoTime()
+          eng.step() match {
+            case Some(r) =>
+              out += ((r.frontierPending, (System.nanoTime() - t0) / 1e9))
+              go = r.frontierPending > 0 && r.frontierPending < 3000000L
+            case None => go = false
+          }
+        }
+        graft.state.Store.deleteRecursively(
+          java.nio.file.Paths.get(store.root))
+        out.toSeq
+      } finally s.stop()
+    }
+    val bigBatchSecs = engineBatches.filter(_._1 >= 1000000L).map(_._2).sorted
+    val engineBatchSec1m =
+      if (bigBatchSecs.isEmpty) -1.0 else bigBatchSecs(bigBatchSecs.size / 2)
+
     // ---- per-query timings at local[32] on the sf tables ----
     val headline = Seq("q_metrics_agg", "q_fetch_join", "q_edge_dedup",
       "q_politeness_cap", "q_frontier_order", "q_token_count", "q_quality",
@@ -257,7 +291,10 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    val engArr = engineBatches
+      .map { case (p, sec) => f"""{"pending":$p,"sec":$sec%.2f}""" }
+      .mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"corpus_pages":$nPages,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)}}""")
+      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)}}""")
   }
 }
