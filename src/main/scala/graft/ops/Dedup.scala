@@ -129,23 +129,38 @@ object Dedup {
     * intersection AND the set sizes, keeping the ratio consistent).
     * [[gramDfStats]] surfaces what a given cap drops.
     */
-  private def cappedGrams(docs: DataFrame, shingleN: Int, maxDf: Long): DataFrame = {
+  /** Eagerly materialize a pipeline result (localCheckpoint) and drop
+    * its internal caches: the multi-use subplans inside the near-dup
+    * ops need persisting, but a lazily returned DataFrame would pin
+    * those caches forever. The checkpointed result is small (pairs),
+    * self-contained, and replay-safe.
+    */
+  private def finalized(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** (postings, cachesToRelease): postings persisted because they feed
+    * the df-cap AND three downstream subplans (sizes + both join
+    * sides) — recomputing the shingle explode per use is the dominant
+    * cost otherwise.
+    */
+  private def cappedGrams(docs: DataFrame, shingleN: Int,
+      maxDf: Long): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
-    // persisted: the postings feed the df-cap AND three downstream
-    // subplans (sizes + both join sides) — recomputing the shingle
-    // explode per use is the dominant cost otherwise
     val grams = docs.select(
       col("doc_id"),
       explode(array_distinct(shingleHashes(col("text"), shingleN)))
         .as("gram"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (maxDf == Long.MaxValue) grams
+    if (maxDf == Long.MaxValue) (grams, Seq(grams))
     else {
       // hot grams are by definition few (≤ totalGrams/maxDf distinct
       // values) — AQE broadcasts this anti-join side at scale
       val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select(col("gram"))
-      grams.join(hot, Seq("gram"), "left_anti")
+      (grams.join(hot, Seq("gram"), "left_anti"), Seq(grams))
     }
   }
 
@@ -184,7 +199,7 @@ object Dedup {
       threshold: Double = 0.9, maxDf: Long = defaultMaxDf): DataFrame = {
     // hashed grams: the inverted-index join shuffles 8-byte keys, not
     // shingle strings (64-bit collisions are negligible for set sizes)
-    val grams = cappedGrams(docs, shingleN, maxDf)
+    val (grams, caches) = cappedGrams(docs, shingleN, maxDf)
     val sizes = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
     val inter = grams.as("a")
@@ -192,13 +207,14 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    finalized(pairs, caches)
   }
 
   /** LSH candidates verified with exact Jaccard — the full near-dup
@@ -236,13 +252,14 @@ object Dedup {
       .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
         Seq("doc_b", "gram"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    finalized(pairs, Seq(cands, grams))
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints joined on 16-bit

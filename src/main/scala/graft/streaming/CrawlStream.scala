@@ -2,9 +2,15 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.engine.CrawlEngine
+
+/** a candidate URL on the streaming ingestion path */
+final case class SeedUrl(host: String, url: String)
+
+/** keyed politeness state: per-host lifetime admission count */
+final case class HostQuota(used: Long)
 
 /** Structured Streaming surface (SURVEY §2.9).
   *
@@ -56,6 +62,33 @@ object CrawlStream {
         ()
       }
       .start()
+  }
+
+  /** Per-host admission budget over a URL stream — the politeness
+    * budget expressed as KEYED STREAMING STATE
+    * (`flatMapGroupsWithState`): each host's running admission count
+    * lives in the state store, survives restarts via the checkpoint,
+    * and updates exactly-once per micro-batch. Hosts are independent
+    * state partitions, so the operator scales by host-hash shuffle
+    * like every other keyed stage. Within a batch, candidates are
+    * admitted in url order for determinism; once a host's lifetime
+    * budget is spent, its later urls are dropped forever (the
+    * streaming analogue of the engine's per-batch cap).
+    */
+  def hostBudgetedStream(urls: Dataset[SeedUrl], budget: Long): Dataset[SeedUrl] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls.groupByKey(_.host)
+      .flatMapGroupsWithState[HostQuota, SeedUrl](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[SeedUrl], state: GroupState[HostQuota]) =>
+          val used = state.getOption.map(_.used).getOrElse(0L)
+          val room = math.max(0L, budget - used)
+          val admit = rows.toSeq.sortBy(_.url)
+            .take(math.min(room, Int.MaxValue.toLong).toInt)
+          state.update(HostQuota(used + admit.length))
+          admit.iterator
+      }
   }
 
   /** Event-time windowed counts with a watermark — the monitoring

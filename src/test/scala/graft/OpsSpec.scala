@@ -184,6 +184,33 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("DotProduct expression ≡ zip_with/aggregate dot, bit for bit") {
+    def ref(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val df = spark.range(0, 50).select(
+      transform(sequence(lit(0), lit(7)),
+        i => sin(col("id") * (i + 1)).cast("float")).as("a"),
+      transform(sequence(lit(0), lit(7)),
+        i => cos(col("id") * (i + 2)).cast("float")).as("b"),
+      array((0 to 7).map(i => lit(0.1 * i)): _*).as("d"))
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("fast_ff"), ref(col("a"), col("b")).as("slow_ff"),
+      Similarity.dot(col("a"), col("d")).as("fast_fd"), ref(col("a"), col("d")).as("slow_fd"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // length mismatch: both formulations yield NULL
+    val mism = df.select(
+      Similarity.dot(col("a"), slice(col("b"), 1, 3)).as("x"),
+      ref(col("a"), slice(col("b"), 1, 3)).as("y")).collect()
+    mism.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("cosine near-dup pairs: LSH output ⊆ exact, high recall on clusters") {
     // 8 tight clusters ⇒ intra-cluster cosine is high, cross-cluster low
     val emb = spark.range(0, 160).select(

@@ -56,6 +56,33 @@ class StreamSpec extends SparkSpec {
     assert(store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
   }
 
+  test("keyed-state host budget admits per-host quota across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SeedUrl
+    val input = MemoryStream[SeedUrl]
+    val admitted = CrawlStream.hostBudgetedStream(input.toDS(), budget = 5L)
+    val q = admitted.writeStream.format("memory")
+      .queryName("host_budget").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: h0 offers 7 (admit 5), h1 offers 3 (admit 3)
+    input.addData((0 until 7).map(i => SeedUrl("h0", f"u$i%02d")) ++
+      (0 until 3).map(i => SeedUrl("h1", f"u$i%02d")): _*)
+    q.processAllAvailable()
+    // batch 2: h0 exhausted (admit 0), h1 has 2 left of 3 offered
+    input.addData((7 until 10).map(i => SeedUrl("h0", f"u$i%02d")) ++
+      (3 until 6).map(i => SeedUrl("h1", f"u$i%02d")): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("host_budget")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byHost = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // per-host lifetime budget of 5, admitted deterministically in url order
+    assert(byHost("h0") === (0 until 5).map(i => f"u$i%02d"))
+    assert(byHost("h1") === (0 until 5).map(i => f"u$i%02d"))
+  }
+
   test("windowed event counts with watermark drop late rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
