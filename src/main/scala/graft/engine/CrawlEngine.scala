@@ -38,12 +38,18 @@ final case class BatchResult(
   * Scale shape of the state updates (the part that must survive a
   * 10^10-URL frontier):
   *
-  *   - The frontier and the Bloom URL-seen set are HASH-SHARDED tables
-  *     (shard = pmod(xxhash64(canon), numShards)); a batch rewrites
-  *     ONLY the shards it touched — the shards that lost selected rows
-  *     or gained discoveries. Untouched shards' files are not read,
-  *     not written, and stay byte-identical (asserted by EngineSpec).
-  *     Per-batch write cost is O(batch), never O(frontier).
+  *   - Frontier + seen state are maintained LSM-style: a batch APPENDS
+  *     its delta — new frontier rows plus a tiny (canon, kind) log
+  *     recording consumed (kind 0) and newly-seen (kind 1) canons —
+  *     and the sharded base tables (shard = pmod(xxhash64(canon),
+  *     numShards)) are untouched. Reads subtract the consumed log via
+  *     a (broadcastable, bounded) anti-join. When the log passes the
+  *     compaction threshold, ONE batch folds it into the base shards
+  *     and truncates it. Per-batch commit cost is O(batch); the
+  *     O(frontier) rewrite is amortized over the whole log. (The
+  *     earlier rewrite-touched-shards design degraded to O(frontier)
+  *     whenever batchSize ≫ numShards — a uniform hash touches every
+  *     shard.)
   *   - Sequence numbers are (batchId << SEQ_BATCH_SHIFT) | rank — unique
   *     and monotone across batches BY CONSTRUCTION, so resume needs no
   *     max(seq) scan and replay can never reissue a seq.
@@ -130,11 +136,28 @@ final class CrawlEngine(
 
   def nodesTotal: Long = totalNodesAdded
 
+  /** log rows by kind, read once on resume (0 = consumed, 1 = seen-new) */
+  private val logCounts: Map[Int, Long] =
+    store.read("frontier_log").map(
+      _.groupBy(col("kind")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ).getOrElse(Map.empty)
+
+  /** rows in the consumed side of the log (anti-joined out of reads) */
+  private var consumedCount: Long = logCounts.getOrElse(0, 0L)
+
+  /** total log rows — drives the compaction trigger */
+  private var logRowCount: Long = logCounts.values.sum
+
   /** pending frontier rows — maintained by arithmetic per batch
     * (prev − selected + discovered); read from the store exactly once.
     */
   private var pendingCount: Long =
-    store.read("frontier").map(_.count()).getOrElse(0L)
+    store.read("frontier").map(_.count()).getOrElse(0L) - consumedCount
+
+  private def compactThreshold: Long =
+    if (cfg.compactLogThreshold >= 0) cfg.compactLogThreshold
+    else math.max(4L * cfg.batchSize, pendingCount / 4)
 
   // ---- driver-resident seen state (small-state mode) ----
 
@@ -151,13 +174,23 @@ final class CrawlEngine(
   private val driverBlobs = mutable.Map.empty[Int, Array[Byte]]
   private val seenCounts = mutable.Map.empty[Int, Long]
 
-  if (driverSeenMode) store.read("seen_shards").foreach { df =>
-    df.select("shard", "bloom", "count").collect().foreach { r =>
-      val s = r.getInt(0)
-      val b = r.getAs[Array[Byte]](1)
-      driverSeen(s) = Bloom.deserialize(b)
-      driverBlobs(s) = b
-      seenCounts(s) = r.getLong(2)
+  if (driverSeenMode) {
+    store.read("seen_shards").foreach { df =>
+      df.select("shard", "bloom", "count").collect().foreach { r =>
+        val s = r.getInt(0)
+        val b = r.getAs[Array[Byte]](1)
+        driverSeen(s) = Bloom.deserialize(b)
+        driverBlobs(s) = b
+        seenCounts(s) = r.getLong(2)
+      }
+    }
+    // replay the un-compacted seen log into the filters (resume after
+    // a crash between compactions) — bounded by the compact threshold
+    if (logCounts.getOrElse(1, 0L) > 0L) store.read("frontier_log").foreach { df =>
+      val pairs = df.filter(col("kind") === 1)
+        .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      absorbHashes(pairs)
     }
   }
 
@@ -192,6 +225,21 @@ final class CrawlEngine(
   private def emptyNodes: DataFrame = spark.emptyDataset[NodeRow].toDF()
   private def emptyEdges: DataFrame = spark.emptyDataset[EdgeRow].toDF()
   private def emptySeen: DataFrame = spark.emptyDataset[SeenShard].toDF()
+  private def emptyLog: DataFrame = spark.emptyDataset[FrontierLogRow].toDF()
+
+  /** the live pending frontier: base segments minus the consumed side
+    * of the log. The log is bounded by the compaction threshold, so
+    * the anti-join side broadcasts (no shuffle of the frontier); past
+    * a safety bound it degrades to a plain anti-join.
+    */
+  private def frontierView(frontierRaw: DataFrame, log: DataFrame): DataFrame =
+    if (consumedCount == 0L) frontierRaw
+    else {
+      val consumed = log.filter(col("kind") === 0).select("canon")
+      val side =
+        if (consumedCount <= 5000000L) broadcast(consumed) else consumed
+      frontierRaw.join(side, Seq("canon"), "left_anti")
+    }
 
   private def applyRobots(df: DataFrame): DataFrame = robots match {
     case Some(rules) => graft.sites.Robots.filterAllowed(df, rules)
@@ -251,7 +299,9 @@ final class CrawlEngine(
     */
   def enqueue(urls: Seq[String]): Unit = {
     if (!store.exists("frontier")) { seed(urls); return }
-    val frontier = store.readOr("frontier", emptyFrontier)
+    val frontier = frontierView(
+      store.readOr("frontier", emptyFrontier),
+      store.readOr("frontier_log", emptyLog))
     val nodes = store.readOr("nodes", emptyNodes)
     val batchId = store.batchId + 1
     val seedDf = applyRobots(
@@ -273,31 +323,21 @@ final class CrawlEngine(
       .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     if (pairs.isEmpty) { fresh.unpersist(); return }
-    val shards = pairs.map(_._1).distinct.toSeq
     val newNodes = withCollisionGuard(
       fresh.select(profile.cleanName(col("url")).as("name")).distinct()
         .join(nodes.select("name"), Seq("name"), "left_anti"))
-    val pendingTouched = store.readShards("frontier", shards, emptyFrontier)
-      .unionByName(fresh)
-      .withColumn("__shard", shardCol(col("canon")))
 
+    // LSM append path, same shape as step(): the fresh rows and their
+    // kind-1 log entries; seen durability via the log
     val staged = store.stage(batchId)
     staged.append("nodes", newNodes)
-    staged.replaceShards("frontier", pendingTouched, shards)
-    if (driverSeenMode) {
-      absorbHashes(pairs)
-      staged.replaceShards("seen_shards", seenRowsFromDriver(shards), shards)
-    } else {
-      val delta = Bloom.buildShards(fresh.select("canon"), cfg.numShards,
-        cfg.bloomItemsPerShard, cfg.bloomFpp)
-      val merged = Bloom.mergeShards(
-        store.readShards("seen_shards", shards, emptySeen), delta,
-        cfg.bloomItemsPerShard, cfg.bloomFpp)
-        .withColumn("__shard", col("shard"))
-      staged.replaceShards("seen_shards", merged, shards)
-    }
+    staged.append("frontier", fresh)
+    staged.append("frontier_log",
+      fresh.select(col("canon"), lit(1).as("kind")))
+    if (driverSeenMode) absorbHashes(pairs)
     staged.publish()
     pendingCount += pairs.length.toLong
+    logRowCount += pairs.length.toLong
     fresh.unpersist()
   }
 
@@ -343,10 +383,42 @@ final class CrawlEngine(
     (out, total, Some(sorted))
   }
 
+  /** Compact-only commit (no selection): fold the residual log into
+    * the sharded bases and truncate it. Runs when the crawl drains.
+    */
+  private def compactResidual(batchId: Long, frontierViewDf: DataFrame,
+      log: DataFrame): Unit = {
+    val staged = store.stage(batchId)
+    staged.replaceShards("frontier",
+      frontierViewDf.withColumn("__shard", shardCol(col("canon"))),
+      0 until cfg.numShards, dropUnsharded = true)
+    staged.replace("frontier_log", emptyLog)
+    if (driverSeenMode) {
+      staged.replaceShards("seen_shards",
+        seenRowsFromDriver(driverBlobs.keys.toSeq), 0 until cfg.numShards,
+        dropUnsharded = true)
+    } else {
+      val delta = Bloom.buildShards(
+        log.filter(col("kind") === 1).select("canon"),
+        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+      val merged = Bloom.mergeShards(
+        store.readOr("seen_shards", emptySeen), delta,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+        .withColumn("__shard", col("shard"))
+      staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
+        dropUnsharded = true)
+    }
+    staged.publish()
+    consumedCount = 0L
+    logRowCount = 0L
+  }
+
   /** Run one micro-batch. Returns None when the frontier is empty. */
   def step(): Option[BatchResult] = {
     val batchId = store.batchId + 1
-    val frontier = store.readOr("frontier", emptyFrontier)
+    val frontierRaw = store.readOr("frontier", emptyFrontier)
+    val log = store.readOr("frontier_log", emptyLog)
+    val frontier = frontierView(frontierRaw, log)
     val nodes = store.readOr("nodes", emptyNodes)
     val edges = store.readOr("edges", emptyEdges)
 
@@ -355,7 +427,13 @@ final class CrawlEngine(
     val selected = eligible.orderBy(ordering: _*).limit(cfg.batchSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val selCount = selected.count() // non-write job 1 (the batch gate)
-    if (selCount == 0) { selected.unpersist(); return None }
+    if (selCount == 0) {
+      selected.unpersist()
+      // drained: fold any residual log so the stored base tables equal
+      // the (empty) live set — consumers and resumes see clean state
+      if (logRowCount > 0L) compactResidual(batchId, frontier, log)
+      return None
+    }
 
     // --- fetch: frontier ⋈ pages (S1); misses → fetch_errors (F6,
     //     written below with its count observation attached) ---
@@ -448,7 +526,16 @@ final class CrawlEngine(
         allowedDiscoveries.join(probed, Seq("canon"), "left")
           .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
     }
-    val definitelyNew = guarded.filter(!col("maybe_seen")).drop("maybe_seen")
+    val definitelyNew0 = guarded.filter(!col("maybe_seen")).drop("maybe_seen")
+    // shuffle mode probes only the COMPACTED base filters; canons that
+    // entered the seen set since the last compaction live in the log
+    // (kind 1) and are excluded by an exact, bounded anti-join. Driver
+    // mode needs no such step — its in-memory filters already hold
+    // every absorbed hash.
+    val definitelyNew =
+      if (driverSeenMode || logRowCount == 0L) definitelyNew0
+      else definitelyNew0.join(
+        log.filter(col("kind") === 1).select("canon"), Seq("canon"), "left_anti")
     val confirmedNew = guarded.filter(col("maybe_seen")).drop("maybe_seen")
       .join(frontier.select("canon"), Seq("canon"), "left_anti")
     val newDiscoveries = definitelyNew.unionByName(confirmedNew)
@@ -461,20 +548,16 @@ final class CrawlEngine(
       .withColumn("batch_id", lit(batchId))
       .select(frontierCols: _*)
 
-    // non-write job 3: touched shards (selected ∪ new) and the new
-    // canon hashes in one collect — the hashes feed the driver-side
-    // filter fold; cached inputs only
-    val touchedRows = selected
-      .select(shardCol(col("canon")).as("s"), lit(null).cast("long").as("h"))
-      .distinct()
-      .union(newFrontier
-        .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
-        .distinct())
-      .collect()
-    val touchedShards = touchedRows.map(_.getInt(0)).distinct.toSeq
-    val newHashes = touchedRows.filter(!_.isNullAt(1))
-      .map(r => (r.getInt(0), r.getLong(1)))
-    val deltaShards = newHashes.map(_._1).distinct.toSeq
+    // non-write job 3 (driver seen mode only): the batch's new
+    // (shard, hash) pairs feed the in-memory filter fold; shuffle mode
+    // needs no per-batch collect at all
+    val newHashes: Array[(Int, Long)] =
+      if (driverSeenMode)
+        newFrontier
+          .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+          .distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+      else Array.empty
 
     // --- stage the commit; counters ride the writes as Observations.
     //     NOTE: observe() is attached ON TOP of the persisted Datasets
@@ -499,28 +582,43 @@ final class CrawlEngine(
       .observe(obsErr, count(lit(1)).as("n"))
     staged.append("fetch_errors", errorsObserved)
 
-    // frontier delta: ONLY touched shards are re-materialized (their
-    // pending rows minus selected, plus the new discoveries)
-    val pendingTouched = store.readShards("frontier", touchedShards, emptyFrontier)
-      .join(selected.select("canon"), Seq("canon"), "left_anti")
-      .unionByName(newFrontier)
-      .withColumn("__shard", shardCol(col("canon")))
-    staged.replaceShards("frontier", pendingTouched, touchedShards)
-
-    // seen-shard delta (A5): only shards with new canons
-    if (driverSeenMode) {
-      absorbHashes(newHashes)
-      if (deltaShards.nonEmpty)
+    val doCompact = logRowCount + selCount + newCount >= compactThreshold
+    if (driverSeenMode) absorbHashes(newHashes)
+    if (!doCompact) {
+      // LSM append path — O(batch) bytes: new frontier rows + the
+      // (canon, kind) log delta. Base shards and base blobs untouched;
+      // driver-mode seen durability comes from the log itself.
+      staged.append("frontier", newFrontier)
+      staged.append("frontier_log",
+        selected.select(col("canon"), lit(0).as("kind"))
+          .unionByName(newFrontier.select(col("canon"), lit(1).as("kind"))))
+    } else {
+      // compaction batch: fold the whole log + this batch into the
+      // sharded bases and truncate the log. Amortized O(frontier /
+      // (threshold/batch)) per batch.
+      val pendingAll = frontier
+        .join(selected.select("canon"), Seq("canon"), "left_anti")
+        .unionByName(newFrontier)
+        .withColumn("__shard", shardCol(col("canon")))
+      staged.replaceShards("frontier", pendingAll, 0 until cfg.numShards,
+        dropUnsharded = true)
+      staged.replace("frontier_log", emptyLog)
+      if (driverSeenMode) {
         staged.replaceShards("seen_shards",
-          seenRowsFromDriver(deltaShards), deltaShards)
-    } else if (deltaShards.nonEmpty) {
-      val delta = Bloom.buildShards(newFrontier.select("canon"),
-        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-      val merged = Bloom.mergeShards(
-        store.readShards("seen_shards", deltaShards, emptySeen), delta,
-        cfg.bloomItemsPerShard, cfg.bloomFpp)
-        .withColumn("__shard", col("shard"))
-      staged.replaceShards("seen_shards", merged, deltaShards)
+          seenRowsFromDriver(driverBlobs.keys.toSeq), 0 until cfg.numShards,
+          dropUnsharded = true)
+      } else {
+        val allNewCanons = log.filter(col("kind") === 1).select("canon")
+          .unionByName(newFrontier.select("canon"))
+        val delta = Bloom.buildShards(allNewCanons,
+          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+        val merged = Bloom.mergeShards(
+          store.readOr("seen_shards", emptySeen), delta,
+          cfg.bloomItemsPerShard, cfg.bloomFpp)
+          .withColumn("__shard", col("shard"))
+        staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
+          dropUnsharded = true)
+      }
     }
 
     // --- metrics (A1-A3) with per-partition lineage (north_rule);
@@ -544,6 +642,8 @@ final class CrawlEngine(
     staged.publish()
 
     pendingCount = pendingCount - selCount + newCount
+    if (doCompact) { consumedCount = 0L; logRowCount = 0L }
+    else { consumedCount += selCount; logRowCount += selCount + newCount }
     totalNodesAdded += nodesAddedCount
 
     Seq(selected, extracted, named, newNodes, nodesAll).foreach(_.unpersist())

@@ -48,6 +48,13 @@ final case class FetchErrorRow(url: String, batch_id: Long, reason: String)
   */
 final case class SeenShard(shard: Int, bloom: Array[Byte], count: Long)
 
+/** One LSM-log row for the frontier/seen state: kind 0 = canon was
+  * consumed (selected) from the frontier; kind 1 = canon entered the
+  * frontier (and the seen set). Compaction folds the log into the
+  * sharded base tables and truncates it.
+  */
+final case class FrontierLogRow(canon: String, kind: Int)
+
 /** Engine configuration (reference env surface, main.go:20-48). */
 final case class CrawlConfig(
     site: String,
@@ -65,4 +72,9 @@ final case class CrawlConfig(
     // total-filter-state ceiling for the driver-resident seen mode;
     // above it the engine switches to the shard-shuffle probe +
     // distributed delta merge
-    seenDriverStateLimit: Long = 256L << 20)
+    seenDriverStateLimit: Long = 256L << 20,
+    // LSM compaction trigger: fold the frontier/seen log into the
+    // sharded base tables once the log holds this many rows.
+    // -1 = auto (max(4 × batchSize, pending/4)); a large value keeps
+    // batches append-only (tests use this to pin the append path)
+    compactLogThreshold: Long = -1L)

@@ -117,13 +117,21 @@ final class Store(val root: String, spark: SparkSession) {
       * `__shard`; a listed shard with no rows is replaced with
       * emptiness (its old segment is dropped). Untouched shards'
       * segments are not rewritten — or even read.
+      *
+      * @param dropUnsharded also retire the table's PLAIN (append)
+      *   segments — a compaction that consolidated them into the new
+      *   shard segments must drop them or their rows would double
       */
-    def replaceShards(table: String, df: DataFrame, shards: Seq[Int]): Unit = {
+    def replaceShards(table: String, df: DataFrame, shards: Seq[Int],
+        dropUnsharded: Boolean = false): Unit = {
       val rel = s"$table/r$newBatchId"
       df.write.mode("overwrite").partitionBy("__shard").parquet(s"$root/$rel")
       val replaced = shards.toSet
       val kept = next.getOrElse(table, Vector.empty).filterNot { d =>
-        Store.shardOfDir(d).exists(replaced.contains)
+        Store.shardOfDir(d) match {
+          case Some(s) => replaced.contains(s)
+          case None => dropUnsharded
+        }
       }
       // reference only subdirs that materialized (empty shard ⇒ none)
       val written = shards.sorted.flatMap { s =>

@@ -283,10 +283,11 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
   test("incremental frontier: untouched shards' segments survive a batch unchanged") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val root = Files.createTempDirectory("graft-shards").toString
-    // many shards + small batches ⇒ most shards untouched per batch
+    // high compaction threshold pins the LSM append path: base shard
+    // segments must never be touched by an append batch
     val eng = newEngine(root,
       CrawlConfig(site = "wikipedia", batchSize = 2, numShards = 64,
-        bloomItemsPerShard = 4096L))
+        bloomItemsPerShard = 4096L, compactLogThreshold = 1L << 30))
     eng.seed(Seq(seedUrl))
     eng.step()
     def segBytes(dirs: Seq[String]): Map[String, Seq[(String, Long)]] =
@@ -304,19 +305,54 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     val after = eng.store.segmentDirs("frontier").toSet
     val afterSeen = eng.store.segmentDirs("seen_shards").toSet
     val surviving = before.filter(after.contains)
-    // the batch touched SOME shards (frontier changed) but not most
-    assert(surviving.nonEmpty, s"every frontier shard was rewritten: $before")
-    assert(surviving.size < before.size || after.size > before.size)
+    // append batch: EVERY base segment survives; the delta arrives as
+    // new append segments
+    assert(surviving === before, s"an append batch rewrote base segments")
+    assert(after.size > before.size, "no delta segment appended")
     val survivingSeen = beforeSeen.filter(afterSeen.contains)
-    assert(survivingSeen.nonEmpty, "every seen shard was rewritten")
+    assert(survivingSeen === beforeSeen, "an append batch rewrote seen blobs")
     // surviving segments are the SAME files, byte for byte
     assert(segBytes(surviving) === bytesBefore.view.filterKeys(surviving.contains).toMap)
+  }
+
+  test("LSM compaction folds the log into base shards and stays oracle-correct") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-compact").toString
+    // threshold 0 ⇒ EVERY batch compacts (worst case for correctness)
+    val eng = newEngine(root,
+      CrawlConfig(site = "wikipedia", batchSize = 6, compactLogThreshold = 0L))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+    // the log is truncated by compaction
+    assert(eng.store.read("frontier_log").map(_.count()).getOrElse(0L) === 0L)
+    // and a crash between append batches resumes exactly: run a second
+    // crawl with a huge threshold (pure appends), kill it mid-log,
+    // resume with a fresh engine (log replay path), finish, compare
+    val root2 = Files.createTempDirectory("graft-compact2").toString
+    val cfg2 = CrawlConfig(site = "wikipedia", batchSize = 6,
+      compactLogThreshold = 1L << 30)
+    val engA = newEngine(root2, cfg2)
+    engA.seed(Seq(seedUrl))
+    engA.step(); engA.step() // crash with a non-empty log
+    val engB = newEngine(root2, cfg2) // rebuilds filters from base+log
+    engB.run()
+    val gotNodes2 = engB.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes2 === oracleNodes)
+    assert(nameEdges(engB.store) === oracleEdges)
   }
 
   test("steady-state batch runs a bounded number of Spark jobs") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val root = Files.createTempDirectory("graft-jobs").toString
-    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 5))
+    // append path (no compaction) is the steady-state batch shape
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 5,
+      compactLogThreshold = 1L << 30))
     eng.seed(Seq(seedUrl))
     eng.step() // warm (first batch pays one-off setup)
     // count ACTIONS (SQL executions), not raw jobs — AQE splits one
