@@ -241,7 +241,9 @@ object Bench {
     val engineBatches = {
       val s = session(32)
       try {
-        val pages = s.read.parquet(corpusDir)
+        // the BUCKETED corpus table: the fetch join shuffles only the
+        // (small) selected side; the html column never moves
+        val pages = s.table(registerCorpus(s, corpusDir))
         val cfg = graft.model.CrawlConfig(site = "web", batchSize = 20000,
           numShards = 64, bloomItemsPerShard = 1L << 17, salt = 16)
         val store = new graft.state.Store(

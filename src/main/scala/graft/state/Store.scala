@@ -68,20 +68,6 @@ final class Store(val root: String, spark: SparkSession) {
   def readOr(table: String, empty: => DataFrame): DataFrame =
     read(table).getOrElse(empty)
 
-  /** Read ONLY the given shards of a hash-sharded table. Legacy
-    * (unsharded) segments carry no shard marker and are conservatively
-    * included in every call.
-    */
-  def readShards(table: String, shards: Seq[Int],
-      empty: => DataFrame): DataFrame = {
-    val want = shards.toSet
-    val dirs = tables.getOrElse(table, Vector.empty).filter { d =>
-      Store.shardOfDir(d).forall(want.contains)
-    }
-    if (dirs.isEmpty) empty
-    else spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
-  }
-
   /** live segment dirs (relative), for tests asserting untouched-shard
     * stability across commits
     */
