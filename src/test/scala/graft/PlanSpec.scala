@@ -89,6 +89,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("cosine near-dup candidate generation shuffles ids, not embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.cosineNearDups(emb, 0.3,
+      nBits = 4, tables = 4))
+    // the bucket grouping exchange carries (table_id, bucket, vec_id)
+    // partial lists — embeddings join back only for surviving pairs
+    val exchanges = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    val bucketExchanges = exchanges.filter(e =>
+      e.contains("bucket") || e.contains("table_id"))
+    assert(bucketExchanges.nonEmpty, s"no bucket exchange found: $exchanges")
+    assert(!bucketExchanges.exists(_.contains("embedding")),
+      s"bucket exchange ships embeddings: $bucketExchanges")
+  }
+
   test("politeness cap windows partition by (host, salt) then host") {
     val pages = SyntheticWeb.pages(spark,
       SyntheticWeb.Spec("web", numPages = 50L)).toDF()
