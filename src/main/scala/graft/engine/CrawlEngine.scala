@@ -409,6 +409,7 @@ final class CrawlEngine(
         dropUnsharded = true)
     }
     staged.publish()
+    store.sweepOrphans() // superseded segments are garbage once swapped
     consumedCount = 0L
     logRowCount = 0L
   }
@@ -640,6 +641,7 @@ final class CrawlEngine(
     staged.append("metrics", batchMetrics.unionByName(partMetrics))
 
     staged.publish()
+    if (doCompact) store.sweepOrphans() // drop superseded segment dirs
 
     pendingCount = pendingCount - selCount + newCount
     if (doCompact) { consumedCount = 0L; logRowCount = 0L }

@@ -330,6 +330,18 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(nameEdges(eng.store) === oracleEdges)
     // the log is truncated by compaction
     assert(eng.store.read("frontier_log").map(_.count()).getOrElse(0L) === 0L)
+    // superseded segments were swept: nothing on disk that the
+    // manifest doesn't reference (modulo live shard-parent dirs)
+    val live = eng.store.segmentDirs("frontier").toSet
+    val liveParents = live.map { d =>
+      val i = d.indexOf("/__shard=")
+      if (i >= 0) d.substring(0, i) else d
+    }
+    val onDisk = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "frontier")).iterator().asScala
+      .map(p => s"frontier/${p.getFileName}").toSet
+    assert(onDisk.subsetOf(live ++ liveParents),
+      s"orphan segments on disk: ${onDisk -- live -- liveParents}")
     // and a crash between append batches resumes exactly: run a second
     // crawl with a huge threshold (pure appends), kill it mid-log,
     // resume with a fresh engine (log replay path), finish, compare
