@@ -55,16 +55,19 @@ final case class BatchResult(
   *     max(seq) scan and replay can never reissue a seq.
   *   - Batch counters ride the commit's own write jobs as
   *     `Observation`s instead of separate count() actions; per batch
-  *     the driver runs exactly 3 non-write jobs (schedule gate,
-  *     sequence-count collect, touched-shard collect).
+  *     the driver runs ≤3 non-write jobs (schedule gate,
+  *     sequence-count collect, and — in driver-seen mode — one hash
+  *     collect), pinned by an EngineSpec listener test.
   *   - When the whole filter state fits under
   *     `cfg.seenDriverStateLimit`, the driver keeps the deserialized
   *     shard filters, folds each batch's new 8-byte hashes in
-  *     (bit-identical to the distributed mergeInPlace), probes via a
-  *     broadcast Column (zero probe jobs/shuffles) and writes touched
-  *     blobs straight from memory. Past the limit it switches to the
-  *     shard-shuffle probe + distributed delta merge that never holds
-  *     more than one shard's state per task.
+  *     (bit-identical to the distributed mergeInPlace) and probes via
+  *     a broadcast Column — zero probe jobs/shuffles; durability
+  *     comes from the log (replayed into the filters on resume), the
+  *     blobs hit disk only at compaction. Past the limit it switches
+  *     to the shard-shuffle probe (plus an exact anti-join against
+  *     the un-compacted log) that never holds more than one shard's
+  *     state per task.
   */
 final class CrawlEngine(
     spark: SparkSession,
@@ -275,27 +278,36 @@ final class CrawlEngine(
 
     val staged = store.stage(0L)
     staged.append("nodes", nodes0)
-    staged.replaceShards("frontier", frontier0, shards)
+    // seeding defines the state afresh: replace ALL shards, drop any
+    // stale append segments and truncate the log
+    staged.replaceShards("frontier", frontier0, 0 until cfg.numShards,
+      dropUnsharded = true)
+    staged.replace("frontier_log", emptyLog)
     if (driverSeenMode) {
+      driverSeen.clear(); driverBlobs.clear(); seenCounts.clear()
       absorbHashes(pairs)
-      staged.replaceShards("seen_shards", seenRowsFromDriver(shards), shards)
+      staged.replaceShards("seen_shards", seenRowsFromDriver(shards),
+        0 until cfg.numShards, dropUnsharded = true)
     } else {
       val seen0 = Bloom.buildShards(
         seedDf.select(col("canon")), cfg.numShards,
         cfg.bloomItemsPerShard, cfg.bloomFpp)
         .withColumn("__shard", col("shard"))
-      staged.replaceShards("seen_shards", seen0, shards)
+      staged.replaceShards("seen_shards", seen0, 0 until cfg.numShards,
+        dropUnsharded = true)
     }
     staged.publish()
     pendingCount = pairs.length.toLong
+    consumedCount = 0L
+    logRowCount = 0L
     seedDf.unpersist()
   }
 
   /** Enqueue additional seed URLs into a live crawl (the streaming
     * ingestion path): rows the frontier or the node dictionary has
-    * already seen are dropped, the rest join the frontier at depth 0.
-    * Incremental like step(): only the shards gaining rows are
-    * rewritten.
+    * already seen are dropped, the rest join the frontier at depth 0
+    * via the LSM append path — O(fresh) bytes written, no base
+    * segment touched.
     */
   def enqueue(urls: Seq[String]): Unit = {
     if (!store.exists("frontier")) { seed(urls); return }
