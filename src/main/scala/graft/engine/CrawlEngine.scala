@@ -13,6 +13,23 @@ import graft.model._
 import graft.sites.{SiteProfile, Sites}
 import graft.state.{Bloom, Store}
 
+object CrawlEngine {
+
+  /** Reference db error contract (db/db.go reverse lookup, pinned by
+    * db/db_test.go:339-368): a name that fails to resolve to an id is
+    * a loud error, never a silent row drop. Our ids are derived
+    * (xxhash64(name), S6) so the dictionary join can only miss if the
+    * per-batch delta was mis-built — this guard turns that
+    * impossible-by-construction case into the reference's error
+    * inside the plan, before anything commits. The remote-db 500-path
+    * has no analogue here: there is no network id service to fail.
+    */
+  def resolvedIdOrError(id: Column, name: Column): Column =
+    when(id.isNull, raise_error(concat(
+      lit("Could not find node on reverse lookup: "), name)))
+      .otherwise(id)
+}
+
 /** One micro-batch's outcome (driver-visible counters only). */
 final case class BatchResult(
     batchId: Long,
@@ -139,18 +156,30 @@ final class CrawlEngine(
 
   def nodesTotal: Long = totalNodesAdded
 
-  /** log rows by kind, read once on resume (0 = consumed, 1 = seen-new) */
-  private val logCounts: Map[Int, Long] =
+  /** log rows by kind, read once on resume (0 = consumed, 1 = seen-new);
+    * value = (rows, canon bytes) — the bytes feed the broadcast gate
+    */
+  private val logCounts: Map[Int, (Long, Long)] =
     store.read("frontier_log").map(
-      _.groupBy(col("kind")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      _.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(octet_length(col("canon"))), lit(0L)).as("b"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     ).getOrElse(Map.empty)
 
   /** rows in the consumed side of the log (anti-joined out of reads) */
-  private var consumedCount: Long = logCounts.getOrElse(0, 0L)
+  private var consumedCount: Long = logCounts.get(0).map(_._1).getOrElse(0L)
+
+  /** estimated payload bytes of the consumed side — gates the
+    * anti-join broadcast hint by SIZE, not row count (5M long canon
+    * strings are hundreds of MB; forcing those through `broadcast()`
+    * bypasses Spark's own auto threshold)
+    */
+  private var consumedBytes: Long = logCounts.get(0).map(_._2).getOrElse(0L)
 
   /** total log rows — drives the compaction trigger */
-  private var logRowCount: Long = logCounts.values.sum
+  private var logRowCount: Long = logCounts.values.map(_._1).sum
 
   /** pending frontier rows — maintained by arithmetic per batch
     * (prev − selected + discovered); read from the store exactly once.
@@ -177,6 +206,16 @@ final class CrawlEngine(
   private val driverBlobs = mutable.Map.empty[Int, Array[Byte]]
   private val seenCounts = mutable.Map.empty[Int, Long]
 
+  /** shards whose live filter has mutated since its blob was last
+    * serialized — blobs are (re)materialized lazily, only at the two
+    * points that actually need bytes (probe broadcast, compaction),
+    * not on every absorb (which would cost O(total filter state)
+    * serialization CPU per batch once batchSize ≫ numShards).
+    * NOTE: declared BEFORE the resume block below — absorbHashes runs
+    * during log replay.
+    */
+  private val dirtyShards = mutable.Set.empty[Int]
+
   if (driverSeenMode) {
     store.read("seen_shards").foreach { df =>
       df.select("shard", "bloom", "count").collect().foreach { r =>
@@ -189,7 +228,7 @@ final class CrawlEngine(
     }
     // replay the un-compacted seen log into the filters (resume after
     // a crash between compactions) — bounded by the compact threshold
-    if (logCounts.getOrElse(1, 0L) > 0L) store.read("frontier_log").foreach { df =>
+    if (logCounts.get(1).exists(_._1 > 0L)) store.read("frontier_log").foreach { df =>
       val pairs = df.filter(col("kind") === 1)
         .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
@@ -200,27 +239,33 @@ final class CrawlEngine(
   /** fold a batch's new (shard, xxhash64(canon)) pairs into the
     * driver-resident filters — same put sequence the distributed
     * MergeAgg would apply, so blobs stay bit-identical to a
-    * distributed merge
+    * distributed merge. Serialization is deferred (see dirtyShards).
     */
-  private def absorbHashes(pairs: Array[(Int, Long)]): Unit = {
-    val touched = mutable.Set.empty[Int]
+  private def absorbHashes(pairs: Array[(Int, Long)]): Unit =
     pairs.foreach { case (s, h) =>
       driverSeen.getOrElseUpdate(s,
         BloomFilter.create(cfg.bloomItemsPerShard, cfg.bloomFpp)).putLong(h)
       seenCounts(s) = seenCounts.getOrElse(s, 0L) + 1L
-      touched += s
+      dirtyShards += s
     }
-    touched.foreach(s => driverBlobs(s) = Bloom.serialize(driverSeen(s)))
+
+  /** serialize the mutated filters; returns the now-consistent blob map */
+  private def freshBlobs(): mutable.Map[Int, Array[Byte]] = {
+    dirtyShards.foreach(s => driverBlobs(s) = Bloom.serialize(driverSeen(s)))
+    dirtyShards.clear()
+    driverBlobs
   }
 
   /** (shard, bloom, count, __shard) rows for the given shards, straight
     * from driver memory — the small-state write path reads no old state
     */
-  private def seenRowsFromDriver(shards: Seq[Int]): DataFrame =
+  private def seenRowsFromDriver(shards: Seq[Int]): DataFrame = {
+    val blobs = freshBlobs()
     shards.sorted
-      .map(s => SeenShard(s, driverBlobs(s), seenCounts.getOrElse(s, 0L)))
+      .map(s => SeenShard(s, blobs(s), seenCounts.getOrElse(s, 0L)))
       .toDF()
       .withColumn("__shard", col("shard"))
+  }
 
   private def emptyFrontier: DataFrame =
     spark.emptyDataset[FrontierRow].toDF()
@@ -239,10 +284,19 @@ final class CrawlEngine(
     if (consumedCount == 0L) frontierRaw
     else {
       val consumed = log.filter(col("kind") === 0).select("canon")
+      // force the broadcast only while the consumed side's ESTIMATED
+      // BYTES stay bounded (tracked via an Observation riding the log
+      // writes) — past that, the plain anti-join is the safe plan
       val side =
-        if (consumedCount <= 5000000L) broadcast(consumed) else consumed
+        if (consumedBytes <= cfg.logBroadcastBytesLimit) broadcast(consumed)
+        else consumed
       frontierRaw.join(side, Seq("canon"), "left_anti")
     }
+
+  /** test hook: the pending-frontier view exactly as step() plans it */
+  private[graft] def pendingFrontierView(): DataFrame =
+    frontierView(store.readOr("frontier", emptyFrontier),
+      store.readOr("frontier_log", emptyLog))
 
   private def applyRobots(df: DataFrame): DataFrame = robots match {
     case Some(rules) => graft.sites.Robots.filterAllowed(df, rules)
@@ -257,6 +311,10 @@ final class CrawlEngine(
     * how it arrived (reference enforces at fetch time).
     */
   def seed(urls: Seq[String]): Unit = {
+    // fresh store: batchId starts at -1 → first batch 0. On a re-seed
+    // the id keeps advancing so staged segment dirs (b{batch}-{n})
+    // never collide with live segments of the previous crawl.
+    val batchId = store.batchId + 1
     val seedDf = applyRobots(
       urls.zipWithIndex.toDF("url", "i")
         .withColumn("canon", canon.canonical_url(col("url")))
@@ -264,7 +322,7 @@ final class CrawlEngine(
         .withColumn("depth", lit(0))
         .withColumn("seq", col("i").cast("long"))
         .withColumn("priority", lit(0L))
-        .withColumn("batch_id", lit(0L))
+        .withColumn("batch_id", lit(batchId))
         .drop("i"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = seedDf
@@ -273,10 +331,16 @@ final class CrawlEngine(
     val shards = pairs.map(_._1).distinct.toSeq
     val frontier0 = seedDf.select(frontierCols: _*)
       .withColumn("__shard", shardCol(col("canon")))
+    // re-seeding a previously-used store must not duplicate a seed's
+    // (name, id) row — a duplicate fans out through the name joins
+    // into duplicated edges. nodes is append-only, so anti-join the
+    // existing dictionary (no-op on a virgin store).
     val nodes0 = withCollisionGuard(
-      seedDf.select(profile.cleanName(col("url")).as("name")).distinct())
+      seedDf.select(profile.cleanName(col("url")).as("name")).distinct()
+        .join(store.readOr("nodes", emptyNodes).select("name"),
+          Seq("name"), "left_anti"))
 
-    val staged = store.stage(0L)
+    val staged = store.stage(batchId)
     staged.append("nodes", nodes0)
     // seeding defines the state afresh: replace ALL shards, drop any
     // stale append segments and truncate the log
@@ -285,6 +349,7 @@ final class CrawlEngine(
     staged.replace("frontier_log", emptyLog)
     if (driverSeenMode) {
       driverSeen.clear(); driverBlobs.clear(); seenCounts.clear()
+      dirtyShards.clear()
       absorbHashes(pairs)
       staged.replaceShards("seen_shards", seenRowsFromDriver(shards),
         0 until cfg.numShards, dropUnsharded = true)
@@ -300,6 +365,7 @@ final class CrawlEngine(
     pendingCount = pairs.length.toLong
     consumedCount = 0L
     logRowCount = 0L
+    consumedBytes = 0L
     seedDf.unpersist()
   }
 
@@ -331,10 +397,19 @@ final class CrawlEngine(
         profile.cleanName(col("url")) === col("name"), "left_anti")
       .select(frontierCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = fresh
-      .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    if (pairs.isEmpty) { fresh.unpersist(); return }
+    // only driver-seen mode needs the actual (shard, hash) pairs on the
+    // driver (to fold into the resident filters); shuffle mode needs
+    // just the COUNT — collecting up to millions of boxed tuples per
+    // streaming micro-batch for `length` alone is pure driver pressure
+    val pairs: Array[(Int, Long)] =
+      if (driverSeenMode)
+        fresh
+          .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+      else Array.empty
+    val freshCount: Long =
+      if (driverSeenMode) pairs.length.toLong else fresh.count()
+    if (freshCount == 0L) { fresh.unpersist(); return }
     val newNodes = withCollisionGuard(
       fresh.select(profile.cleanName(col("url")).as("name")).distinct()
         .join(nodes.select("name"), Seq("name"), "left_anti"))
@@ -348,8 +423,8 @@ final class CrawlEngine(
       fresh.select(col("canon"), lit(1).as("kind")))
     if (driverSeenMode) absorbHashes(pairs)
     staged.publish()
-    pendingCount += pairs.length.toLong
-    logRowCount += pairs.length.toLong
+    pendingCount += freshCount
+    logRowCount += freshCount
     fresh.unpersist()
   }
 
@@ -407,7 +482,7 @@ final class CrawlEngine(
     staged.replace("frontier_log", emptyLog)
     if (driverSeenMode) {
       staged.replaceShards("seen_shards",
-        seenRowsFromDriver(driverBlobs.keys.toSeq), 0 until cfg.numShards,
+        seenRowsFromDriver(driverSeen.keys.toSeq), 0 until cfg.numShards,
         dropUnsharded = true)
     } else {
       val delta = Bloom.buildShards(
@@ -424,6 +499,7 @@ final class CrawlEngine(
     store.sweepOrphans() // superseded segments are garbage once swapped
     consumedCount = 0L
     logRowCount = 0L
+    consumedBytes = 0L
   }
 
   /** Run one micro-batch. Returns None when the frontier is empty. */
@@ -488,15 +564,22 @@ final class CrawlEngine(
       batchNames.join(nodes.select("name"), Seq("name"), "left_anti"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- edges (J3/S5): candidates → anti-join → append-only dedup ---
+    // --- edges (J3/S5): candidates → anti-join → append-only dedup.
+    //     LEFT joins + the reverse-lookup guard: a named link whose id
+    //     is missing from the dictionary is the reference's loud
+    //     "Could not find node on reverse lookup" error (db/db_test.go:
+    //     339-368), never a silently dropped edge. ---
     val nodesAll = nodes.select("name", "id").union(newNodes).persist(
       StorageLevel.MEMORY_AND_DISK)
     val candidates = named
       .join(nodesAll.withColumnRenamed("name", "src_name")
-        .withColumnRenamed("id", "src"), Seq("src_name"))
+        .withColumnRenamed("id", "src"), Seq("src_name"), "left")
       .join(nodesAll.withColumnRenamed("name", "dst_name")
-        .withColumnRenamed("id", "dst"), Seq("dst_name"))
-      .select(col("src"), col("dst")).distinct()
+        .withColumnRenamed("id", "dst"), Seq("dst_name"), "left")
+      .select(
+        CrawlEngine.resolvedIdOrError(col("src"), col("src_name")).as("src"),
+        CrawlEngine.resolvedIdOrError(col("dst"), col("dst_name")).as("dst"))
+      .distinct()
     val newEdges = candidates.join(edges, Seq("src", "dst"), "left_anti")
 
     // --- recursion set (S2): first discovery of each *newly created*
@@ -527,7 +610,7 @@ final class CrawlEngine(
     // zero jobs, zero shuffles; large-state mode shard-shuffles the
     // candidates so no task ever holds more than one shard's filter.
     val probeBc: Option[Broadcast[Map[Int, Array[Byte]]]] =
-      if (driverSeenMode) Some(spark.sparkContext.broadcast(driverBlobs.toMap))
+      if (driverSeenMode) Some(spark.sparkContext.broadcast(freshBlobs().toMap))
       else None
     val guarded = probeBc match {
       case Some(bc) =>
@@ -588,7 +671,8 @@ final class CrawlEngine(
     // (observe sits between the cache scan and the anti join, so it
     // sees every selected row): maxDepth = deepest row scheduled
     val errorsObserved = selected
-      .observe(obsDepth, coalesce(max(col("depth")), lit(0)).as("maxd"))
+      .observe(obsDepth, coalesce(max(col("depth")), lit(0)).as("maxd"),
+        coalesce(sum(octet_length(col("canon"))), lit(0L)).as("cbytes"))
       .join(pages.select(col("url")), Seq("url"), "left_anti")
       .select(col("url"), lit(batchId).as("batch_id"),
         lit("page not in corpus").as("reason"))
@@ -618,7 +702,7 @@ final class CrawlEngine(
       staged.replace("frontier_log", emptyLog)
       if (driverSeenMode) {
         staged.replaceShards("seen_shards",
-          seenRowsFromDriver(driverBlobs.keys.toSeq), 0 until cfg.numShards,
+          seenRowsFromDriver(driverSeen.keys.toSeq), 0 until cfg.numShards,
           dropUnsharded = true)
       } else {
         val allNewCanons = log.filter(col("kind") === 1).select("canon")
@@ -640,6 +724,7 @@ final class CrawlEngine(
     val edgesAddedCount = obsEdges.get("n").asInstanceOf[Long]
     val errorCount = obsErr.get("n").asInstanceOf[Long]
     val maxDepthBatch = obsDepth.get("maxd").asInstanceOf[Int]
+    val batchConsumedBytes = obsDepth.get("cbytes").asInstanceOf[Long]
     val partMetrics = newFrontier
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("nodes_added"), max("depth").as("max_depth"))
@@ -656,8 +741,11 @@ final class CrawlEngine(
     if (doCompact) store.sweepOrphans() // drop superseded segment dirs
 
     pendingCount = pendingCount - selCount + newCount
-    if (doCompact) { consumedCount = 0L; logRowCount = 0L }
-    else { consumedCount += selCount; logRowCount += selCount + newCount }
+    if (doCompact) { consumedCount = 0L; logRowCount = 0L; consumedBytes = 0L }
+    else {
+      consumedCount += selCount; logRowCount += selCount + newCount
+      consumedBytes += batchConsumedBytes
+    }
     totalNodesAdded += nodesAddedCount
 
     Seq(selected, extracted, named, newNodes, nodesAll).foreach(_.unpersist())

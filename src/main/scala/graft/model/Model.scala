@@ -77,4 +77,15 @@ final case class CrawlConfig(
     // sharded base tables once the log holds this many rows.
     // -1 = auto (max(4 × batchSize, pending/4)); a large value keeps
     // batches append-only (tests use this to pin the append path)
-    compactLogThreshold: Long = -1L)
+    compactLogThreshold: Long = -1L,
+    // ceiling on the ESTIMATED BYTE size of the consumed-log side of
+    // the frontier anti-join before the engine stops forcing a
+    // broadcast and lets the plain (shuffle) anti-join run — a row
+    // count alone lets millions of long canon URLs through the hint
+    logBroadcastBytesLimit: Long = 64L << 20,
+    // round-robin compaction width: a compaction batch folds at most
+    // this many shards of each sharded base table, cycling through
+    // the shard space across successive compactions (bounds the LSM
+    // write-stall instead of rewriting the whole base in one batch).
+    // -1 = fold everything in one batch
+    compactShardsPerBatch: Int = -1)

@@ -56,8 +56,13 @@ object Dedup {
     * (tokenize→shingle→hash), and CollapseProject inlines it into
     * every lambda that references it — the nested form re-evaluated
     * the whole shingle build k times per row (measured 16× slowdown
-    * at k=16). The fold evaluates it exactly once and produces
-    * bit-identical signatures.
+    * at k=16). The fold produces signatures bit-identical to the
+    * nested form for every NON-EMPTY shingle array; a doc with fewer
+    * than n tokens (empty array) yields [Long.MaxValue × k] where the
+    * nested array_min form yielded [null × k] — LSH band grouping is
+    * unaffected (the sentinel is as constant as the null), and the
+    * sentinel is the safer value to hash downstream. OpsSpec pins the
+    * non-empty equivalence and this short-doc divergence.
     */
   def minhashSignature(shingleHs: Column, k: Int): Column =
     aggregate(shingleHs, array_repeat(lit(Long.MaxValue), k),
@@ -265,23 +270,89 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprints joined on 16-bit
     * chunks (any doc pair within Hamming distance 3 shares at least
     * one of 4 chunks — pigeonhole), verified by exact Hamming ≤ maxDist.
+    *
+    * Scale shape (same two guards as lshCandidates — without them the
+    * chunk self-join is the one near-dup op that detonates at corpus
+    * scale, ~n²/2¹⁶ candidate pairs):
+    *
+    *   1. identical fingerprints are PRE-COLLAPSED: each fp group
+    *      contributes one representative (min doc_id) to the chunk
+    *      join, and its members surface as (rep, member, dist 0) STAR
+    *      pairs — O(group) rows whose connected components equal the
+    *      old clique's (an exact-dup-heavy corpus concentrates into
+    *      single fps; the clique was B² rows for zero extra
+    *      information).
+    *   2. a (chunk_pos, chunk) bucket larger than `maxBucket` DISTINCT
+    *      fingerprints is dropped from the candidate join; run
+    *      [[simhashBucketStats]] to see what a cap dropped before
+    *      trusting a capped sweep.
     */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    simhashNearDupsFromFps(
+      docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp")),
+      maxDist, maxBucket)
+
+  /** [[simhashNearDups]] over precomputed (doc_id, fp) rows. */
+  def simhashNearDupsFromFps(fps0: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     require(maxDist <= 3, "4-chunk split guarantees recall only to distance 3")
-    val fps = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
-    val chunked = fps.select(
-      col("doc_id"), col("fp"),
-      posexplode(array((0 to 3).map(i =>
-        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_pos", "chunk")))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk_pos") === col("b.chunk_pos") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        TextOps.hammingDist(col("a.fp"), col("b.fp")).as("dist"))
+    val fps = fps0.persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // star pairs inside an identical-fp group (dist 0 by definition)
+    val withinPairs = fps.join(groups, Seq("fp"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).as("dist"))
+    // cross-fp candidates: distinct fingerprints only, capped buckets
+    val crossPairs = simhashBuckets(groups)
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(items, (a, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1), b ->
+          |    struct(least(a.rep, b.rep) AS doc_a,
+          |           greatest(a.rep, b.rep) AS doc_b,
+          |           bit_count(a.fp ^ b.fp) AS dist))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+    finalized(withinPairs.unionByName(crossPairs), Seq(fps, groups))
   }
+
+  /** (chunk_pos, chunk, items): distinct fingerprints bucketed by each
+    * of their 4 16-bit chunks — the candidate structure behind
+    * simhashNearDups.
+    */
+  private def simhashBuckets(groups: DataFrame): DataFrame =
+    groups
+      .select(col("rep"), col("fp"),
+        posexplode(array((0 to 3).map(i =>
+          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_pos", "chunk")))
+      .groupBy(col("chunk_pos"), col("chunk"))
+      .agg(collect_list(struct(col("rep"), col("fp"))).as("items"))
+
+  /** The simhash cap's blast radius, surfaced: one row (n_buckets,
+    * n_capped_buckets, n_fps_in_capped, max_bucket). A capped run with
+    * n_capped_buckets > 0 skipped the candidate pairs of exactly the
+    * hottest chunk values — report it next to the pair output.
+    */
+  def simhashBucketStats(docs: DataFrame, maxBucket: Int = 1000): DataFrame =
+    simhashBucketStatsFromFps(
+      docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp")),
+      maxBucket)
+
+  /** [[simhashBucketStats]] over precomputed (doc_id, fp) rows. */
+  def simhashBucketStatsFromFps(fps: DataFrame,
+      maxBucket: Int = 1000): DataFrame =
+    simhashBuckets(fps.groupBy(col("fp")).agg(min(col("doc_id")).as("rep")))
+      .select(size(col("items")).as("b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("b") > maxBucket, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(col("b") > maxBucket, col("b").cast("long")).otherwise(0L))
+          .as("n_fps_in_capped"),
+        max(col("b")).as("max_bucket"))
 }

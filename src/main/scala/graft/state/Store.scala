@@ -155,7 +155,16 @@ final class Store(val root: String, spark: SparkSession) {
     staged.publish()
   }
 
-  /** Drop segment dirs no manifest references (dead-batch garbage). */
+  /** Drop segment dirs no manifest references (dead-batch garbage).
+    *
+    * Scoped STRICTLY to directories of tables the manifest knows: the
+    * store root legitimately hosts foreign state — the streaming seed
+    * checkpoint defaults to `$root/_seed_checkpoint` (Main.scala), and
+    * a deployment may park anything else beside the tables. Sweeping
+    * an unknown directory would destroy it mid-run (the checkpoint
+    * case breaks exactly-once seed ingestion), so unknown names are
+    * never entered, let alone deleted.
+    */
   def sweepOrphans(): Unit = {
     val live: Set[String] = tables.values.flatten.toSet
     // a live shard subdir keeps its parent r{batch} dir alive
@@ -167,6 +176,7 @@ final class Store(val root: String, spark: SparkSession) {
     if (!Files.isDirectory(rootPath)) return
     Files.list(rootPath).iterator().asScala
       .filter(Files.isDirectory(_))
+      .filter(d => tables.contains(d.getFileName.toString))
       .foreach { tableDir =>
         Files.list(tableDir).iterator().asScala.toList.foreach { seg =>
           val rel = s"${tableDir.getFileName}/${seg.getFileName}"

@@ -460,6 +460,95 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
       spark.emptyDataset[graft.model.FrontierRow].toDF()).count() === 0L)
   }
 
+  test("sweepOrphans never touches foreign dirs under the store root") {
+    // the root legitimately hosts non-table state (the streaming seed
+    // checkpoint defaults to $root/_seed_checkpoint) — a compaction's
+    // sweep must leave anything the manifest doesn't own alone
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val root = Files.createTempDirectory("graft-sweep").toString
+    val ckpt = java.nio.file.Paths.get(root, "_seed_checkpoint", "offsets")
+    Files.createDirectories(ckpt)
+    java.nio.file.Files.write(ckpt.resolve("0"), "offset-data".getBytes)
+    val stray = java.nio.file.Paths.get(root, "user_notes", "keep")
+    Files.createDirectories(stray.getParent)
+    java.nio.file.Files.write(stray, "mine".getBytes)
+    // threshold 0 ⇒ every batch compacts ⇒ sweepOrphans runs per batch
+    val eng = newEngine(root,
+      CrawlConfig(site = "wikipedia", batchSize = 6, compactLogThreshold = 0L))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    assert(java.nio.file.Files.exists(ckpt.resolve("0")),
+      "sweep deleted the streaming checkpoint")
+    assert(java.nio.file.Files.exists(stray), "sweep deleted a foreign dir")
+  }
+
+  test("reverse-lookup guard: unresolved name raises, resolved id passes") {
+    import spark.implicits._
+    // db/db_test.go:339-368 contract: a missing node on reverse lookup
+    // is a loud error, not a dropped row
+    val ok = Seq(("a", java.lang.Long.valueOf(7L)), ("b", java.lang.Long.valueOf(9L)))
+      .toDF("name", "id")
+      .select(CrawlEngine.resolvedIdOrError(col("id"), col("name")).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ok === Set(7L, 9L))
+    val bad = Seq(("a", java.lang.Long.valueOf(7L)), ("ghost", null))
+      .toDF("name", "id")
+      .select(CrawlEngine.resolvedIdOrError(col("id"), col("name")).as("id"))
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("Could not find node on reverse lookup: ghost")),
+      s"wrong failure: ${messages(e)}")
+  }
+
+  test("re-seeding a used store neither duplicates nodes nor corrupts segments") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val root = Files.createTempDirectory("graft-reseed").toString
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 7))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val nodesAfterFirst = eng.store.read("nodes").get.count()
+    // re-seed the SAME url on the used store: nodes must not gain a
+    // duplicate (name, id) row, and the fresh crawl must still drain
+    val eng2 = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 7))
+    eng2.seed(Seq(seedUrl))
+    val nodes2 = eng2.store.read("nodes").get
+    assert(nodes2.count() === nodesAfterFirst)
+    assert(nodes2.select("name").distinct().count() === nodesAfterFirst)
+    eng2.run()
+    assert(eng2.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    assert(nameEdges(eng2.store) === oracleEdges)
+    assert(eng2.store.read("nodes").get.select("name")
+      .collect().map(_.getString(0)).toSet === oracleNodes)
+  }
+
+  test("consumed-log broadcast is gated by bytes, not row count") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, _) = oracle(seedUrl)
+    def runWith(limit: Long): (String, Set[String]) = {
+      val root = Files.createTempDirectory("graft-bcgate").toString
+      val eng = newEngine(root, CrawlConfig(site = "wikipedia",
+        batchSize = 5, compactLogThreshold = 1L << 30,
+        logBroadcastBytesLimit = limit))
+      eng.seed(Seq(seedUrl))
+      eng.step(); eng.step() // build up a consumed log
+      val plan = eng.pendingFrontierView().queryExecution.analyzed.toString
+      eng.run()
+      (plan, eng.store.read("nodes").get.select("name")
+        .collect().map(_.getString(0)).toSet)
+    }
+    // over-threshold log (limit 0): the broadcast hint must be absent
+    // and the plain anti-join path must stay oracle-correct
+    val (plainPlan, plainNodes) = runWith(0L)
+    assert(!plainPlan.contains("ResolvedHint"), plainPlan)
+    assert(plainNodes === oracleNodes)
+    // bounded log (default limit): the hint is applied
+    val (bcPlan, bcNodes) = runWith(64L << 20)
+    assert(bcPlan.contains("ResolvedHint"), bcPlan)
+    assert(bcNodes === oracleNodes)
+  }
+
   test("per-host politeness cap bounds each batch's fetches (A4)") {
     val webSpec = SyntheticWeb.Spec("web", numPages = 40L, seed = 7L, numHosts = 4)
     val pages = SyntheticWeb.pages(spark, webSpec).toDF()

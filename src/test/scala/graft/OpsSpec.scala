@@ -135,6 +135,51 @@ class OpsSpec extends SparkSpec {
     (0 until 3).foreach(i => assert(pairs.contains((i.toLong, 200L + i))))
   }
 
+  test("simhash hot chunk: bucket cap bounds pair output, stats report the drop") {
+    // 12 distinct fps, each = base with one bit of chunk 3 (bits 48-59)
+    // flipped: pairwise Hamming distance 2, and chunks 0-2 identical
+    // across ALL fps — three 12-wide hot buckets by construction
+    val base = 0x0123456789ABCDEFL
+    val fps = (0 until 12).map(i => (i.toLong, base ^ (1L << (48 + i))))
+      .toDF("doc_id", "fp")
+    // uncapped: every pair is a candidate via the shared chunks and
+    // passes the dist ≤ 3 verify ⇒ C(12,2) pairs
+    assert(Dedup.simhashNearDupsFromFps(fps, maxDist = 3).count() === 66)
+    // capped at 6: the three hot buckets are dropped, chunk-3 buckets
+    // are singletons ⇒ bounded output (zero pairs), loudly quantified
+    assert(Dedup.simhashNearDupsFromFps(fps, maxDist = 3, maxBucket = 6)
+      .count() === 0)
+    val st = Dedup.simhashBucketStatsFromFps(fps, maxBucket = 6).collect()(0)
+    assert(st.getAs[Long]("n_buckets") === 15) // 3 hot + 12 singleton
+    assert(st.getAs[Long]("n_capped_buckets") === 3)
+    assert(st.getAs[Long]("n_fps_in_capped") === 36)
+    assert(st.getAs[Int]("max_bucket") === 12)
+  }
+
+  test("simhash identical-fp groups pre-collapse to star pairs") {
+    // 5 docs share one fp, 1 doc is far away: the group must surface
+    // as 4 (rep, member, dist 0) rows — O(group), not the B² clique
+    val fps = ((0 until 5).map(i => (10L + i, 0x00FF00FF00FF00FFL)) :+
+      (99L, 0x7700770077007700L)).toDF("doc_id", "fp")
+    val rows = Dedup.simhashNearDupsFromFps(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows === (1 until 5).map(i => (10L, 10L + i, 0)).toSet)
+  }
+
+  test("minhash signature of a sub-n-token doc is the MaxValue sentinel") {
+    // shingleHashes of a doc with < n tokens is an EMPTY array; the
+    // fold then yields [Long.MaxValue × k] (the nested array_min form
+    // this replaced yielded [null × k] — divergence documented at
+    // Dedup.minhashSignature)
+    val df = Seq((1L, "one two")).toDF("doc_id", "text")
+    val r = df.select(
+      Dedup.shingleHashes(col("text"), 3).as("sh"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 4).as("sig"))
+      .collect()(0)
+    assert(r.getSeq[Long](0).isEmpty)
+    assert(r.getSeq[Long](1) === Seq.fill(4)(Long.MaxValue))
+  }
+
   test("brute-force kNN matches a driver-side oracle") {
     val emb = spark.range(0, 60).select(
       col("id").as("vec_id"),
