@@ -152,6 +152,26 @@ object Bench {
     state.nUrls // frontier size known from session setup
   }
 
+  /** Shuffle-free control pipeline: canonicalize + parse + extract
+    * over the corpus with only a scalar aggregate at the end. Its
+    * N→4N efficiency is the MAP-ONLY CEILING of this box — what
+    * perfectly parallel per-row work achieves under the same
+    * hypervisor — and the headline pipeline's efficiency is reported
+    * both raw and normalized against it (BASELINE.md's re-baselining
+    * case for the 0.8 target).
+    */
+  def mapOnlyPipeline(spark: SparkSession, state: BenchState): Long = {
+    val pages = spark.table(state.table)
+    val c = pages
+      .select(
+        size(Extract.extract_links(col("html"), lit("web")).getField("links"))
+          .cast("long").as("n"),
+        length(canon.canonical_url(col("url"))).cast("long").as("m"))
+      .agg(sum(col("n") + col("m"))).head().getLong(0)
+    require(c > 0, "map-only pipeline produced nothing")
+    state.nUrls
+  }
+
   /** materialize the bench corpus once (outside the timed region);
     * sized so the CPU-bound work dominates stage-scheduling overhead
     * AND each timed run is long enough (~10-35 s) that the sandbox's
@@ -198,15 +218,22 @@ object Bench {
     // run to convergence: JIT tiers + session caches make early runs
     // unrepresentative, and hypervisor steal makes single runs noisy;
     // best-of is the noise-robust statistic
-    def timedSession(cpus: Int, rounds: Int): Seq[Double] = {
+    def timedSession(cpus: Int, rounds: Int,
+        mapRounds: Int = 0): (Seq[Double], Seq[Double]) = {
       val s = session(cpus)
       try {
         val state = buildSeenState(s, registerCorpus(s, corpusDir), 64)
-        (1 to rounds).map { _ =>
+        val main = (1 to rounds).map { _ =>
           val t0 = System.nanoTime()
           val n = frontierPipeline(s, state)
           n / ((System.nanoTime() - t0) / 1e9)
         }
+        val mo = (1 to mapRounds).map { _ =>
+          val t0 = System.nanoTime()
+          val n = mapOnlyPipeline(s, state)
+          n / ((System.nanoTime() - t0) / 1e9)
+        }
+        (main, mo)
       } finally s.stop()
     }
     // Warm-up (JIT shared across in-process sessions), then all
@@ -222,10 +249,18 @@ object Bench {
       8 -> scala.collection.mutable.ArrayBuffer.empty[Double],
       16 -> scala.collection.mutable.ArrayBuffer.empty[Double],
       32 -> scala.collection.mutable.ArrayBuffer.empty[Double])
+    val mapRuns = Map(4 -> scala.collection.mutable.ArrayBuffer.empty[Double],
+      16 -> scala.collection.mutable.ArrayBuffer.empty[Double])
     // finer interleave (3 passes × 2 runs) than round 1 (2 × 3): every
-    // level samples every noise window; best-of-6 per level
+    // level samples every noise window; best-of-6 per level. The 4/16
+    // sessions also time the map-only control inside the SAME session
+    // (same corpus, same noise windows) for the normalized efficiency.
     (1 to 3).foreach { _ =>
-      Seq(4, 16, 8, 32).foreach(c => runs(c) ++= timedSession(c, 2))
+      Seq(4, 16, 8, 32).foreach { c =>
+        val (m, mo) = timedSession(c, 2, if (c == 4 || c == 16) 2 else 0)
+        runs(c) ++= m
+        if (mo.nonEmpty) mapRuns(c) ++= mo
+      }
     }
     val best = runs.map { case (c, rs) => c -> rs.max }
     val t8 = best(8)
@@ -233,6 +268,12 @@ object Bench {
     val eff416 = (best(16) / best(4)) / 4.0
     val eff832 = (best(32) / best(8)) / 4.0
     val eff = math.max(eff416, eff832)
+    // map-only ceiling at the primary pair + the pipeline's efficiency
+    // normalized to it (= how much of the ACHIEVABLE scaling the
+    // pipeline keeps once the hypervisor's per-thread tax is factored
+    // out by a perfectly-parallel control)
+    val mapEff416 = (mapRuns(16).max / mapRuns(4).max) / 4.0
+    val effNorm = eff416 / mapEff416
 
     // ---- engine micro-batch wall time at a ≥1M-row pending frontier
     //      (the sharded-frontier criterion: per-batch cost must track
@@ -250,13 +291,20 @@ object Bench {
           s"/dev/shm/graft-bench-engine-${System.nanoTime()}", s)
         val eng = new graft.engine.CrawlEngine(s, store, Sites.web, cfg, pages)
         eng.seed(Seq(SyntheticWeb.pageUrl(spec, 0L)))
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        // (pending, batch sec, cumulative edge-table rows): the last
+        // column is the read-side O(batch) criterion — per-batch wall
+        // time must stay flat while the EDGE table grows 10×+ (the
+        // two-phase bloom + shard-restricted confirm at work; a full
+        // edge scan per batch would show sec growing with edges)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+        var cumEdges = 0L
         var go = true
         while (go && out.length < 12) {
           val t0 = System.nanoTime()
           eng.step() match {
             case Some(r) =>
-              out += ((r.frontierPending, (System.nanoTime() - t0) / 1e9))
+              cumEdges += r.edgesAdded
+              out += ((r.frontierPending, (System.nanoTime() - t0) / 1e9, cumEdges))
               go = r.frontierPending > 0 && r.frontierPending < 3000000L
             case None => go = false
           }
@@ -277,26 +325,35 @@ object Bench {
       "q_knn_lsh", "q_knn_ivf", "q_cosine_pairs", "q_cosine_pairs_lsh",
       "q_simhash", "q_fingerprint", "q_lang_id",
       "q_valid_link_wiki", "q_clean_name", "q_canonical_url")
+    // 3 interleaved passes, best-of per query: single-shot per-query
+    // numbers sat right in hypervisor steal windows in round 2 (4-9×
+    // inflation on per-row queries whose code hadn't changed) — the
+    // same noise treatment the throughput phase gets
     val s32 = session(32)
-    val queryTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(s32, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable =>
-          try fn(s32, sfDir).count() catch { case _: Throwable => () }
+    val qBest = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      headline.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          val t0 = System.nanoTime()
+          try { fn(s32, sfDir).write.mode("overwrite").format("noop").save() }
+          catch { case _: Throwable =>
+            try fn(s32, sfDir).count() catch { case _: Throwable => () }
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          qBest(name) = math.min(qBest.getOrElse(name, Double.MaxValue), sec)
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    val queryTimes = headline.flatMap(n => qBest.get(n).map(n -> _))
     s32.stop()
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val engArr = engineBatches
-      .map { case (p, sec) => f"""{"pending":$p,"sec":$sec%.2f}""" }
+      .map { case (p, sec, e) => f"""{"pending":$p,"sec":$sec%.2f,"edges":$e}""" }
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)}}""")
+      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)}}""")
   }
 }

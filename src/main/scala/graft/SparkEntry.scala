@@ -39,13 +39,18 @@ object SparkEntry {
     val eng = new CrawlEngine(s, new Store(root, s), profile, cfg, pages, allowList)
     eng.seed(Seq(SyntheticWeb.pageUrl(spec, 0L)))
     eng.run()
+    // id→name readout with the reference's reverse-lookup error
+    // contract (db/db_test.go:339-368): a dangling edge endpoint
+    // raises loudly instead of silently dropping the edge
     val nodes = eng.store.read("nodes").get
     eng.store.read("edges").get
       .join(nodes.withColumnRenamed("name", "src_name")
-        .withColumnRenamed("id", "src"), Seq("src"))
+        .withColumnRenamed("id", "src"), Seq("src"), "left")
       .join(nodes.withColumnRenamed("name", "dst_name")
-        .withColumnRenamed("id", "dst"), Seq("dst"))
-      .select(col("src_name"), col("dst_name"))
+        .withColumnRenamed("id", "dst"), Seq("dst"), "left")
+      .select(
+        CrawlEngine.resolvedIdOrError(col("src_name"), col("src")).as("src_name"),
+        CrawlEngine.resolvedIdOrError(col("dst_name"), col("dst")).as("dst_name"))
   }
 
   def entry(spark: SparkSession): DataFrame = crawlEdges(spark, "wikipedia", 60L)
@@ -376,7 +381,16 @@ object SparkEntry {
 
     // counties adapter end-to-end: DOM scoping (D4) + allow-list
     // semi-join (F4/J5) wired through the live engine
-    "q_crawl_edges_counties" -> ((s, _) => crawlEdges(s, "us_counties", 40L))
+    "q_crawl_edges_counties" -> ((s, _) => crawlEdges(s, "us_counties", 40L)),
+
+    // synonyms adapter end-to-end: dual-base CleanUrl (P2,
+    // synonyms.go:18-28) through the live engine, DuckDB-verified
+    "q_crawl_edges_synonyms" -> ((s, _) => crawlEdges(s, "synonyms", 40L)),
+
+    // synonyms-ar adapter end-to-end: UTF-8 percent-decode CleanUrl
+    // (P3, ar_synonyms_test.go:44-48) pinned against the foreign
+    // oracle over the whole engine
+    "q_crawl_edges_ar" -> ((s, _) => crawlEdges(s, "synonyms-ar", 40L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -510,7 +524,11 @@ object SparkEntry {
 
     "q_crawl_edges" -> crawlOracle("wikipedia", 60L),
 
-    "q_crawl_edges_counties" -> crawlOracle("us_counties", 40L)
+    "q_crawl_edges_counties" -> crawlOracle("us_counties", 40L),
+
+    "q_crawl_edges_synonyms" -> crawlOracle("synonyms", 40L),
+
+    "q_crawl_edges_ar" -> crawlOracle("synonyms-ar", 40L)
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -16,18 +16,22 @@ import graft.state.{Bloom, Store}
 object CrawlEngine {
 
   /** Reference db error contract (db/db.go reverse lookup, pinned by
-    * db/db_test.go:339-368): a name that fails to resolve to an id is
-    * a loud error, never a silent row drop. Our ids are derived
-    * (xxhash64(name), S6) so the dictionary join can only miss if the
-    * per-batch delta was mis-built — this guard turns that
-    * impossible-by-construction case into the reference's error
-    * inside the plan, before anything commits. The remote-db 500-path
-    * has no analogue here: there is no network id service to fail.
+    * db/db_test.go:339-368): a key that fails to resolve through the
+    * node dictionary is a loud error, never a silent row drop. The
+    * engine's name→id direction derives ids arithmetically
+    * (xxhash64(name), S6), so only id→name joins (edge readout) can
+    * miss — and only if the dictionary lost a row; this guard turns
+    * that into the reference's error inside the plan. The remote-db
+    * 500-path has no analogue here: there is no network id service to
+    * fail.
+    *
+    * @param resolved the join-resolved value (null on a miss)
+    * @param key the lookup key, for the error message
     */
-  def resolvedIdOrError(id: Column, name: Column): Column =
-    when(id.isNull, raise_error(concat(
-      lit("Could not find node on reverse lookup: "), name)))
-      .otherwise(id)
+  def resolvedIdOrError(resolved: Column, key: Column): Column =
+    when(resolved.isNull, raise_error(concat(
+      lit("Could not find node on reverse lookup: "), key.cast("string"))))
+      .otherwise(resolved)
 }
 
 /** One micro-batch's outcome (driver-visible counters only). */
@@ -72,9 +76,17 @@ final case class BatchResult(
   *     max(seq) scan and replay can never reissue a seq.
   *   - Batch counters ride the commit's own write jobs as
   *     `Observation`s instead of separate count() actions; per batch
-  *     the driver runs ≤3 non-write jobs (schedule gate,
-  *     sequence-count collect, and — in driver-seen mode — one hash
-  *     collect), pinned by an EngineSpec listener test.
+  *     the driver runs ≤4 non-write jobs (schedule gate,
+  *     sequence-count collect, edge maybe-shard collect, and — in
+  *     driver-seen mode — one combined url+edge hash collect), pinned
+  *     by an EngineSpec listener test.
+  *   - Node/edge dedup never scans its full table per batch: the node
+  *     dictionary is probed by a broadcast semi-join over the NAME
+  *     column only (no shuffle), and edge presence is two-phase — a
+  *     sharded Bloom (blobs in `edges_bloom`, folded at compaction;
+  *     the un-folded delta is the edge segments past the watermark)
+  *     prefilters, then the exact confirm reads only the edge shards
+  *     holding maybes.
   *   - When the whole filter state fits under
   *     `cfg.seenDriverStateLimit`, the driver keeps the deserialized
   *     shard filters, folds each batch's new 8-byte hashes in
@@ -191,80 +203,120 @@ final class CrawlEngine(
     if (cfg.compactLogThreshold >= 0) cfg.compactLogThreshold
     else math.max(4L * cfg.batchSize, pendingCount / 4)
 
+  /** staggered-compaction rotation pointer (cfg.compactShardsPerBatch
+    * > 0): which shard the next partial fold starts at. Not persisted —
+    * a resume restarting at 0 only affects rotation fairness, never
+    * correctness (every shard's un-folded state stays in the log).
+    */
+  private var nextCompactShard: Int = 0
+
   // ---- driver-resident seen state (small-state mode) ----
 
   private val blobBytes: Long =
     Bloom.serialize(BloomFilter.create(cfg.bloomItemsPerShard, cfg.bloomFpp)).length.toLong
 
   /** filters have FIXED size (bits allocated from itemsPerShard/fpp at
-    * creation), so the mode is static for a given config
+    * creation), so the mode is static for a given config; ×2 because
+    * the driver holds TWO filter families (url seen + edge presence)
     */
   private val driverSeenMode: Boolean =
-    cfg.numShards.toLong * blobBytes <= cfg.seenDriverStateLimit
+    2L * cfg.numShards * blobBytes <= cfg.seenDriverStateLimit
 
-  private val driverSeen = mutable.Map.empty[Int, BloomFilter]
-  private val driverBlobs = mutable.Map.empty[Int, Array[Byte]]
-  private val seenCounts = mutable.Map.empty[Int, Long]
-
-  /** shards whose live filter has mutated since its blob was last
-    * serialized — blobs are (re)materialized lazily, only at the two
-    * points that actually need bytes (probe broadcast, compaction),
-    * not on every absorb (which would cost O(total filter state)
-    * serialization CPU per batch once batchSize ≫ numShards).
-    * NOTE: declared BEFORE the resume block below — absorbHashes runs
-    * during log replay.
+  /** Driver-resident sharded Bloom set (small-state mode): live
+    * filters plus lazily-serialized blobs. Serialization happens only
+    * at the two points that actually need bytes (probe broadcast,
+    * compaction rows), never on absorb — eager per-absorb
+    * serialization would cost O(total filter state) CPU per batch
+    * once batchSize ≫ numShards.
+    *
+    * Two instances: the canonical-url seen set (J4/A5, durable via
+    * the frontier log) and the edge-presence set (J3/S5, durable via
+    * the edges table's own appended segments past the blob watermark).
     */
-  private val dirtyShards = mutable.Set.empty[Int]
+  private final class DriverFilters {
+    private val filters = mutable.Map.empty[Int, BloomFilter]
+    private val blobs = mutable.Map.empty[Int, Array[Byte]]
+    private val counts = mutable.Map.empty[Int, Long]
+    private val dirty = mutable.Set.empty[Int]
 
-  if (driverSeenMode) {
-    store.read("seen_shards").foreach { df =>
+    def clear(): Unit = {
+      filters.clear(); blobs.clear(); counts.clear(); dirty.clear()
+    }
+
+    def load(df: DataFrame): Unit =
       df.select("shard", "bloom", "count").collect().foreach { r =>
         val s = r.getInt(0)
         val b = r.getAs[Array[Byte]](1)
-        driverSeen(s) = Bloom.deserialize(b)
-        driverBlobs(s) = b
-        seenCounts(s) = r.getLong(2)
+        filters(s) = Bloom.deserialize(b)
+        blobs(s) = b
+        counts(s) = r.getLong(2)
       }
+
+    /** fold (shard, 64-bit key) pairs in — same put sequence the
+      * distributed MergeAgg would apply, so blobs stay bit-identical
+      * to a distributed merge
+      */
+    def absorb(pairs: Array[(Int, Long)]): Unit = pairs.foreach { case (s, h) =>
+      filters.getOrElseUpdate(s,
+        BloomFilter.create(cfg.bloomItemsPerShard, cfg.bloomFpp)).putLong(h)
+      counts(s) = counts.getOrElse(s, 0L) + 1L
+      dirty += s
     }
+
+    /** serialize mutated filters; returns the consistent blob map */
+    def fresh(): Map[Int, Array[Byte]] = {
+      dirty.foreach(s => blobs(s) = Bloom.serialize(filters(s)))
+      dirty.clear()
+      blobs.toMap
+    }
+
+    /** (shard, bloom, count, __shard) rows straight from driver
+      * memory — the small-state write path reads no old state
+      */
+    def rows(): DataFrame = {
+      val bl = fresh()
+      filters.keys.toSeq.sorted
+        .map(s => SeenShard(s, bl(s), counts.getOrElse(s, 0L)))
+        .toDF()
+        .withColumn("__shard", col("shard"))
+    }
+  }
+
+  private val urlSeen = new DriverFilters
+  private val edgeSeen = new DriverFilters
+
+  /** edge-presence blob watermark: the stored blobs cover edge
+    * segments with batch ≤ this; newer segments are the un-folded LSM
+    * delta (driver mode replays them below; shuffle mode anti-joins
+    * them exactly per batch)
+    */
+  private var edgesBloomUpto: Long = store.maxSegmentBatch("edges_bloom")
+
+  private def edgeKeyOf(src: Column, dst: Column): Column = xxhash64(src, dst)
+  private def edgeShardOf(src: Column, dst: Column): Column =
+    Bloom.shardOfHash(edgeKeyOf(src, dst), cfg.numShards)
+
+  if (driverSeenMode) {
+    store.read("seen_shards").foreach(urlSeen.load)
     // replay the un-compacted seen log into the filters (resume after
     // a crash between compactions) — bounded by the compact threshold
     if (logCounts.get(1).exists(_._1 > 0L)) store.read("frontier_log").foreach { df =>
       val pairs = df.filter(col("kind") === 1)
         .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
-      absorbHashes(pairs)
+      urlSeen.absorb(pairs)
     }
-  }
-
-  /** fold a batch's new (shard, xxhash64(canon)) pairs into the
-    * driver-resident filters — same put sequence the distributed
-    * MergeAgg would apply, so blobs stay bit-identical to a
-    * distributed merge. Serialization is deferred (see dirtyShards).
-    */
-  private def absorbHashes(pairs: Array[(Int, Long)]): Unit =
-    pairs.foreach { case (s, h) =>
-      driverSeen.getOrElseUpdate(s,
-        BloomFilter.create(cfg.bloomItemsPerShard, cfg.bloomFpp)).putLong(h)
-      seenCounts(s) = seenCounts.getOrElse(s, 0L) + 1L
-      dirtyShards += s
+    // edge-presence filters: blob snapshot + replay of edge segments
+    // appended after the watermark (the same resume contract as the
+    // url log replay — bounded by the compaction cadence)
+    store.read("edges_bloom").foreach(edgeSeen.load)
+    store.readNewerThan("edges", edgesBloomUpto).foreach { df =>
+      val pairs = df
+        .select(edgeShardOf(col("src"), col("dst")).as("s"),
+          edgeKeyOf(col("src"), col("dst")).as("h"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      edgeSeen.absorb(pairs)
     }
-
-  /** serialize the mutated filters; returns the now-consistent blob map */
-  private def freshBlobs(): mutable.Map[Int, Array[Byte]] = {
-    dirtyShards.foreach(s => driverBlobs(s) = Bloom.serialize(driverSeen(s)))
-    dirtyShards.clear()
-    driverBlobs
-  }
-
-  /** (shard, bloom, count, __shard) rows for the given shards, straight
-    * from driver memory — the small-state write path reads no old state
-    */
-  private def seenRowsFromDriver(shards: Seq[Int]): DataFrame = {
-    val blobs = freshBlobs()
-    shards.sorted
-      .map(s => SeenShard(s, blobs(s), seenCounts.getOrElse(s, 0L)))
-      .toDF()
-      .withColumn("__shard", col("shard"))
   }
 
   private def emptyFrontier: DataFrame =
@@ -292,6 +344,13 @@ final class CrawlEngine(
         else consumed
       frontierRaw.join(side, Seq("canon"), "left_anti")
     }
+
+  /** one shuffle of the (small) delta so a sharded append emits one
+    * file per shard instead of one per (task × shard) — without this
+    * a 32-partition batch writing 64 shards leaves 2048 files
+    */
+  private def shardPacked(df: DataFrame): DataFrame =
+    df.repartition(cfg.numShards, col("__shard"))
 
   /** test hook: the pending-frontier view exactly as step() plans it */
   private[graft] def pendingFrontierView(): DataFrame =
@@ -328,7 +387,6 @@ final class CrawlEngine(
     val pairs = seedDf
       .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val shards = pairs.map(_._1).distinct.toSeq
     val frontier0 = seedDf.select(frontierCols: _*)
       .withColumn("__shard", shardCol(col("canon")))
     // re-seeding a previously-used store must not duplicate a seed's
@@ -348,10 +406,9 @@ final class CrawlEngine(
       dropUnsharded = true)
     staged.replace("frontier_log", emptyLog)
     if (driverSeenMode) {
-      driverSeen.clear(); driverBlobs.clear(); seenCounts.clear()
-      dirtyShards.clear()
-      absorbHashes(pairs)
-      staged.replaceShards("seen_shards", seenRowsFromDriver(shards),
+      urlSeen.clear()
+      urlSeen.absorb(pairs)
+      staged.replaceShards("seen_shards", urlSeen.rows(),
         0 until cfg.numShards, dropUnsharded = true)
     } else {
       val seen0 = Bloom.buildShards(
@@ -415,13 +472,16 @@ final class CrawlEngine(
         .join(nodes.select("name"), Seq("name"), "left_anti"))
 
     // LSM append path, same shape as step(): the fresh rows and their
-    // kind-1 log entries; seen durability via the log
+    // kind-1 log entries; seen durability via the log. Sharded append
+    // keeps the frontier layout uniform (staggered compaction relies
+    // on every segment being shard-addressable).
     val staged = store.stage(batchId)
     staged.append("nodes", newNodes)
-    staged.append("frontier", fresh)
+    staged.appendSharded("frontier", shardPacked(
+      fresh.withColumn("__shard", shardCol(col("canon")))))
     staged.append("frontier_log",
       fresh.select(col("canon"), lit(1).as("kind")))
-    if (driverSeenMode) absorbHashes(pairs)
+    if (driverSeenMode) urlSeen.absorb(pairs)
     staged.publish()
     pendingCount += freshCount
     logRowCount += freshCount
@@ -481,9 +541,11 @@ final class CrawlEngine(
       0 until cfg.numShards, dropUnsharded = true)
     staged.replace("frontier_log", emptyLog)
     if (driverSeenMode) {
-      staged.replaceShards("seen_shards",
-        seenRowsFromDriver(driverSeen.keys.toSeq), 0 until cfg.numShards,
-        dropUnsharded = true)
+      staged.replaceShards("seen_shards", urlSeen.rows(),
+        0 until cfg.numShards, dropUnsharded = true)
+      staged.replaceShards("edges_bloom", edgeSeen.rows(),
+        0 until cfg.numShards, dropUnsharded = true)
+      edgesBloomUpto = batchId
     } else {
       val delta = Bloom.buildShards(
         log.filter(col("kind") === 1).select("canon"),
@@ -494,6 +556,19 @@ final class CrawlEngine(
         .withColumn("__shard", col("shard"))
       staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
         dropUnsharded = true)
+      // fold un-covered edge segments into the edge-presence blobs
+      store.readNewerThan("edges", edgesBloomUpto).foreach { d =>
+        val deltaE = Bloom.buildShardsFromHashes(
+          d.select(edgeKeyOf(col("src"), col("dst")).as("h")),
+          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+        val mergedE = Bloom.mergeShards(
+          store.readOr("edges_bloom", emptySeen), deltaE,
+          cfg.bloomItemsPerShard, cfg.bloomFpp)
+          .withColumn("__shard", col("shard"))
+        staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
+          dropUnsharded = true)
+        edgesBloomUpto = batchId
+      }
     }
     staged.publish()
     store.sweepOrphans() // superseded segments are garbage once swapped
@@ -509,7 +584,6 @@ final class CrawlEngine(
     val log = store.readOr("frontier_log", emptyLog)
     val frontier = frontierView(frontierRaw, log)
     val nodes = store.readOr("nodes", emptyNodes)
-    val edges = store.readOr("edges", emptyEdges)
 
     // --- schedule: politeness cap, then global priority-ordered take ---
     val eligible = politenessCap(frontier)
@@ -556,31 +630,90 @@ final class CrawlEngine(
       .dropDuplicates("src_url", "dst_name")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- node upsert (S6/J1) with the id-collision guard ---
+    // --- node upsert (S6/J1): broadcast-probe semi-scan. The
+    //     dictionary is scanned (name column ONLY — parquet prunes the
+    //     id column away) but never shuffled: the batch's names
+    //     broadcast into a semi-join that emits the batch-bounded
+    //     known subset, and the anti-join against that small set is
+    //     partition-local. The earlier shuffle-both-sides anti-join
+    //     moved the whole dictionary's strings every batch.
+    //     (Exact O(batch) node dedup — no dictionary scan at all —
+    //     needs executor-resident keyed state; documented seam, see
+    //     BASELINE.md. The scan is the name column of a table 1-2
+    //     orders smaller than edges.)
     val batchNames = named.select(col("dst_name").as("name"))
       .union(extracted.select(col("src_name").as("name")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val knownNames = nodes.select("name")
+      .join(broadcast(batchNames), Seq("name"), "left_semi")
     val newNodes = withCollisionGuard(
-      batchNames.join(nodes.select("name"), Seq("name"), "left_anti"))
+      batchNames.join(broadcast(knownNames), Seq("name"), "left_anti"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- edges (J3/S5): candidates → anti-join → append-only dedup.
-    //     LEFT joins + the reverse-lookup guard: a named link whose id
-    //     is missing from the dictionary is the reference's loud
-    //     "Could not find node on reverse lookup" error (db/db_test.go:
-    //     339-368), never a silently dropped edge. ---
-    val nodesAll = nodes.select("name", "id").union(newNodes).persist(
-      StorageLevel.MEMORY_AND_DISK)
+    // --- edges (J3/S5): two-phase insert-if-absent with O(batch)
+    //     reads — the reference's indexed insert-if-absent
+    //     (db/db.go:19-62) is O(batch), and per-batch O(edge-table)
+    //     scans die at 10^10 edges. Endpoint ids derive arithmetically
+    //     (id = xxhash64(name), S6) so the old nodes⋈delta resolution
+    //     join is gone entirely (its "reverse lookup" miss is
+    //     impossible by construction; CrawlEngine.resolvedIdOrError
+    //     guards the id→name direction where a real join remains).
+    //     The sharded edge-presence bloom prefilters: an edge key can
+    //     recur across batches only via multi-URL names (a url is
+    //     fetched once), so maybes ≈ fp·batch + rare true dups, and
+    //     the exact confirm reads ONLY the edge shards holding maybes
+    //     (appendSharded layout), never the full table. ---
     val candidates = named
-      .join(nodesAll.withColumnRenamed("name", "src_name")
-        .withColumnRenamed("id", "src"), Seq("src_name"), "left")
-      .join(nodesAll.withColumnRenamed("name", "dst_name")
-        .withColumnRenamed("id", "dst"), Seq("dst_name"), "left")
-      .select(
-        CrawlEngine.resolvedIdOrError(col("src"), col("src_name")).as("src"),
-        CrawlEngine.resolvedIdOrError(col("dst"), col("dst_name")).as("dst"))
+      .select(idOf(col("src_name")).as("src"), idOf(col("dst_name")).as("dst"))
       .distinct()
-    val newEdges = candidates.join(edges, Seq("src", "dst"), "left_anti")
+    val edgeBc: Option[Broadcast[Map[Int, Array[Byte]]]] =
+      if (driverSeenMode) Some(spark.sparkContext.broadcast(edgeSeen.fresh()))
+      else None
+    val probedE = edgeBc match {
+      case Some(bc) =>
+        candidates.withColumn("maybe_present",
+          Bloom.blobsColumnBcHash(bc, cfg.numShards,
+            edgeKeyOf(col("src"), col("dst"))))
+      case None =>
+        val probed = Bloom.probeSeenShuffleHash(
+          candidates.select(edgeKeyOf(col("src"), col("dst")).as("h")),
+          store.readOr("edges_bloom", emptySeen), cfg.numShards)
+        candidates
+          .withColumn("h", edgeKeyOf(col("src"), col("dst")))
+          .join(probed, Seq("h"), "left")
+          .withColumn("maybe_present", coalesce(col("maybe_seen"), lit(false)))
+          .drop("h", "maybe_seen")
+    }
+    // shuffle mode: stored blobs cover only segments ≤ watermark;
+    // newer appends are anti-joined exactly (a bounded LSM delta —
+    // the same contract as the url-seen log)
+    val deltaEdges: Option[DataFrame] =
+      if (driverSeenMode) None
+      else store.readNewerThan("edges", edgesBloomUpto)
+    val defNewE0 = probedE.filter(!col("maybe_present")).drop("maybe_present")
+    val defNewE = deltaEdges match {
+      case Some(d) => defNewE0.join(d, Seq("src", "dst"), "left_anti")
+      case None => defNewE0
+    }
+    val maybeE = probedE.filter(col("maybe_present")).drop("maybe_present")
+      .withColumn("__eshard", edgeShardOf(col("src"), col("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // non-write job: the (tiny) maybe-shard set bounds the confirm read
+    val maybeShards = maybeE.select("__eshard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val confirmedNewEdges =
+      if (maybeShards.isEmpty) emptyEdges
+      else {
+        val existing = store.readShards("edges", maybeShards)
+          .getOrElse(emptyEdges)
+        val hits = existing.join(broadcast(maybeE.select("src", "dst")),
+          Seq("src", "dst"), "left_semi")
+        maybeE.select("src", "dst")
+          .join(broadcast(hits), Seq("src", "dst"), "left_anti")
+      }
+    val newEdges = defNewE.unionByName(confirmedNewEdges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- recursion set (S2): first discovery of each *newly created*
     //     node wins; children enqueued in (parent seq, DOM pos) order ---
@@ -610,7 +743,7 @@ final class CrawlEngine(
     // zero jobs, zero shuffles; large-state mode shard-shuffles the
     // candidates so no task ever holds more than one shard's filter.
     val probeBc: Option[Broadcast[Map[Int, Array[Byte]]]] =
-      if (driverSeenMode) Some(spark.sparkContext.broadcast(freshBlobs().toMap))
+      if (driverSeenMode) Some(spark.sparkContext.broadcast(urlSeen.fresh()))
       else None
     val guarded = probeBc match {
       case Some(bc) =>
@@ -644,16 +777,23 @@ final class CrawlEngine(
       .withColumn("batch_id", lit(batchId))
       .select(frontierCols: _*)
 
-    // non-write job 3 (driver seen mode only): the batch's new
-    // (shard, hash) pairs feed the in-memory filter fold; shuffle mode
-    // needs no per-batch collect at all
-    val newHashes: Array[(Int, Long)] =
-      if (driverSeenMode)
-        newFrontier
-          .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+    // non-write job 4 (driver seen mode only): the batch's new url AND
+    // edge (shard, hash) pairs in ONE collect, feeding the in-memory
+    // filter folds; shuffle mode needs no per-batch collect at all
+    val (newUrlHashes, newEdgeHashes): (Array[(Int, Long)], Array[(Int, Long)]) =
+      if (driverSeenMode) {
+        val rows = newFrontier
+          .select(lit(0).as("k"), shardCol(col("canon")).as("s"),
+            xxhash64(col("canon")).as("h"))
+          .unionByName(newEdges
+            .select(lit(1).as("k"), edgeShardOf(col("src"), col("dst")).as("s"),
+              edgeKeyOf(col("src"), col("dst")).as("h")))
           .distinct()
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
-      else Array.empty
+          .collect()
+        val (urls, eds) = rows.partition(_.getInt(0) == 0)
+        (urls.map(r => (r.getInt(1), r.getLong(2))),
+          eds.map(r => (r.getInt(1), r.getLong(2))))
+      } else (Array.empty[(Int, Long)], Array.empty[(Int, Long)])
 
     // --- stage the commit; counters ride the writes as Observations.
     //     NOTE: observe() is attached ON TOP of the persisted Datasets
@@ -666,7 +806,11 @@ final class CrawlEngine(
     val obsDepth = Observation()
     val staged = store.stage(batchId)
     staged.append("nodes", newNodes.observe(obsNodes, count(lit(1)).as("n")))
-    staged.append("edges", newEdges.observe(obsEdges, count(lit(1)).as("n")))
+    // edges land hash-sharded so future exact confirms can read only
+    // the shards their maybes hash to
+    staged.appendSharded("edges", shardPacked(newEdges
+      .withColumn("__shard", edgeShardOf(col("src"), col("dst"))))
+      .observe(obsEdges, count(lit(1)).as("n")))
     // the depth metric rides the error write's scan of `selected`
     // (observe sits between the cache scan and the anti join, so it
     // sees every selected row): maxDepth = deepest row scheduled
@@ -680,15 +824,86 @@ final class CrawlEngine(
     staged.append("fetch_errors", errorsObserved)
 
     val doCompact = logRowCount + selCount + newCount >= compactThreshold
-    if (driverSeenMode) absorbHashes(newHashes)
+    val staggered = doCompact && cfg.compactShardsPerBatch > 0
+    val obsLog = Observation() // staggered: counts the log's remainder
+    if (driverSeenMode) {
+      urlSeen.absorb(newUrlHashes)
+      edgeSeen.absorb(newEdgeHashes)
+    }
     if (!doCompact) {
       // LSM append path — O(batch) bytes: new frontier rows + the
       // (canon, kind) log delta. Base shards and base blobs untouched;
       // driver-mode seen durability comes from the log itself.
-      staged.append("frontier", newFrontier)
+      staged.appendSharded("frontier", shardPacked(
+        newFrontier.withColumn("__shard", shardCol(col("canon")))))
       staged.append("frontier_log",
         selected.select(col("canon"), lit(0).as("kind"))
           .unionByName(newFrontier.select(col("canon"), lit(1).as("kind"))))
+    } else if (staggered) {
+      // staggered compaction: fold only K shards this batch, rotating
+      // through the shard space across compactions — the full-base
+      // rewrite (the classic LSM write-stall: one giant pause at
+      // 10^10 rows) becomes numShards/K bounded pauses. Reads AND
+      // writes of the fold are restricted to the K shards
+      // (readShards + the sharded append layout).
+      val k = cfg.compactShardsPerBatch
+      val foldShards = (0 until k).map(i => (nextCompactShard + i) % cfg.numShards).toSet
+      nextCompactShard = (nextCompactShard + k) % cfg.numShards
+      val inFold = Bloom.shardOf(col("canon"), cfg.numShards)
+        .isin(foldShards.toSeq: _*)
+      val rawS = store.readShards("frontier", foldShards)
+        .getOrElse(emptyFrontier)
+      val liveS = frontierView(rawS, log.filter(inFold))
+        .join(selected.select("canon"), Seq("canon"), "left_anti")
+        .unionByName(newFrontier.filter(inFold))
+        .withColumn("__shard", shardCol(col("canon")))
+      staged.replaceShards("frontier", liveS, foldShards.toSeq)
+      staged.appendSharded("frontier", shardPacked(
+        newFrontier.filter(!inFold).withColumn("__shard", shardCol(col("canon")))))
+      // the log keeps only non-folded shards' entries (folded shards'
+      // state now lives in their base segments + blobs); the write's
+      // Observation reports the remainder for the driver counters
+      val logDelta = selected.select(col("canon"), lit(0).as("kind"))
+        .unionByName(newFrontier.select(col("canon"), lit(1).as("kind")))
+      staged.replace("frontier_log",
+        log.unionByName(logDelta).filter(!inFold)
+          .observe(obsLog,
+            count(lit(1)).as("n"),
+            coalesce(sum(when(col("kind") === 0, 1L).otherwise(0L)), lit(0L)).as("n0"),
+            coalesce(sum(when(col("kind") === 0, octet_length(col("canon")))
+              .otherwise(0L)), lit(0L)).as("b0")))
+      if (driverSeenMode) {
+        staged.replaceShards("seen_shards",
+          urlSeen.rows().filter(col("shard").isin(foldShards.toSeq: _*)),
+          foldShards.toSeq)
+        staged.replaceShards("edges_bloom", edgeSeen.rows(),
+          0 until cfg.numShards, dropUnsharded = true)
+      } else {
+        val newCanonsS = log.filter(col("kind") === 1)
+          .unionByName(logDelta.filter(col("kind") === 1))
+          .filter(inFold).select("canon")
+        val delta = Bloom.buildShards(newCanonsS,
+          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+        val oldS = store.readOr("seen_shards", emptySeen)
+          .filter(col("shard").isin(foldShards.toSeq: _*))
+        val merged = Bloom.mergeShards(oldS, delta,
+          cfg.bloomItemsPerShard, cfg.bloomFpp)
+          .withColumn("__shard", col("shard"))
+        staged.replaceShards("seen_shards", merged, foldShards.toSeq)
+        // edge-presence blobs stay a FULL fold: their write is bounded
+        // by the filter-state limit, not by the frontier
+        val deltaKeys = deltaEdges.map(_.unionByName(newEdges.select("src", "dst")))
+          .getOrElse(newEdges.select("src", "dst"))
+          .select(edgeKeyOf(col("src"), col("dst")).as("h"))
+        val deltaE = Bloom.buildShardsFromHashes(deltaKeys,
+          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+        val mergedE = Bloom.mergeShards(
+          store.readOr("edges_bloom", emptySeen), deltaE,
+          cfg.bloomItemsPerShard, cfg.bloomFpp)
+          .withColumn("__shard", col("shard"))
+        staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
+          dropUnsharded = true)
+      }
     } else {
       // compaction batch: fold the whole log + this batch into the
       // sharded bases and truncate the log. Amortized O(frontier /
@@ -701,9 +916,10 @@ final class CrawlEngine(
         dropUnsharded = true)
       staged.replace("frontier_log", emptyLog)
       if (driverSeenMode) {
-        staged.replaceShards("seen_shards",
-          seenRowsFromDriver(driverSeen.keys.toSeq), 0 until cfg.numShards,
-          dropUnsharded = true)
+        staged.replaceShards("seen_shards", urlSeen.rows(),
+          0 until cfg.numShards, dropUnsharded = true)
+        staged.replaceShards("edges_bloom", edgeSeen.rows(),
+          0 until cfg.numShards, dropUnsharded = true)
       } else {
         val allNewCanons = log.filter(col("kind") === 1).select("canon")
           .unionByName(newFrontier.select("canon"))
@@ -714,6 +930,20 @@ final class CrawlEngine(
           cfg.bloomItemsPerShard, cfg.bloomFpp)
           .withColumn("__shard", col("shard"))
         staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
+          dropUnsharded = true)
+        // edge-presence blobs: fold the un-covered segments + this
+        // batch's delta (deltaEdges excludes this batch — its append
+        // is staged but the probe plans read the previous snapshot)
+        val deltaKeys = deltaEdges.map(_.unionByName(newEdges.select("src", "dst")))
+          .getOrElse(newEdges.select("src", "dst"))
+          .select(edgeKeyOf(col("src"), col("dst")).as("h"))
+        val deltaE = Bloom.buildShardsFromHashes(deltaKeys,
+          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+        val mergedE = Bloom.mergeShards(
+          store.readOr("edges_bloom", emptySeen), deltaE,
+          cfg.bloomItemsPerShard, cfg.bloomFpp)
+          .withColumn("__shard", col("shard"))
+        staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
           dropUnsharded = true)
       }
     }
@@ -738,19 +968,30 @@ final class CrawlEngine(
     staged.append("metrics", batchMetrics.unionByName(partMetrics))
 
     staged.publish()
-    if (doCompact) store.sweepOrphans() // drop superseded segment dirs
+    if (doCompact) {
+      store.sweepOrphans() // drop superseded segment dirs
+      edgesBloomUpto = batchId // blobs now cover every edge segment
+    }
 
     pendingCount = pendingCount - selCount + newCount
-    if (doCompact) { consumedCount = 0L; logRowCount = 0L; consumedBytes = 0L }
-    else {
+    if (staggered) {
+      // partial fold: the log write's Observation reported what remains
+      logRowCount = obsLog.get("n").asInstanceOf[Long]
+      consumedCount = obsLog.get("n0").asInstanceOf[Long]
+      consumedBytes = obsLog.get("b0").asInstanceOf[Long]
+    } else if (doCompact) {
+      consumedCount = 0L; logRowCount = 0L; consumedBytes = 0L
+    } else {
       consumedCount += selCount; logRowCount += selCount + newCount
       consumedBytes += batchConsumedBytes
     }
     totalNodesAdded += nodesAddedCount
 
-    Seq(selected, extracted, named, newNodes, nodesAll).foreach(_.unpersist())
+    Seq(selected, extracted, named, batchNames, newNodes, maybeE, newEdges)
+      .foreach(_.unpersist())
     seqHandle.foreach(_.unpersist())
     probeBc.foreach(_.destroy())
+    edgeBc.foreach(_.destroy())
 
     Some(BatchResult(batchId, selCount, errorCount, nodesAddedCount,
       edgesAddedCount, maxDepthBatch, pendingCount))

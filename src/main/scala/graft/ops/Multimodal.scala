@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
   * processing, column pruning) is real; the codec step is a STUB — the
   * container ships no image/audio libraries — implemented as a
   * deterministic fake keyed on the content hash, clearly marked below.
-  * Swapping in a real decoder touches only `stubDecode*`.
+  *
+  * The codec is PLUGGABLE: set the Spark conf `graft.media.decoder`
+  * to the fully-qualified class name of a [[Multimodal.MediaDecoder]]
+  * and every decode/feature call routes through it — a deployment
+  * with javax.imageio (or any codec stack) on the classpath gets real
+  * dimensions with zero code change here. Default is [[Multimodal.StubDecoder]].
   */
 object Multimodal {
 
@@ -19,6 +24,35 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
       feature: Array[Float])
+
+  /** Codec contract. Implementations ship to executors inside task
+    * closures, so they must be Serializable and constructible with a
+    * no-arg constructor.
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeMeta(mediaId: Long, payload: Array[Byte]): ImageMeta
+    def feature(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** the default: deterministic fake decode (no codec libs here) */
+  final class StubDecoder extends MediaDecoder {
+    override def decodeMeta(mediaId: Long, payload: Array[Byte]): ImageMeta =
+      stubDecodeMeta(mediaId, payload)
+    override def feature(payload: Array[Byte], dim: Int): Array[Float] =
+      stubFeature(payload, dim)
+  }
+
+  /** conf key selecting the decoder implementation */
+  val decoderConfKey = "graft.media.decoder"
+
+  /** resolve the configured decoder (driver-side; the instance ships
+    * in the task closure)
+    */
+  def decoderFor(spark: SparkSession): MediaDecoder = {
+    val cls = spark.conf.get(decoderConfKey, classOf[StubDecoder].getName)
+    Class.forName(cls).getDeclaredConstructor().newInstance()
+      .asInstanceOf[MediaDecoder]
+  }
 
   /** magic-byte sniffing is real (public file signatures) */
   def sniffFormat(payload: Array[Byte]): String = {
@@ -70,7 +104,8 @@ object Multimodal {
   def decodeMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(m => stubDecodeMeta(m.media_id, m.payload)))
+    val dec = decoderFor(spark)
+    media.mapPartitions(_.map(m => dec.decodeMeta(m.media_id, m.payload)))
   }
 
   /** Frame sampling for video-ish payloads: every `strideMs`, up to
@@ -81,6 +116,7 @@ object Multimodal {
       featureDim: Int = 16): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val dec = decoderFor(spark)
     media.flatMap { m =>
       // STUB duration: derived from payload size (real: container header)
       val durMs = math.min(m.payload.length.toLong * 10L, strideMs * maxFrames)
@@ -88,7 +124,7 @@ object Multimodal {
       (0 until n).iterator.map { i =>
         val tsMs = i * strideMs
         Frame(m.media_id, i, tsMs,
-          stubFeature(m.payload ++ BigInt(tsMs).toByteArray, featureDim))
+          dec.feature(m.payload ++ BigInt(tsMs).toByteArray, featureDim))
       }
     }
   }

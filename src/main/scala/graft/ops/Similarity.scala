@@ -77,10 +77,9 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF coarse quantizer: `k` centroids picked deterministically from
-    * the corpus (hash-ordered sample — the classic cheap init for a
-    * coarse quantizer baseline; a Lloyd refinement would slot in here),
-    * collected to the driver and broadcast.
+  /** IVF coarse quantizer init: `k` centroids picked deterministically
+    * from the corpus (hash-ordered sample), collected to the driver
+    * and broadcast. Refined by [[ivfCentroidsLloyd]].
     */
   def ivfCentroids(corpus: DataFrame, k: Int): Array[Array[Double]] =
     corpus
@@ -89,6 +88,37 @@ object Similarity {
       .select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Lloyd refinement of the sample-init centroids: each iteration is
+    * one assignment pass over the corpus (broadcast centroids, no
+    * shuffle of embeddings) and one per-(bucket, dim) mean — the
+    * explode shuffles (bucket, idx) 12-byte keys with map-side partial
+    * aggregation collapsing each partition to ≤ k·dim rows, so the
+    * shuffle is O(partitions · k · dim), never O(corpus). Empty
+    * buckets keep their previous centroid, making the refinement
+    * deterministic for a given corpus.
+    */
+  def ivfCentroidsLloyd(corpus: DataFrame, k: Int, iters: Int = 1): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    var cents = ivfCentroids(corpus, k)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, 1).head)
+      val means = corpus
+        .select(assignUdf(col("embedding")).as("bucket"),
+          posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy(col("bucket"), col("idx"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      bc.destroy()
+      cents = next
+    }
+    cents
+  }
 
   private def nearestCentroids(v: Seq[Float], cents: Array[Array[Double]],
       n: Int): Seq[Int] = {
@@ -106,11 +136,14 @@ object Similarity {
     * bucket-partitioned layout at scale); each query probes its
     * `nprobe` nearest buckets and exact cosine ranks the candidates.
     * Complement to LSH: data-adaptive buckets vs oblivious hashes.
+    *
+    * @param lloydIters Lloyd refinement passes over the sample-init
+    *   quantizer (0 = raw sample init)
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = ivfCentroids(corpus, nCentroids)
+    val cents = ivfCentroidsLloyd(corpus, nCentroids, lloydIters)
     val bc = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, 1).head)
     val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, nprobe))

@@ -91,6 +91,57 @@ object Bloom {
   def shardOf(canonUrl: Column, numShards: Int): Column =
     pmod(xxhash64(canonUrl), lit(numShards)).cast("int")
 
+  /** shard key column for an already-hashed 64-bit key */
+  def shardOfHash(h: Column, numShards: Int): Column =
+    pmod(h, lit(numShards)).cast("int")
+
+  /** Build per-shard delta blobs from 64-bit keys (column `h`) — the
+    * long-keyed twin of [[buildShards]] for sets whose members are
+    * already hashes (node ids, xxhash64(src, dst) edge keys).
+    */
+  def buildShardsFromHashes(hashes: DataFrame, numShards: Int,
+      itemsPerShard: Long, fpp: Double): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val agg = udaf(new BuildAgg(itemsPerShard, fpp))
+    hashes
+      .select(shardOfHash(col("h"), numShards).as("shard"), col("h"))
+      .repartition(numShards, $"shard")
+      .groupBy($"shard")
+      .agg(agg($"h").as("bloom"), count(lit(1)).as("count"))
+  }
+
+  /** [[blobsColumnBc]] for an already-hashed 64-bit key column. */
+  def blobsColumnBcHash(bc: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]],
+      numShards: Int, hCol: Column): Column = {
+    val token = java.util.UUID.randomUUID().toString
+    val probeUdf = udf { (h: Long, shard: Int) =>
+      BloomCache.filters(token, bc.value).get(shard).exists(_.mightContainLong(h))
+    }
+    probeUdf(hCol, shardOfHash(hCol, numShards))
+  }
+
+  /** [[probeSeenShuffle]] for 64-bit keys: input column `h`, output
+    * (h, maybe_seen). Same scale shape — one 8-byte-key shuffle, each
+    * blob moves once, one task never holds more than one shard's state.
+    */
+  def probeSeenShuffleHash(candidates: DataFrame, seenShards: DataFrame,
+      numShards: Int): DataFrame = {
+    val probeUdf = udf { (hs: Seq[Long], blob: Array[Byte]) =>
+      val filter = if (blob == null) null else deserialize(blob)
+      hs.map(h => (h, filter != null && filter.mightContainLong(h)))
+    }
+    val grouped = candidates.select(col("h")).distinct()
+      .withColumn("shard", shardOfHash(col("h"), numShards))
+      .repartition(numShards, col("shard"))
+      .groupBy(col("shard"))
+      .agg(collect_list(col("h")).as("hs"))
+    grouped
+      .join(seenShards.select(col("shard"), col("bloom")), Seq("shard"), "left")
+      .select(explode(probeUdf(col("hs"), col("bloom"))).as("r"))
+      .select(col("r._1").as("h"), col("r._2").as("maybe_seen"))
+  }
+
   /** Build per-shard delta blobs for a batch of canonical urls.
     * Input df needs column `canon`; output (shard INT, bloom BINARY,
     * count BIGINT).

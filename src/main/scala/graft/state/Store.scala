@@ -74,6 +74,33 @@ final class Store(val root: String, spark: SparkSession) {
   def segmentDirs(table: String): Vector[String] =
     tables.getOrElse(table, Vector.empty)
 
+  /** Read only the segments that can contain the given shards: shard
+    * segments with a matching `__shard=K` plus every plain
+    * (unsharded) segment — a plain segment may hold any shard's rows,
+    * so it is never skipped (correctness over pruning).
+    */
+  def readShards(table: String, shards: Set[Int]): Option[DataFrame] =
+    tables.get(table)
+      .map(_.filter(d => Store.shardOfDir(d).forall(shards.contains)))
+      .filter(_.nonEmpty)
+      .map(dirs => spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
+
+  /** highest batch id among a table's live segments (−1 if none) —
+    * the watermark for "which appends does a derived snapshot cover"
+    */
+  def maxSegmentBatch(table: String): Long =
+    tables.getOrElse(table, Vector.empty)
+      .map(Store.batchOfDir).foldLeft(-1L)(math.max)
+
+  /** segments of `table` written by batches AFTER `batch` (the LSM
+    * delta a snapshot with watermark `batch` has not folded yet)
+    */
+  def readNewerThan(table: String, batch: Long): Option[DataFrame] =
+    tables.get(table)
+      .map(_.filter(d => Store.batchOfDir(d) > batch))
+      .filter(_.nonEmpty)
+      .map(dirs => spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
+
   /** A staged batch: segments are written eagerly as each call runs
     * (so the caller can interleave driver work — e.g. reading
     * `Observation` metrics off a completed write — between them), and
@@ -90,6 +117,26 @@ final class Store(val root: String, spark: SparkSession) {
       appendIdx += 1
       df.write.mode("overwrite").parquet(s"$root/$rel")
       next = next.updated(table, next.getOrElse(table, Vector.empty) :+ rel)
+    }
+
+    /** Append `df` hash-sharded: one partitioned write emits
+      * `{table}/b{batch}-{n}/__shard=K/` per materialized shard, and
+      * each subdir registers as its OWN segment — so later reads can
+      * be restricted to a shard subset ([[readShards]]). `df` must
+      * carry an int column `__shard`. This is what makes an
+      * append-only table's exact membership confirm o(table): the
+      * probe reads only the shards its candidate keys hash to.
+      */
+    def appendSharded(table: String, df: DataFrame): Unit = {
+      val rel = s"$table/b$newBatchId-$appendIdx"
+      appendIdx += 1
+      df.write.mode("overwrite").partitionBy("__shard").parquet(s"$root/$rel")
+      val written = Files.list(Paths.get(root, rel)).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(p => s"$rel/${p.getFileName}")
+        .filter(Store.shardOfDir(_).isDefined)
+        .toVector.sorted
+      next = next.updated(table, next.getOrElse(table, Vector.empty) ++ written)
     }
 
     def replace(table: String, df: DataFrame): Unit = {
@@ -203,6 +250,14 @@ object Store {
     */
   def shardOfDir(dir: String): Option[Int] =
     "__shard=(\\d+)$".r.findFirstMatchIn(dir).map(_.group(1).toInt)
+
+  /** batch id encoded in a segment dir name: the second path component
+    * is always `b{batch}-{n}` (append) or `r{batch}` (replacement)
+    */
+  def batchOfDir(dir: String): Long = {
+    val seg = dir.split('/')(1)
+    "^[br](\\d+)".r.findFirstMatchIn(seg).map(_.group(1).toLong).getOrElse(-1L)
+  }
 
   def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

@@ -359,6 +359,39 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(nameEdges(engB.store) === oracleEdges)
   }
 
+  test("staggered compaction folds K shards per batch and stays oracle-correct") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-stagger").toString
+    // threshold 0 ⇒ EVERY batch compacts; K=2 of 8 shards fold per
+    // batch, rotating — the worst case for the partial-fold accounting
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 6,
+      compactLogThreshold = 0L, compactShardsPerBatch = 2))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+    // the drain-time residual compaction clears the whole log
+    assert(eng.store.read("frontier_log").map(_.count()).getOrElse(0L) === 0L)
+    assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
+
+    // crash-resume mid-crawl: a fresh engine (rotation pointer resets)
+    // must still converge to the oracle
+    val root2 = Files.createTempDirectory("graft-stagger2").toString
+    val cfg2 = CrawlConfig(site = "wikipedia", batchSize = 6,
+      compactLogThreshold = 0L, compactShardsPerBatch = 3)
+    val engA = newEngine(root2, cfg2)
+    engA.seed(Seq(seedUrl))
+    engA.step(); engA.step()
+    val engB = newEngine(root2, cfg2)
+    engB.run()
+    assert(engB.store.read("nodes").get.select("name")
+      .collect().map(_.getString(0)).toSet === oracleNodes)
+    assert(nameEdges(engB.store) === oracleEdges)
+  }
+
   test("steady-state batch runs a bounded number of Spark jobs") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val root = Files.createTempDirectory("graft-jobs").toString
@@ -390,11 +423,12 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
         val c = counter.get()
         if (c == last) stable += 1 else { stable = 0; last = c }
       }
-      // 6 commit writes (nodes/edges/errors/frontier/seen/metrics) + 3
-      // driver actions (schedule gate, seq-offset collect,
-      // touched-shard collect); r1 ran ~14 — the batch counters now
-      // ride the writes as Observations instead of count() actions
-      assert(last > 0 && last <= 9, s"engine ran $last actions in one batch")
+      // 6 commit writes (nodes/edges/errors/frontier/seen/metrics) + 4
+      // driver actions (schedule gate, seq-offset collect, edge
+      // maybe-shard collect, combined url+edge hash collect); r1 ran
+      // ~14 — batch counters ride the writes as Observations, and the
+      // per-batch reads are O(batch), not O(table)
+      assert(last > 0 && last <= 10, s"engine ran $last actions in one batch")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -3,6 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
+/** injected decoder for the pluggable-codec test (no-arg constructible,
+  * Serializable per the MediaDecoder contract)
+  */
+class FixedTestDecoder extends Multimodal.MediaDecoder {
+  override def decodeMeta(mediaId: Long, payload: Array[Byte]): Multimodal.ImageMeta =
+    Multimodal.ImageMeta(mediaId, width = 7, height = 9, channels = 1, format = "fixed")
+  override def feature(payload: Array[Byte], dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => (i + 1).toFloat)
+}
+
 /** Training-data operator semantics: scala-oracle checks for the ops
   * whose contracts aren't ANSI-SQL-expressible (LSH recall vs exact,
   * simhash locality, multimodal plumbing shape).
@@ -302,6 +312,60 @@ class OpsSpec extends SparkSpec {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf === ivf2)
+  }
+
+  test("IVF Lloyd refinement: distortion strictly drops, recall never worse, deterministic") {
+    val emb = spark.range(0, 200).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin((col("id") % 8) * (i + 1)) +
+          sin(col("id") * (i + 3)) * 0.1).cast("float")).as("embedding"))
+      .cache()
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def distortion(cents: Array[Array[Double]]): Double =
+      vecs.values.map { v =>
+        cents.map { c =>
+          v.indices.map(j => { val d = v(j) - c(j); d * d }).sum
+        }.min
+      }.sum
+    val init = Similarity.ivfCentroids(emb, 12)
+    val refined = Similarity.ivfCentroidsLloyd(emb, 12, iters = 1)
+    assert(distortion(refined) < distortion(init),
+      s"${distortion(refined)} !< ${distortion(init)}")
+    // determinism: same corpus, same refined centroids
+    val refined2 = Similarity.ivfCentroidsLloyd(emb, 12, iters = 1)
+    assert(refined.map(_.toSeq).toSeq === refined2.map(_.toSeq).toSeq)
+    // recall with the refined quantizer is at least the sample-init's
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(lloyd: Int): Double = {
+      val got = Similarity.ivfTopK(queries, emb, k = 5, nCentroids = 12,
+        nprobe = 4, lloydIters = lloyd)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    assert(recall(1) >= recall(0), s"${recall(1)} < ${recall(0)}")
+  }
+
+  test("media decoder is pluggable by class name via spark conf") {
+    val media = Multimodal.syntheticMedia(spark, 5L)
+    spark.conf.set(Multimodal.decoderConfKey, classOf[FixedTestDecoder].getName)
+    try {
+      val meta = Multimodal.decodeMeta(media).collect()
+      assert(meta.forall(m => m.width === 7 && m.height === 9 &&
+        m.channels === 1 && m.format === "fixed"))
+      val frames = Multimodal.sampleFrames(media, strideMs = 1000L,
+        maxFrames = 2, featureDim = 3).collect()
+      assert(frames.forall(_.feature.toSeq === Seq(1f, 2f, 3f)))
+    } finally spark.conf.unset(Multimodal.decoderConfKey)
+    // default routes back to the stub
+    val stubMeta = Multimodal.decodeMeta(media).collect()
+    assert(stubMeta.map(_.format).toSet.subsetOf(Set("png", "jpeg", "mp4")))
   }
 
   test("multimodal: sniffing real, stub decode deterministic, frame fan-out bounded") {
