@@ -162,14 +162,21 @@ object Bench {
     */
   def mapOnlyPipeline(spark: SparkSession, state: BenchState): Long = {
     val pages = spark.table(state.table)
-    val c = pages
+    // 3× the corpus in ONE action (same files scanned three times, one
+    // scalar agg): the control must run long enough at the HIGH core
+    // count (~15 s at 16) that per-job fixed latency (~1.5-2 s of stage
+    // barriers) doesn't read as scaling loss — at 1× the control
+    // finished in ~5 s at local[16] and "measured" a 0.59 ceiling,
+    // below the real pipeline's own 0.65
+    val trip = pages.unionByName(pages).unionByName(pages)
+    val c = trip
       .select(
         size(Extract.extract_links(col("html"), lit("web")).getField("links"))
           .cast("long").as("n"),
         length(canon.canonical_url(col("url"))).cast("long").as("m"))
       .agg(sum(col("n") + col("m"))).head().getLong(0)
     require(c > 0, "map-only pipeline produced nothing")
-    state.nUrls
+    3L * state.nUrls
   }
 
   /** materialize the bench corpus once (outside the timed region);
@@ -183,6 +190,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // local iteration hook: GRAFT_BENCH_SECTIONS=engine (or
+    // "throughput,queries", …) runs a subset of the three phases;
+    // unset = all (the driver's mode). Skipped phases emit 0/-1
+    // placeholders so the JSON shape is stable.
+    val sections = sys.env.get("GRAFT_BENCH_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("throughput", "engine", "queries"))
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.1)
     val nPages = corpusPages(sf)
@@ -244,42 +258,45 @@ object Bench {
     // every level to the same noise and best-of is the noise-robust
     // statistic. Primary N→4N pair is 4→16 — it stays inside the
     // box's clean-scaling envelope; 8→32 is reported alongside.
-    timedSession(16, 2)
     val runs = Map(4 -> scala.collection.mutable.ArrayBuffer.empty[Double],
       8 -> scala.collection.mutable.ArrayBuffer.empty[Double],
       16 -> scala.collection.mutable.ArrayBuffer.empty[Double],
       32 -> scala.collection.mutable.ArrayBuffer.empty[Double])
     val mapRuns = Map(4 -> scala.collection.mutable.ArrayBuffer.empty[Double],
       16 -> scala.collection.mutable.ArrayBuffer.empty[Double])
-    // finer interleave (3 passes × 2 runs) than round 1 (2 × 3): every
-    // level samples every noise window; best-of-6 per level. The 4/16
-    // sessions also time the map-only control inside the SAME session
-    // (same corpus, same noise windows) for the normalized efficiency.
-    (1 to 3).foreach { _ =>
-      Seq(4, 16, 8, 32).foreach { c =>
-        val (m, mo) = timedSession(c, 2, if (c == 4 || c == 16) 2 else 0)
-        runs(c) ++= m
-        if (mo.nonEmpty) mapRuns(c) ++= mo
+    if (sections("throughput")) {
+      timedSession(16, 2)
+      // finer interleave (3 passes × 2 runs) than round 1 (2 × 3): every
+      // level samples every noise window; best-of-6 per level. The 4/16
+      // sessions also time the map-only control inside the SAME session
+      // (same corpus, same noise windows) for the normalized efficiency.
+      (1 to 3).foreach { _ =>
+        Seq(4, 16, 8, 32).foreach { c =>
+          val (m, mo) = timedSession(c, 2, if (c == 4 || c == 16) 2 else 0)
+          runs(c) ++= m
+          if (mo.nonEmpty) mapRuns(c) ++= mo
+        }
       }
     }
-    val best = runs.map { case (c, rs) => c -> rs.max }
+    val best = runs.map { case (c, rs) => c -> (rs :+ 0.0).max }
     val t8 = best(8)
     val t32 = best(32)
-    val eff416 = (best(16) / best(4)) / 4.0
-    val eff832 = (best(32) / best(8)) / 4.0
+    val eff416 = if (best(4) > 0) (best(16) / best(4)) / 4.0 else 0.0
+    val eff832 = if (best(8) > 0) (best(32) / best(8)) / 4.0 else 0.0
     val eff = math.max(eff416, eff832)
     // map-only ceiling at the primary pair + the pipeline's efficiency
     // normalized to it (= how much of the ACHIEVABLE scaling the
     // pipeline keeps once the hypervisor's per-thread tax is factored
     // out by a perfectly-parallel control)
-    val mapEff416 = (mapRuns(16).max / mapRuns(4).max) / 4.0
-    val effNorm = eff416 / mapEff416
+    val mapEff416 =
+      if (mapRuns(4).nonEmpty) (mapRuns(16).max / mapRuns(4).max) / 4.0 else 0.0
+    val effNorm = if (mapEff416 > 0) eff416 / mapEff416 else 0.0
 
     // ---- engine micro-batch wall time at a ≥1M-row pending frontier
     //      (the sharded-frontier criterion: per-batch cost must track
     //      the BATCH, not the frontier — round 1 rewrote the whole
     //      pending set every batch) ----
-    val engineBatches = {
+    val engineBatches = if (!sections("engine")) Seq.empty else {
       val s = session(32)
       try {
         // the BUCKETED corpus table: the fetch join shuffles only the
@@ -331,7 +348,7 @@ object Bench {
     // same noise treatment the throughput phase gets
     val s32 = session(32)
     val qBest = scala.collection.mutable.Map.empty[String, Double]
-    (1 to 3).foreach { _ =>
+    (1 to (if (sections("queries")) 3 else 0)).foreach { _ =>
       headline.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val t0 = System.nanoTime()

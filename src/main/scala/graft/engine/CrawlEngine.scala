@@ -78,18 +78,21 @@ final case class BatchResult(
   *     `Observation`s instead of separate count() actions; per batch
   *     the driver runs ≤4 non-write jobs (schedule gate,
   *     sequence-count collect, edge maybe-shard collect, and — in
-  *     driver-seen mode — one combined url+edge hash collect), pinned
-  *     by an EngineSpec listener test.
+  *     driver-seen mode — one url hash collect), pinned by an
+  *     EngineSpec listener test.
   *   - Node/edge dedup never scans its full table per batch: the node
   *     dictionary is probed by a broadcast semi-join over the NAME
   *     column only (no shuffle), and edge presence is two-phase — a
-  *     sharded Bloom (blobs in `edges_bloom`, folded at compaction;
-  *     the un-folded delta is the edge segments past the watermark)
+  *     sharded Bloom (blobs in `edges_bloom`, COMPACTION-FROZEN: the
+  *     un-folded delta is the edge segments past the watermark,
+  *     excluded by a bounded exact anti-join in both seen modes)
   *     prefilters, then the exact confirm reads only the edge shards
-  *     holding maybes.
+  *     holding maybes. In driver-seen mode the blob broadcast is
+  *     cached across batches (blobs change only at compaction), so
+  *     per-batch edge-state driver cost is zero.
   *   - When the whole filter state fits under
   *     `cfg.seenDriverStateLimit`, the driver keeps the deserialized
-  *     shard filters, folds each batch's new 8-byte hashes in
+  *     URL-seen shard filters, folds each batch's new 8-byte hashes in
   *     (bit-identical to the distributed mergeInPlace) and probes via
   *     a broadcast Column — zero probe jobs/shuffles; durability
   *     comes from the log (replayed into the filters on resume), the
@@ -229,9 +232,12 @@ final class CrawlEngine(
     * serialization would cost O(total filter state) CPU per batch
     * once batchSize ≫ numShards.
     *
-    * Two instances: the canonical-url seen set (J4/A5, durable via
-    * the frontier log) and the edge-presence set (J3/S5, durable via
-    * the edges table's own appended segments past the blob watermark).
+    * One instance: the canonical-url seen set (J4/A5, durable via the
+    * frontier log). The edge-presence family deliberately does NOT
+    * live here: edges are the largest state family, and folding every
+    * batch's edge keys through the driver (collect + absorb +
+    * re-serialize + re-broadcast) made the driver O(batch) per batch.
+    * Edge blobs are compaction-frozen instead (see [[edgeProbeBc]]).
     */
   private final class DriverFilters {
     private val filters = mutable.Map.empty[Int, BloomFilter]
@@ -283,18 +289,45 @@ final class CrawlEngine(
   }
 
   private val urlSeen = new DriverFilters
-  private val edgeSeen = new DriverFilters
 
   /** edge-presence blob watermark: the stored blobs cover edge
     * segments with batch ≤ this; newer segments are the un-folded LSM
-    * delta (driver mode replays them below; shuffle mode anti-joins
-    * them exactly per batch)
+    * delta, excluded by an exact, bounded anti-join every batch (both
+    * seen modes — the blobs are COMPACTION-FROZEN, never updated
+    * per batch)
     */
   private var edgesBloomUpto: Long = store.maxSegmentBatch("edges_bloom")
 
   private def edgeKeyOf(src: Column, dst: Column): Column = xxhash64(src, dst)
   private def edgeShardOf(src: Column, dst: Column): Column =
     Bloom.shardOfHash(edgeKeyOf(src, dst), cfg.numShards)
+
+  /** Driver-mode edge-presence probe: a broadcast of the stored blob
+    * snapshot, CACHED across batches — the blobs only change when a
+    * compaction folds the edge delta, so the per-batch cost is zero
+    * between compactions (no collect, no absorb, no re-serialization;
+    * the url-seen family can't do this because its filters must admit
+    * every batch's discoveries immediately, while edge probes tolerate
+    * a frozen snapshot + delta anti-join). Lazily (re)built from the
+    * store on first use after init/compaction.
+    */
+  private var edgeBlobsBc: Option[Broadcast[Map[Int, Array[Byte]]]] = None
+
+  private def edgeProbeBc(): Broadcast[Map[Int, Array[Byte]]] =
+    edgeBlobsBc.getOrElse {
+      val m = store.read("edges_bloom").map(
+        _.select("shard", "bloom").collect()
+          .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap)
+        .getOrElse(Map.empty[Int, Array[Byte]])
+      val bc = spark.sparkContext.broadcast(m)
+      edgeBlobsBc = Some(bc)
+      bc
+    }
+
+  private def invalidateEdgeProbe(): Unit = {
+    edgeBlobsBc.foreach(_.destroy())
+    edgeBlobsBc = None
+  }
 
   if (driverSeenMode) {
     store.read("seen_shards").foreach(urlSeen.load)
@@ -306,17 +339,9 @@ final class CrawlEngine(
         .collect().map(r => (r.getInt(0), r.getLong(1)))
       urlSeen.absorb(pairs)
     }
-    // edge-presence filters: blob snapshot + replay of edge segments
-    // appended after the watermark (the same resume contract as the
-    // url log replay — bounded by the compaction cadence)
-    store.read("edges_bloom").foreach(edgeSeen.load)
-    store.readNewerThan("edges", edgesBloomUpto).foreach { df =>
-      val pairs = df
-        .select(edgeShardOf(col("src"), col("dst")).as("s"),
-          edgeKeyOf(col("src"), col("dst")).as("h"))
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
-      edgeSeen.absorb(pairs)
-    }
+    // edge-presence state needs no resume replay: the blobs are
+    // compaction-frozen and the post-watermark segments are re-read as
+    // the delta anti-join on every batch
   }
 
   private def emptyFrontier: DataFrame =
@@ -543,9 +568,6 @@ final class CrawlEngine(
     if (driverSeenMode) {
       staged.replaceShards("seen_shards", urlSeen.rows(),
         0 until cfg.numShards, dropUnsharded = true)
-      staged.replaceShards("edges_bloom", edgeSeen.rows(),
-        0 until cfg.numShards, dropUnsharded = true)
-      edgesBloomUpto = batchId
     } else {
       val delta = Bloom.buildShards(
         log.filter(col("kind") === 1).select("canon"),
@@ -556,21 +578,23 @@ final class CrawlEngine(
         .withColumn("__shard", col("shard"))
       staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
         dropUnsharded = true)
-      // fold un-covered edge segments into the edge-presence blobs
-      store.readNewerThan("edges", edgesBloomUpto).foreach { d =>
-        val deltaE = Bloom.buildShardsFromHashes(
-          d.select(edgeKeyOf(col("src"), col("dst")).as("h")),
-          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-        val mergedE = Bloom.mergeShards(
-          store.readOr("edges_bloom", emptySeen), deltaE,
-          cfg.bloomItemsPerShard, cfg.bloomFpp)
-          .withColumn("__shard", col("shard"))
-        staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
-          dropUnsharded = true)
-        edgesBloomUpto = batchId
-      }
+    }
+    // fold un-covered edge segments into the edge-presence blobs
+    // (distributed build+merge, identical in both seen modes)
+    store.readNewerThan("edges", edgesBloomUpto).foreach { d =>
+      val deltaE = Bloom.buildShardsFromHashes(
+        d.select(edgeKeyOf(col("src"), col("dst")).as("h")),
+        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+      val mergedE = Bloom.mergeShards(
+        store.readOr("edges_bloom", emptySeen), deltaE,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+        .withColumn("__shard", col("shard"))
+      staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
+        dropUnsharded = true)
+      edgesBloomUpto = batchId
     }
     staged.publish()
+    invalidateEdgeProbe()
     store.sweepOrphans() // superseded segments are garbage once swapped
     consumedCount = 0L
     logRowCount = 0L
@@ -667,30 +691,28 @@ final class CrawlEngine(
     val candidates = named
       .select(idOf(col("src_name")).as("src"), idOf(col("dst_name")).as("dst"))
       .distinct()
-    val edgeBc: Option[Broadcast[Map[Int, Array[Byte]]]] =
-      if (driverSeenMode) Some(spark.sparkContext.broadcast(edgeSeen.fresh()))
-      else None
-    val probedE = edgeBc match {
-      case Some(bc) =>
-        candidates.withColumn("maybe_present",
-          Bloom.blobsColumnBcHash(bc, cfg.numShards,
-            edgeKeyOf(col("src"), col("dst"))))
-      case None =>
-        val probed = Bloom.probeSeenShuffleHash(
-          candidates.select(edgeKeyOf(col("src"), col("dst")).as("h")),
-          store.readOr("edges_bloom", emptySeen), cfg.numShards)
-        candidates
-          .withColumn("h", edgeKeyOf(col("src"), col("dst")))
-          .join(probed, Seq("h"), "left")
-          .withColumn("maybe_present", coalesce(col("maybe_seen"), lit(false)))
-          .drop("h", "maybe_seen")
-    }
-    // shuffle mode: stored blobs cover only segments ≤ watermark;
-    // newer appends are anti-joined exactly (a bounded LSM delta —
-    // the same contract as the url-seen log)
+    // persisted: BOTH downstream branches (definitely-new filter and
+    // maybe filter) consume it — without the cache the candidates
+    // distinct shuffle and the bloom probe run twice per batch
+    val probedE = (if (driverSeenMode) {
+      candidates.withColumn("maybe_present",
+        Bloom.blobsColumnBcHash(edgeProbeBc(), cfg.numShards,
+          edgeKeyOf(col("src"), col("dst"))))
+    } else {
+      val probed = Bloom.probeSeenShuffleHash(
+        candidates.select(edgeKeyOf(col("src"), col("dst")).as("h")),
+        store.readOr("edges_bloom", emptySeen), cfg.numShards)
+      candidates
+        .withColumn("h", edgeKeyOf(col("src"), col("dst")))
+        .join(probed, Seq("h"), "left")
+        .withColumn("maybe_present", coalesce(col("maybe_seen"), lit(false)))
+        .drop("h", "maybe_seen")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    // the stored blobs cover only segments ≤ watermark; newer appends
+    // are anti-joined exactly (a bounded LSM delta — the same contract
+    // as the url-seen log, in both seen modes)
     val deltaEdges: Option[DataFrame] =
-      if (driverSeenMode) None
-      else store.readNewerThan("edges", edgesBloomUpto)
+      store.readNewerThan("edges", edgesBloomUpto)
     val defNewE0 = probedE.filter(!col("maybe_present")).drop("maybe_present")
     val defNewE = deltaEdges match {
       case Some(d) => defNewE0.join(d, Seq("src", "dst"), "left_anti")
@@ -777,23 +799,18 @@ final class CrawlEngine(
       .withColumn("batch_id", lit(batchId))
       .select(frontierCols: _*)
 
-    // non-write job 4 (driver seen mode only): the batch's new url AND
-    // edge (shard, hash) pairs in ONE collect, feeding the in-memory
-    // filter folds; shuffle mode needs no per-batch collect at all
-    val (newUrlHashes, newEdgeHashes): (Array[(Int, Long)], Array[(Int, Long)]) =
-      if (driverSeenMode) {
-        val rows = newFrontier
-          .select(lit(0).as("k"), shardCol(col("canon")).as("s"),
-            xxhash64(col("canon")).as("h"))
-          .unionByName(newEdges
-            .select(lit(1).as("k"), edgeShardOf(col("src"), col("dst")).as("s"),
-              edgeKeyOf(col("src"), col("dst")).as("h")))
-          .distinct()
-          .collect()
-        val (urls, eds) = rows.partition(_.getInt(0) == 0)
-        (urls.map(r => (r.getInt(1), r.getLong(2))),
-          eds.map(r => (r.getInt(1), r.getLong(2))))
-      } else (Array.empty[(Int, Long)], Array.empty[(Int, Long)])
+    // non-write job 4 (driver seen mode only): the batch's new url
+    // (shard, hash) pairs, feeding the in-memory url filter fold;
+    // shuffle mode needs no per-batch collect at all. Edge hashes are
+    // NOT collected — the edge-presence blobs are compaction-frozen
+    // (the un-folded segments are the delta anti-join above), so the
+    // driver never touches per-batch edge state.
+    val newUrlHashes: Array[(Int, Long)] =
+      if (driverSeenMode)
+        newFrontier
+          .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+      else Array.empty[(Int, Long)]
 
     // --- stage the commit; counters ride the writes as Observations.
     //     NOTE: observe() is attached ON TOP of the persisted Datasets
@@ -805,6 +822,24 @@ final class CrawlEngine(
     val obsErr = Observation()
     val obsDepth = Observation()
     val staged = store.stage(batchId)
+    // edge-presence blob fold (compaction only, both seen modes): the
+    // un-covered edge segments + this batch's delta, built and merged
+    // distributedly (deltaEdges excludes this batch — its append is
+    // staged but the probe plans read the previous snapshot). The
+    // write is bounded by the filter-state limit, not the edge table.
+    def stageEdgeBloomFold(): Unit = {
+      val deltaKeys = deltaEdges.map(_.unionByName(newEdges.select("src", "dst")))
+        .getOrElse(newEdges.select("src", "dst"))
+        .select(edgeKeyOf(col("src"), col("dst")).as("h"))
+      val deltaE = Bloom.buildShardsFromHashes(deltaKeys,
+        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+      val mergedE = Bloom.mergeShards(
+        store.readOr("edges_bloom", emptySeen), deltaE,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+        .withColumn("__shard", col("shard"))
+      staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
+        dropUnsharded = true)
+    }
     staged.append("nodes", newNodes.observe(obsNodes, count(lit(1)).as("n")))
     // edges land hash-sharded so future exact confirms can read only
     // the shards their maybes hash to
@@ -826,10 +861,7 @@ final class CrawlEngine(
     val doCompact = logRowCount + selCount + newCount >= compactThreshold
     val staggered = doCompact && cfg.compactShardsPerBatch > 0
     val obsLog = Observation() // staggered: counts the log's remainder
-    if (driverSeenMode) {
-      urlSeen.absorb(newUrlHashes)
-      edgeSeen.absorb(newEdgeHashes)
-    }
+    if (driverSeenMode) urlSeen.absorb(newUrlHashes)
     if (!doCompact) {
       // LSM append path — O(batch) bytes: new frontier rows + the
       // (canon, kind) log delta. Base shards and base blobs untouched;
@@ -876,8 +908,6 @@ final class CrawlEngine(
         staged.replaceShards("seen_shards",
           urlSeen.rows().filter(col("shard").isin(foldShards.toSeq: _*)),
           foldShards.toSeq)
-        staged.replaceShards("edges_bloom", edgeSeen.rows(),
-          0 until cfg.numShards, dropUnsharded = true)
       } else {
         val newCanonsS = log.filter(col("kind") === 1)
           .unionByName(logDelta.filter(col("kind") === 1))
@@ -890,20 +920,10 @@ final class CrawlEngine(
           cfg.bloomItemsPerShard, cfg.bloomFpp)
           .withColumn("__shard", col("shard"))
         staged.replaceShards("seen_shards", merged, foldShards.toSeq)
-        // edge-presence blobs stay a FULL fold: their write is bounded
-        // by the filter-state limit, not by the frontier
-        val deltaKeys = deltaEdges.map(_.unionByName(newEdges.select("src", "dst")))
-          .getOrElse(newEdges.select("src", "dst"))
-          .select(edgeKeyOf(col("src"), col("dst")).as("h"))
-        val deltaE = Bloom.buildShardsFromHashes(deltaKeys,
-          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-        val mergedE = Bloom.mergeShards(
-          store.readOr("edges_bloom", emptySeen), deltaE,
-          cfg.bloomItemsPerShard, cfg.bloomFpp)
-          .withColumn("__shard", col("shard"))
-        staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
-          dropUnsharded = true)
       }
+      // edge-presence blobs stay a FULL fold: their write is bounded
+      // by the filter-state limit, not by the frontier
+      stageEdgeBloomFold()
     } else {
       // compaction batch: fold the whole log + this batch into the
       // sharded bases and truncate the log. Amortized O(frontier /
@@ -918,8 +938,6 @@ final class CrawlEngine(
       if (driverSeenMode) {
         staged.replaceShards("seen_shards", urlSeen.rows(),
           0 until cfg.numShards, dropUnsharded = true)
-        staged.replaceShards("edges_bloom", edgeSeen.rows(),
-          0 until cfg.numShards, dropUnsharded = true)
       } else {
         val allNewCanons = log.filter(col("kind") === 1).select("canon")
           .unionByName(newFrontier.select("canon"))
@@ -931,21 +949,8 @@ final class CrawlEngine(
           .withColumn("__shard", col("shard"))
         staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
           dropUnsharded = true)
-        // edge-presence blobs: fold the un-covered segments + this
-        // batch's delta (deltaEdges excludes this batch — its append
-        // is staged but the probe plans read the previous snapshot)
-        val deltaKeys = deltaEdges.map(_.unionByName(newEdges.select("src", "dst")))
-          .getOrElse(newEdges.select("src", "dst"))
-          .select(edgeKeyOf(col("src"), col("dst")).as("h"))
-        val deltaE = Bloom.buildShardsFromHashes(deltaKeys,
-          cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-        val mergedE = Bloom.mergeShards(
-          store.readOr("edges_bloom", emptySeen), deltaE,
-          cfg.bloomItemsPerShard, cfg.bloomFpp)
-          .withColumn("__shard", col("shard"))
-        staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
-          dropUnsharded = true)
       }
+      stageEdgeBloomFold()
     }
 
     // --- metrics (A1-A3) with per-partition lineage (north_rule);
@@ -987,11 +992,13 @@ final class CrawlEngine(
     }
     totalNodesAdded += nodesAddedCount
 
-    Seq(selected, extracted, named, batchNames, newNodes, maybeE, newEdges)
-      .foreach(_.unpersist())
+    Seq(selected, extracted, named, batchNames, newNodes, probedE, maybeE,
+      newEdges).foreach(_.unpersist())
     seqHandle.foreach(_.unpersist())
     probeBc.foreach(_.destroy())
-    edgeBc.foreach(_.destroy())
+    // a compaction rewrote the edge blobs — the cached probe broadcast
+    // is stale; the next batch re-reads + re-broadcasts the snapshot
+    if (doCompact) invalidateEdgeProbe()
 
     Some(BatchResult(batchId, selCount, errorCount, nodesAddedCount,
       edgesAddedCount, maxDepthBatch, pendingCount))

@@ -90,23 +90,21 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
   /** Lloyd refinement of the sample-init centroids: each iteration is
-    * one assignment pass over the corpus (broadcast centroids, no
-    * shuffle of embeddings) and one per-(bucket, dim) mean — the
-    * explode shuffles (bucket, idx) 12-byte keys with map-side partial
-    * aggregation collapsing each partition to ≤ k·dim rows, so the
-    * shuffle is O(partitions · k · dim), never O(corpus). Empty
-    * buckets keep their previous centroid, making the refinement
-    * deterministic for a given corpus.
+    * one assignment pass over the corpus (centroids inlined as plan
+    * literals, no shuffle of embeddings) and one per-(bucket, dim)
+    * mean — the explode shuffles (bucket, idx) 12-byte keys with
+    * map-side partial aggregation collapsing each partition to
+    * ≤ k·dim rows, so the shuffle is O(partitions · k · dim), never
+    * O(corpus). Empty buckets keep their previous centroid, making
+    * the refinement deterministic for a given corpus.
     */
   def ivfCentroidsLloyd(corpus: DataFrame, k: Int, iters: Int = 1): Array[Array[Double]] = {
-    val spark = corpus.sparkSession
     var cents = ivfCentroids(corpus, k)
     for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, 1).head)
       val means = corpus
-        .select(assignUdf(col("embedding")).as("bucket"),
-          posexplode(col("embedding")).as(Seq("idx", "v")))
+        .select(assignBucket(col("embedding"), cents).as("bucket"),
+          col("embedding"))
+        .select(col("bucket"), posexplode(col("embedding")).as(Seq("idx", "v")))
         .groupBy(col("bucket"), col("idx"))
         .agg(avg(col("v")).as("m"))
         .collect()
@@ -114,22 +112,37 @@ object Similarity {
       means.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
-      bc.destroy()
       cents = next
     }
     cents
   }
 
-  private def nearestCentroids(v: Seq[Float], cents: Array[Array[Double]],
-      n: Int): Seq[Int] = {
-    val ds = cents.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
-      (d, i)
-    }
-    ds.sortBy { case (d, i) => (d, i) }.take(n).map(_._2).toSeq
-  }
+  /** Per-centroid distance scores as `array<struct<d, i>>`, built from
+    * codegen'd [[dot]] products (argmin of |c|² − 2·v·c ≡ argmin of
+    * ‖v − c‖², the |v|² term is constant per row). A Scala UDF here
+    * boxed every embedding into a Seq and sorted k tuples per CALL —
+    * and the Lloyd pass evaluated it per exploded element (dim× per
+    * row) inside a single input task: 7.7 s for 2000×64 floats. The
+    * expression form stays in whole-stage codegen: 0.6 s.
+    */
+  private def centScores(embedding: Column,
+      cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * dot(embedding, array(c.map(lit): _*))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+
+  /** nearest-centroid bucket id (ties → lowest index, via struct order) */
+  def assignBucket(embedding: Column, cents: Array[Array[Double]]): Column =
+    array_min(centScores(embedding, cents)).getField("i")
+
+  /** the `nprobe` nearest centroid ids, nearest first */
+  def probeBuckets(embedding: Column, cents: Array[Array[Double]],
+      nprobe: Int): Column =
+    transform(slice(array_sort(centScores(embedding, cents)), 1, nprobe),
+      s => s.getField("i"))
 
   /** Approximate top-k via IVF: corpus rows live in their nearest
     * centroid's bucket (one shuffle-free assignment pass + one
@@ -142,16 +155,12 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
     val cents = ivfCentroidsLloyd(corpus, nCentroids, lloydIters)
-    val bc = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, 1).head)
-    val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, nprobe))
 
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      assignUdf(col("embedding")).as("bucket"))
+      assignBucket(col("embedding"), cents).as("bucket"))
     val probed = queries.select(col("query_id"), col("embedding"),
-      explode(probeUdf(col("embedding"))).as("bucket"))
+      explode(probeBuckets(col("embedding"), cents, nprobe)).as("bucket"))
 
     val cands = bucketed.as("c")
       .join(broadcast(probed.as("q")),
