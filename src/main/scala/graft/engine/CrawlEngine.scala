@@ -77,19 +77,18 @@ final case class BatchResult(
   *   - Batch counters ride the commit's own write jobs as
   *     `Observation`s instead of separate count() actions; per batch
   *     the driver runs ≤4 non-write jobs (schedule gate,
-  *     sequence-count collect, edge maybe-shard collect, and — in
-  *     driver-seen mode — one url hash collect), pinned by an
-  *     EngineSpec listener test.
-  *   - Node/edge dedup never scans its full table per batch: the node
-  *     dictionary is probed by a broadcast semi-join over the NAME
-  *     column only (no shuffle), and edge presence is two-phase — a
-  *     sharded Bloom (blobs in `edges_bloom`, COMPACTION-FROZEN: the
-  *     un-folded delta is the edge segments past the watermark,
-  *     excluded by a bounded exact anti-join in both seen modes)
-  *     prefilters, then the exact confirm reads only the edge shards
-  *     holding maybes. In driver-seen mode the blob broadcast is
+  *     sequence-count collect, one fused node+edge maybe-shard
+  *     collect, and — in driver-seen mode — one url hash collect),
+  *     pinned by an EngineSpec listener test.
+  *   - Node/edge dedup never reads its full table per batch: BOTH
+  *     families are two-phase — a sharded Bloom (blobs in
+  *     `nodes_bloom`/`edges_bloom`, COMPACTION-FROZEN: the un-folded
+  *     delta is the base segments past the watermark, excluded by a
+  *     bounded exact anti-join in both seen modes) prefilters, then
+  *     the exact confirm reads only the hash-sharded base shards
+  *     holding maybes. In driver-seen mode the blob broadcasts are
   *     cached across batches (blobs change only at compaction), so
-  *     per-batch edge-state driver cost is zero.
+  *     per-batch node/edge-state driver cost is zero.
   *   - When the whole filter state fits under
   *     `cfg.seenDriverStateLimit`, the driver keeps the deserialized
   *     URL-seen shard filters, folds each batch's new 8-byte hashes in
@@ -290,44 +289,84 @@ final class CrawlEngine(
 
   private val urlSeen = new DriverFilters
 
-  /** edge-presence blob watermark: the stored blobs cover edge
-    * segments with batch ≤ this; newer segments are the un-folded LSM
-    * delta, excluded by an exact, bounded anti-join every batch (both
-    * seen modes — the blobs are COMPACTION-FROZEN, never updated
-    * per batch)
-    */
-  private var edgesBloomUpto: Long = store.maxSegmentBatch("edges_bloom")
-
   private def edgeKeyOf(src: Column, dst: Column): Column = xxhash64(src, dst)
   private def edgeShardOf(src: Column, dst: Column): Column =
     Bloom.shardOfHash(edgeKeyOf(src, dst), cfg.numShards)
+  private def nameKeyOf(name: Column): Column = xxhash64(name)
+  private def nameShardOf(name: Column): Column =
+    Bloom.shardOfHash(nameKeyOf(name), cfg.numShards)
 
-  /** Driver-mode edge-presence probe: a broadcast of the stored blob
-    * snapshot, CACHED across batches — the blobs only change when a
-    * compaction folds the edge delta, so the per-batch cost is zero
-    * between compactions (no collect, no absorb, no re-serialization;
-    * the url-seen family can't do this because its filters must admit
-    * every batch's discoveries immediately, while edge probes tolerate
-    * a frozen snapshot + delta anti-join). Lazily (re)built from the
-    * store on first use after init/compaction.
+  /** A COMPACTION-FROZEN sharded blob family over an append-only base
+    * table (edge presence over `edges`, node-name presence over
+    * `nodes`). The stored blobs cover base segments with batch ≤
+    * `upto`; newer segments are the un-folded LSM delta, excluded by
+    * an exact, bounded anti-join every batch (both seen modes — the
+    * blobs are never updated per batch, so the driver never collects
+    * or folds per-batch keys for these families).
+    *
+    * In driver-seen mode the probe broadcast is CACHED across batches —
+    * the blobs only change when a compaction folds the delta, so the
+    * per-batch driver cost is zero between compactions (no collect, no
+    * absorb, no re-serialization; the url-seen family can't do this
+    * because its filters must admit every batch's discoveries
+    * immediately, while presence probes tolerate a frozen snapshot +
+    * delta anti-join). Lazily (re)built from the store on first use
+    * after init/compaction.
     */
-  private var edgeBlobsBc: Option[Broadcast[Map[Int, Array[Byte]]]] = None
+  private final class FrozenBlobs(val table: String) {
+    var upto: Long = store.maxSegmentBatch(table)
+    private var bcOpt: Option[Broadcast[Map[Int, Array[Byte]]]] = None
 
-  private def edgeProbeBc(): Broadcast[Map[Int, Array[Byte]]] =
-    edgeBlobsBc.getOrElse {
-      val m = store.read("edges_bloom").map(
+    def bc(): Broadcast[Map[Int, Array[Byte]]] = bcOpt.getOrElse {
+      val m = store.read(table).map(
         _.select("shard", "bloom").collect()
           .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap)
         .getOrElse(Map.empty[Int, Array[Byte]])
-      val bc = spark.sparkContext.broadcast(m)
-      edgeBlobsBc = Some(bc)
-      bc
+      val b = spark.sparkContext.broadcast(m)
+      bcOpt = Some(b)
+      b
     }
 
-  private def invalidateEdgeProbe(): Unit = {
-    edgeBlobsBc.foreach(_.destroy())
-    edgeBlobsBc = None
+    def invalidate(): Unit = {
+      bcOpt.foreach(_.destroy())
+      bcOpt = None
+    }
   }
+
+  private val edgeBlobs = new FrozenBlobs("edges_bloom")
+  private val nodeBlobs = new FrozenBlobs("nodes_bloom")
+
+  /** Fold every `base` segment past the family's watermark, plus the
+    * staged-but-unpublished `extraKeys` delta, into the frozen blobs
+    * (distributed build+merge, identical in both seen modes; the
+    * write is bounded by the filter-state limit, not the base table).
+    * Advances the watermark to `batchId`.
+    */
+  private def stageBlobFold(staged: Store#Staged, fam: FrozenBlobs,
+      base: String, keyOf: DataFrame => DataFrame,
+      extraKeys: Option[DataFrame], batchId: Long): Unit = {
+    val deltaSegs = store.readNewerThan(base, fam.upto).map(keyOf)
+    val keys = (deltaSegs, extraKeys) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    keys.foreach { k =>
+      val delta = Bloom.buildShardsFromHashes(k,
+        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
+      val merged = Bloom.mergeShards(
+        store.readOr(fam.table, emptySeen), delta,
+        cfg.bloomItemsPerShard, cfg.bloomFpp)
+        .withColumn("__shard", col("shard"))
+      staged.replaceShards(fam.table, merged, 0 until cfg.numShards,
+        dropUnsharded = true)
+      fam.upto = batchId
+    }
+  }
+
+  private def edgeKeys(df: DataFrame): DataFrame =
+    df.select(edgeKeyOf(col("src"), col("dst")).as("h"))
+  private def nameKeys(df: DataFrame): DataFrame =
+    df.select(nameKeyOf(col("name")).as("h"))
 
   if (driverSeenMode) {
     store.read("seen_shards").foreach(urlSeen.load)
@@ -424,7 +463,10 @@ final class CrawlEngine(
           Seq("name"), "left_anti"))
 
     val staged = store.stage(batchId)
-    staged.append("nodes", nodes0)
+    // nodes always land hash-sharded (step's exact confirm reads only
+    // the shards its maybes hash to; plain segments are never pruned)
+    staged.appendSharded("nodes", shardPacked(
+      nodes0.withColumn("__shard", nameShardOf(col("name")))))
     // seeding defines the state afresh: replace ALL shards, drop any
     // stale append segments and truncate the log
     staged.replaceShards("frontier", frontier0, 0 until cfg.numShards,
@@ -501,7 +543,8 @@ final class CrawlEngine(
     // keeps the frontier layout uniform (staggered compaction relies
     // on every segment being shard-addressable).
     val staged = store.stage(batchId)
-    staged.append("nodes", newNodes)
+    staged.appendSharded("nodes", shardPacked(
+      newNodes.withColumn("__shard", nameShardOf(col("name")))))
     staged.appendSharded("frontier", shardPacked(
       fresh.withColumn("__shard", shardCol(col("canon")))))
     staged.append("frontier_log",
@@ -579,22 +622,12 @@ final class CrawlEngine(
       staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
         dropUnsharded = true)
     }
-    // fold un-covered edge segments into the edge-presence blobs
-    // (distributed build+merge, identical in both seen modes)
-    store.readNewerThan("edges", edgesBloomUpto).foreach { d =>
-      val deltaE = Bloom.buildShardsFromHashes(
-        d.select(edgeKeyOf(col("src"), col("dst")).as("h")),
-        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-      val mergedE = Bloom.mergeShards(
-        store.readOr("edges_bloom", emptySeen), deltaE,
-        cfg.bloomItemsPerShard, cfg.bloomFpp)
-        .withColumn("__shard", col("shard"))
-      staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
-        dropUnsharded = true)
-      edgesBloomUpto = batchId
-    }
+    // fold un-covered edge/node segments into the frozen blob families
+    stageBlobFold(staged, edgeBlobs, "edges", edgeKeys, None, batchId)
+    stageBlobFold(staged, nodeBlobs, "nodes", nameKeys, None, batchId)
     staged.publish()
-    invalidateEdgeProbe()
+    edgeBlobs.invalidate()
+    nodeBlobs.invalidate()
     store.sweepOrphans() // superseded segments are garbage once swapped
     consumedCount = 0L
     logRowCount = 0L
@@ -607,7 +640,6 @@ final class CrawlEngine(
     val frontierRaw = store.readOr("frontier", emptyFrontier)
     val log = store.readOr("frontier_log", emptyLog)
     val frontier = frontierView(frontierRaw, log)
-    val nodes = store.readOr("nodes", emptyNodes)
 
     // --- schedule: politeness cap, then global priority-ordered take ---
     val eligible = politenessCap(frontier)
@@ -654,25 +686,41 @@ final class CrawlEngine(
       .dropDuplicates("src_url", "dst_name")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- node upsert (S6/J1): broadcast-probe semi-scan. The
-    //     dictionary is scanned (name column ONLY — parquet prunes the
-    //     id column away) but never shuffled: the batch's names
-    //     broadcast into a semi-join that emits the batch-bounded
-    //     known subset, and the anti-join against that small set is
-    //     partition-local. The earlier shuffle-both-sides anti-join
-    //     moved the whole dictionary's strings every batch.
-    //     (Exact O(batch) node dedup — no dictionary scan at all —
-    //     needs executor-resident keyed state; documented seam, see
-    //     BASELINE.md. The scan is the name column of a table 1-2
-    //     orders smaller than edges.)
+    // --- node upsert (S6/J1): two-phase insert-if-absent with
+    //     O(batch) reads, the same shape as edges below. The frozen
+    //     nodes_bloom prefilters the batch's names; definitely-new
+    //     names are anti-joined against the un-folded node-segment
+    //     delta, and the exact confirm reads ONLY the node shards
+    //     holding maybes (their name column — never the full
+    //     dictionary; the earlier full name-column semi-scan was the
+    //     last per-batch O(table) read in the engine). ---
     val batchNames = named.select(col("dst_name").as("name"))
       .union(extracted.select(col("src_name").as("name")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val knownNames = nodes.select("name")
-      .join(broadcast(batchNames), Seq("name"), "left_semi")
-    val newNodes = withCollisionGuard(
-      batchNames.join(broadcast(knownNames), Seq("name"), "left_anti"))
+    val probedN = (if (driverSeenMode) {
+      batchNames.withColumn("maybe_present",
+        Bloom.blobsColumnBcHash(nodeBlobs.bc(), cfg.numShards,
+          nameKeyOf(col("name"))))
+    } else {
+      val probed = Bloom.probeSeenShuffleHash(
+        batchNames.select(nameKeyOf(col("name")).as("h")),
+        store.readOr("nodes_bloom", emptySeen), cfg.numShards)
+      batchNames
+        .withColumn("h", nameKeyOf(col("name")))
+        .join(probed, Seq("h"), "left")
+        .withColumn("maybe_present", coalesce(col("maybe_seen"), lit(false)))
+        .drop("h", "maybe_seen")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val deltaNodes: Option[DataFrame] =
+      store.readNewerThan("nodes", nodeBlobs.upto)
+    val defNewN0 = probedN.filter(!col("maybe_present")).drop("maybe_present")
+    val defNewN = deltaNodes match {
+      case Some(d) => defNewN0.join(d.select("name"), Seq("name"), "left_anti")
+      case None => defNewN0
+    }
+    val maybeN = probedN.filter(col("maybe_present")).drop("maybe_present")
+      .withColumn("__nshard", nameShardOf(col("name")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- edges (J3/S5): two-phase insert-if-absent with O(batch)
@@ -696,7 +744,7 @@ final class CrawlEngine(
     // distinct shuffle and the bloom probe run twice per batch
     val probedE = (if (driverSeenMode) {
       candidates.withColumn("maybe_present",
-        Bloom.blobsColumnBcHash(edgeProbeBc(), cfg.numShards,
+        Bloom.blobsColumnBcHash(edgeBlobs.bc(), cfg.numShards,
           edgeKeyOf(col("src"), col("dst"))))
     } else {
       val probed = Bloom.probeSeenShuffleHash(
@@ -712,7 +760,7 @@ final class CrawlEngine(
     // are anti-joined exactly (a bounded LSM delta — the same contract
     // as the url-seen log, in both seen modes)
     val deltaEdges: Option[DataFrame] =
-      store.readNewerThan("edges", edgesBloomUpto)
+      store.readNewerThan("edges", edgeBlobs.upto)
     val defNewE0 = probedE.filter(!col("maybe_present")).drop("maybe_present")
     val defNewE = deltaEdges match {
       case Some(d) => defNewE0.join(d, Seq("src", "dst"), "left_anti")
@@ -721,9 +769,30 @@ final class CrawlEngine(
     val maybeE = probedE.filter(col("maybe_present")).drop("maybe_present")
       .withColumn("__eshard", edgeShardOf(col("src"), col("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // non-write job: the (tiny) maybe-shard set bounds the confirm read
-    val maybeShards = maybeE.select("__eshard").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // non-write job: ONE collect fetches BOTH families' (tiny)
+    // maybe-shard sets — they bound the exact confirm reads
+    val maybeShardRows =
+      maybeN.select(lit(0).as("f"), col("__nshard").as("s")).distinct()
+        .unionByName(
+          maybeE.select(lit(1).as("f"), col("__eshard").as("s")).distinct())
+        .collect()
+    val maybeNShards =
+      maybeShardRows.filter(_.getInt(0) == 0).map(_.getInt(1)).toSet
+    val maybeShards =
+      maybeShardRows.filter(_.getInt(0) == 1).map(_.getInt(1)).toSet
+    val confirmedNewNodes =
+      if (maybeNShards.isEmpty) emptyNodes.select("name")
+      else {
+        val existing = store.readShards("nodes", maybeNShards)
+          .getOrElse(emptyNodes).select("name")
+        val hits = existing.join(broadcast(maybeN.select("name")),
+          Seq("name"), "left_semi")
+        maybeN.select("name")
+          .join(broadcast(hits), Seq("name"), "left_anti")
+      }
+    val newNodes = withCollisionGuard(
+      defNewN.select("name").unionByName(confirmedNewNodes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val confirmedNewEdges =
       if (maybeShards.isEmpty) emptyEdges
       else {
@@ -822,27 +891,21 @@ final class CrawlEngine(
     val obsErr = Observation()
     val obsDepth = Observation()
     val staged = store.stage(batchId)
-    // edge-presence blob fold (compaction only, both seen modes): the
-    // un-covered edge segments + this batch's delta, built and merged
-    // distributedly (deltaEdges excludes this batch — its append is
-    // staged but the probe plans read the previous snapshot). The
-    // write is bounded by the filter-state limit, not the edge table.
-    def stageEdgeBloomFold(): Unit = {
-      val deltaKeys = deltaEdges.map(_.unionByName(newEdges.select("src", "dst")))
-        .getOrElse(newEdges.select("src", "dst"))
-        .select(edgeKeyOf(col("src"), col("dst")).as("h"))
-      val deltaE = Bloom.buildShardsFromHashes(deltaKeys,
-        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-      val mergedE = Bloom.mergeShards(
-        store.readOr("edges_bloom", emptySeen), deltaE,
-        cfg.bloomItemsPerShard, cfg.bloomFpp)
-        .withColumn("__shard", col("shard"))
-      staged.replaceShards("edges_bloom", mergedE, 0 until cfg.numShards,
-        dropUnsharded = true)
+    // frozen-blob folds (compaction only, both seen modes): the
+    // un-covered base segments + this batch's staged delta (the delta
+    // DFs exclude this batch — its appends are staged but the probe
+    // plans read the previous snapshot)
+    def stageBlobFolds(): Unit = {
+      stageBlobFold(staged, edgeBlobs, "edges", edgeKeys,
+        Some(edgeKeys(newEdges.select("src", "dst"))), batchId)
+      stageBlobFold(staged, nodeBlobs, "nodes", nameKeys,
+        Some(nameKeys(newNodes.select("name"))), batchId)
     }
-    staged.append("nodes", newNodes.observe(obsNodes, count(lit(1)).as("n")))
-    // edges land hash-sharded so future exact confirms can read only
-    // the shards their maybes hash to
+    // nodes land hash-sharded (like edges) so future exact confirms
+    // can read only the shards their maybes hash to
+    staged.appendSharded("nodes", shardPacked(newNodes
+      .withColumn("__shard", nameShardOf(col("name"))))
+      .observe(obsNodes, count(lit(1)).as("n")))
     staged.appendSharded("edges", shardPacked(newEdges
       .withColumn("__shard", edgeShardOf(col("src"), col("dst"))))
       .observe(obsEdges, count(lit(1)).as("n")))
@@ -923,7 +986,7 @@ final class CrawlEngine(
       }
       // edge-presence blobs stay a FULL fold: their write is bounded
       // by the filter-state limit, not by the frontier
-      stageEdgeBloomFold()
+      stageBlobFolds()
     } else {
       // compaction batch: fold the whole log + this batch into the
       // sharded bases and truncate the log. Amortized O(frontier /
@@ -950,7 +1013,7 @@ final class CrawlEngine(
         staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
           dropUnsharded = true)
       }
-      stageEdgeBloomFold()
+      stageBlobFolds()
     }
 
     // --- metrics (A1-A3) with per-partition lineage (north_rule);
@@ -975,7 +1038,7 @@ final class CrawlEngine(
     staged.publish()
     if (doCompact) {
       store.sweepOrphans() // drop superseded segment dirs
-      edgesBloomUpto = batchId // blobs now cover every edge segment
+      // blob watermarks advanced inside stageBlobFolds
     }
 
     pendingCount = pendingCount - selCount + newCount
@@ -992,13 +1055,13 @@ final class CrawlEngine(
     }
     totalNodesAdded += nodesAddedCount
 
-    Seq(selected, extracted, named, batchNames, newNodes, probedE, maybeE,
-      newEdges).foreach(_.unpersist())
+    Seq(selected, extracted, named, batchNames, probedN, maybeN, newNodes,
+      probedE, maybeE, newEdges).foreach(_.unpersist())
     seqHandle.foreach(_.unpersist())
     probeBc.foreach(_.destroy())
     // a compaction rewrote the edge blobs — the cached probe broadcast
     // is stale; the next batch re-reads + re-broadcasts the snapshot
-    if (doCompact) invalidateEdgeProbe()
+    if (doCompact) { edgeBlobs.invalidate(); nodeBlobs.invalidate() }
 
     Some(BatchResult(batchId, selCount, errorCount, nodesAddedCount,
       edgesAddedCount, maxDepthBatch, pendingCount))
