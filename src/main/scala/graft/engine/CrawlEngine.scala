@@ -498,13 +498,19 @@ final class CrawlEngine(
     * already seen are dropped, the rest join the frontier at depth 0
     * via the LSM append path — O(fresh) bytes written, no base
     * segment touched.
+    *
+    * Reads are O(batch), not O(state), the same two-phase shape as
+    * step(): the url-seen bloom (⊇ the pending frontier — no false
+    * negatives; in shuffle mode the post-compaction window is repaired
+    * from the bounded log) prefilters the canons, so the pending-
+    * frontier confirm reads ONLY the frontier shards holding maybes;
+    * node membership uses the frozen nodes_bloom + shard-restricted
+    * confirm + delta anti-join exactly as in step(). A streaming
+    * micro-batch no longer scans the full frontier or dictionary.
     */
   def enqueue(urls: Seq[String]): Unit = {
     if (!store.exists("frontier")) { seed(urls); return }
-    val frontier = frontierView(
-      store.readOr("frontier", emptyFrontier),
-      store.readOr("frontier_log", emptyLog))
-    val nodes = store.readOr("nodes", emptyNodes)
+    val log = store.readOr("frontier_log", emptyLog)
     val batchId = store.batchId + 1
     val seedDf = applyRobots(
       urls.distinct.zipWithIndex.toDF("url", "i")
@@ -515,12 +521,90 @@ final class CrawlEngine(
         .withColumn("priority", lit(0L))
         .withColumn("batch_id", lit(batchId))
         .drop("i"))
-    val fresh = seedDf
-      .join(frontier.select("canon"), Seq("canon"), "left_anti")
-      .join(nodes.select(col("name")),
-        profile.cleanName(col("url")) === col("name"), "left_anti")
-      .select(frontierCols: _*)
+      .withColumn("name", profile.cleanName(col("url")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // url maybe-set: bloom probe, widened in shuffle mode by the
+    // window log (canons enqueued since the last compaction are not in
+    // the stored blobs — the log is the exact, bounded repair set)
+    val probeBc: Option[Broadcast[Map[Int, Array[Byte]]]] =
+      if (driverSeenMode) Some(spark.sparkContext.broadcast(urlSeen.fresh()))
+      else None
+    val probedU0 = probeBc match {
+      case Some(bc) =>
+        seedDf.withColumn("maybe_seen",
+          Bloom.blobsColumnBc(bc, cfg.numShards, col("canon")))
+      case None =>
+        val probed = Bloom.probeSeenShuffle(seedDf,
+          store.readOr("seen_shards", emptySeen), cfg.numShards)
+        seedDf.join(probed, Seq("canon"), "left")
+          .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
+    }
+    val probedU =
+      if (driverSeenMode || logRowCount == 0L) probedU0
+      else probedU0
+        .join(log.filter(col("kind") === 1).select("canon").distinct()
+          .withColumn("__w", lit(true)), Seq("canon"), "left")
+        .withColumn("maybe_seen", col("maybe_seen") || coalesce(col("__w"), lit(false)))
+        .drop("__w")
+    val maybeU = probedU.filter(col("maybe_seen"))
+      .withColumn("__ushard", shardCol(col("canon")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // node maybe-set over ALL candidate names (superset of the url
+    // survivors — the confirm is exact, extra maybes only cost reads)
+    val probedN = (if (driverSeenMode) {
+      seedDf.withColumn("maybe_node",
+        Bloom.blobsColumnBcHash(nodeBlobs.bc(), cfg.numShards,
+          nameKeyOf(col("name"))))
+    } else {
+      val probed = Bloom.probeSeenShuffleHash(
+        seedDf.select(nameKeyOf(col("name")).as("h")),
+        store.readOr("nodes_bloom", emptySeen), cfg.numShards)
+      seedDf
+        .withColumn("h", nameKeyOf(col("name")))
+        .join(probed, Seq("h"), "left")
+        .withColumn("maybe_node", coalesce(col("maybe_seen"), lit(false)))
+        .drop("h", "maybe_seen")
+    })
+    val maybeN = probedN.filter(col("maybe_node"))
+      .select(col("name")).distinct()
+      .withColumn("__nshard", nameShardOf(col("name")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ONE collect fetches both families' maybe-shard sets
+    val shardRows =
+      maybeU.select(lit(0).as("f"), col("__ushard").as("s")).distinct()
+        .unionByName(maybeN.select(lit(1).as("f"), col("__nshard").as("s")).distinct())
+        .collect()
+    val uShards = shardRows.filter(_.getInt(0) == 0).map(_.getInt(1)).toSet
+    val nShards = shardRows.filter(_.getInt(0) == 1).map(_.getInt(1)).toSet
+
+    // pending-frontier confirm restricted to the maybe shards (the
+    // view subtracts the consumed log exactly as step()'s reads do)
+    val pendingMaybe =
+      if (uShards.isEmpty) emptyFrontier
+      else frontierView(
+        store.readShards("frontier", uShards).getOrElse(emptyFrontier),
+        log.filter(Bloom.shardOf(col("canon"), cfg.numShards)
+          .isin(uShards.toSeq: _*)))
+    // node-membership confirm: exact members among the bloom maybes
+    // (their shards' segments include the un-folded delta) plus the
+    // bloom's blind window (segments past the watermark) for the rest
+    val memberNames =
+      if (nShards.isEmpty) emptyNodes.select("name")
+      else store.readShards("nodes", nShards).getOrElse(emptyNodes)
+        .select("name")
+        .join(broadcast(maybeN.select("name")), Seq("name"), "left_semi")
+    val deltaN = store.readNewerThan("nodes", nodeBlobs.upto)
+    val freshNamed0 = seedDf
+      .join(pendingMaybe.select("canon"), Seq("canon"), "left_anti")
+      .join(broadcast(memberNames), Seq("name"), "left_anti")
+    val freshNamed = (deltaN match {
+      case Some(d) => freshNamed0.join(d.select("name"), Seq("name"), "left_anti")
+      case None => freshNamed0
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val fresh = freshNamed.select(frontierCols: _*)
     // only driver-seen mode needs the actual (shard, hash) pairs on the
     // driver (to fold into the resident filters); shuffle mode needs
     // just the COUNT — collecting up to millions of boxed tuples per
@@ -533,10 +617,14 @@ final class CrawlEngine(
       else Array.empty
     val freshCount: Long =
       if (driverSeenMode) pairs.length.toLong else fresh.count()
-    if (freshCount == 0L) { fresh.unpersist(); return }
+    if (freshCount == 0L) {
+      Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
+      probeBc.foreach(_.destroy())
+      return
+    }
+    // freshNamed already excluded every existing dictionary name
     val newNodes = withCollisionGuard(
-      fresh.select(profile.cleanName(col("url")).as("name")).distinct()
-        .join(nodes.select("name"), Seq("name"), "left_anti"))
+      freshNamed.select(col("name")).distinct())
 
     // LSM append path, same shape as step(): the fresh rows and their
     // kind-1 log entries; seen durability via the log. Sharded append
@@ -553,7 +641,8 @@ final class CrawlEngine(
     staged.publish()
     pendingCount += freshCount
     logRowCount += freshCount
-    fresh.unpersist()
+    Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
+    probeBc.foreach(_.destroy())
   }
 
   /** A4: per-host politeness cap, salt-first to defuse hot-host skew
