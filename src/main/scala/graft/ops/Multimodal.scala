@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque BINARY plus typed
   * metadata. The Spark-side plumbing (schema, partition-parallel batch
-  * processing, column pruning) is real; the codec step is a STUB — the
-  * container ships no image/audio libraries — implemented as a
-  * deterministic fake keyed on the content hash, clearly marked below.
+  * processing, column pruning) is real, and the codec is PLUGGABLE:
+  * set the Spark conf `graft.media.decoder` to the fully-qualified
+  * class name of a [[Multimodal.MediaDecoder]] and every
+  * decode/feature call routes through it.
   *
-  * The codec is PLUGGABLE: set the Spark conf `graft.media.decoder`
-  * to the fully-qualified class name of a [[Multimodal.MediaDecoder]]
-  * and every decode/feature call routes through it — a deployment
-  * with javax.imageio (or any codec stack) on the classpath gets real
-  * dimensions with zero code change here. Default is [[Multimodal.StubDecoder]].
+  * Two decoders ship here: [[Multimodal.ImageIoDecoder]] — REAL
+  * image decoding via the JDK's own javax.imageio (no external
+  * libraries), exact width/height/channels and a pixel-derived
+  * feature for any PNG/JPEG/GIF/BMP payload — and the default
+  * [[Multimodal.StubDecoder]], a deterministic fake keyed on the
+  * content hash for payload kinds no JDK codec covers (video/audio
+  * containers; clearly marked below). The bench/test corpus is
+  * synthetic magic-bytes-plus-noise, so the stub stays the default
+  * there; a real deployment flips one conf key.
   */
 object Multimodal {
 
@@ -40,6 +45,60 @@ object Multimodal {
       stubDecodeMeta(mediaId, payload)
     override def feature(payload: Array[Byte], dim: Int): Array[Float] =
       stubFeature(payload, dim)
+  }
+
+  /** REAL image decoder over the JDK's built-in `javax.imageio`
+    * (PNG/JPEG/GIF/BMP readers ship with every JRE — no external
+    * codec libraries required). Select it with
+    * `spark.conf.set("graft.media.decoder",
+    * "graft.ops.Multimodal$ImageIoDecoder")`. Payloads ImageIO cannot
+    * parse (video containers, truncated bytes, the synthetic bench
+    * corpus) fall back to the stub so the operators stay total; the
+    * `format` field records what the magic bytes said either way.
+    */
+  final class ImageIoDecoder extends MediaDecoder {
+    private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+    override def decodeMeta(mediaId: Long, payload: Array[Byte]): ImageMeta = {
+      val img = readImage(payload)
+      if (img == null) stubDecodeMeta(mediaId, payload)
+      else ImageMeta(mediaId, img.getWidth, img.getHeight,
+        channels = img.getColorModel.getNumComponents,
+        format = sniffFormat(payload))
+    }
+
+    /** baseline visual feature from REAL pixels: an L1-normalized
+      * luminance histogram over `dim` bins — deterministic and
+      * model-free (a model forward pass would slot in here); falls
+      * back to the stub pseudo-embedding for non-image payloads
+      */
+    override def feature(payload: Array[Byte], dim: Int): Array[Float] = {
+      val img = readImage(payload)
+      if (img == null) stubFeature(payload, dim)
+      else {
+        val hist = new Array[Float](dim)
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(math.min(dim - 1, lum * dim / 256)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = (w.toLong * h).toFloat
+        var i = 0
+        while (i < dim) { hist(i) /= total; i += 1 }
+        hist
+      }
+    }
   }
 
   /** conf key selecting the decoder implementation */

@@ -368,6 +368,38 @@ class OpsSpec extends SparkSpec {
     assert(stubMeta.map(_.format).toSet.subsetOf(Set("png", "jpeg", "mp4")))
   }
 
+  test("ImageIoDecoder decodes real PNG dimensions and pixel features via the JDK codec") {
+    import java.awt.image.BufferedImage
+    // a real 37×21 PNG, all-black except one white row
+    val img = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+    (0 until 37).foreach(x => img.setRGB(x, 10, 0xFFFFFF))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val pngBytes = baos.toByteArray
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(0L, "png", pngBytes),
+      Multimodal.MediaRow(1L, "mp4", Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p', 9, 9))
+    ).toDS()
+    spark.conf.set(Multimodal.decoderConfKey,
+      classOf[Multimodal.ImageIoDecoder].getName)
+    try {
+      val meta = Multimodal.decodeMeta(media).collect().sortBy(_.media_id)
+      // real decode: exact dimensions, not the stub's hash-derived ones
+      assert(meta(0) === Multimodal.ImageMeta(0L, 37, 21, 3, "png"))
+      // non-image payload falls back to the (total) stub
+      assert(meta(1) === Multimodal.stubDecodeMeta(1L, media.collect()(1).payload))
+      // pixel feature: luminance histogram, L1-normalized; the white
+      // row is 1/21 of the pixels and lands in the top bin
+      val dec = new Multimodal.ImageIoDecoder
+      val f = dec.feature(pngBytes, 4)
+      assert(f.length === 4)
+      assert(math.abs(f.sum - 1f) < 1e-4)
+      assert(math.abs(f(3) - 1f / 21f) < 1e-4)
+      assert(math.abs(f(0) - 20f / 21f) < 1e-4)
+    } finally spark.conf.unset(Multimodal.decoderConfKey)
+  }
+
   test("multimodal: sniffing real, stub decode deterministic, frame fan-out bounded") {
     val media = Multimodal.syntheticMedia(spark, 30L)
     val meta = Multimodal.decodeMeta(media).collect()
