@@ -71,17 +71,21 @@ final case class BatchResult(
   *     earlier rewrite-touched-shards design degraded to O(frontier)
   *     whenever batchSize ≫ numShards — a uniform hash touches every
   *     shard.)
-  *   - Sequence numbers are (batchId << SEQ_BATCH_SHIFT) | rank — unique
-  *     and monotone across batches BY CONSTRUCTION, so resume needs no
-  *     max(seq) scan and replay can never reissue a seq.
+  *   - Sequence numbers are (batchId << SEQ_BATCH_SHIFT) |
+  *     (parentRank << POS_BITS) | pos — unique, monotone across
+  *     batches AND in the (src_seq, pos) discovery order BY
+  *     CONSTRUCTION: resume needs no max(seq) scan, replay can never
+  *     reissue a seq, and assignment is pure arithmetic (no global
+  *     sort, no range exchange, no window over the discovery set).
   *   - Batch counters ride the commit's own write jobs as
   *     `Observation`s instead of separate count() actions; per batch
-  *     the driver runs ≤4 non-write jobs (schedule gate,
-  *     sequence-count collect, one fused node+edge maybe-shard
-  *     collect, and — in driver-seen mode — one url hash collect),
-  *     pinned by an EngineSpec listener test.
-  *   - Node/edge dedup never reads its full table per batch: BOTH
-  *     families are two-phase — a sharded Bloom (blobs in
+  *     the driver runs ≤4 non-write jobs (schedule gate, one fused
+  *     node+edge maybe-shard collect, a url-maybe-shard collect, and
+  *     the discovery collect — which in driver-seen mode also carries
+  *     the new url hashes), pinned by an EngineSpec listener test.
+  *   - Node/edge/URL dedup never reads its full table per batch (the
+  *     URL bloom-maybes confirm against only the frontier shards their
+  *     canons hash to): node and edge families are two-phase — a sharded Bloom (blobs in
   *     `nodes_bloom`/`edges_bloom`, COMPACTION-FROZEN: the un-folded
   *     delta is the base segments past the watermark, excluded by a
   *     bounded exact anti-join in both seen modes) prefilters, then
@@ -118,12 +122,38 @@ final class CrawlEngine(
     Seq("url", "canon", "host", "depth", "seq", "priority", "batch_id")
   private def frontierCols: Seq[Column] = frontierColNames.map(col)
 
+  /** tag an action's jobs for profilers/UIs (batch-time attribution) */
+  private def described[T](label: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(null)
+  }
+
   private def shardCol(c: Column): Column = Bloom.shardOf(c, cfg.numShards)
+
+  /** Priority tier of a frontier row — the scheduler's range-partition
+    * key. The global ordering leads with `priority`, so the set of all
+    * rows with tier ≤ T is PREFIX-CLOSED in that ordering: scheduling
+    * from it is exactly the global schedule whenever it yields a full
+    * batch (widened otherwise). Clamped so the dir fan-out stays
+    * bounded; rows at the clamp share one overflow tier (read
+    * together — correctness over pruning).
+    */
+  private val maxTier = 4095L
+
+  private def tierCol(priority: Column): Column =
+    least(greatest(priority, lit(0L)), lit(maxTier)).cast("int")
 
   /** intra-batch seq bits: up to 2^44 discoveries per batch, 2^19
     * batches — far beyond any crawl, asserted at runtime.
     */
   private val seqBatchShift = 44
+
+  /** low bits of an intra-batch seq: the link's position on its page
+    * (≤ 2^20 links per page, loud error past that); the remaining
+    * 24 intra-batch bits hold the parent's rank within the batch
+    */
+  private val seqPosBits = 20
 
   private def seqBase(batchId: Long): Long = {
     require(batchId < (1L << (63 - seqBatchShift)), s"batch id $batchId overflows seq encoding")
@@ -195,11 +225,29 @@ final class CrawlEngine(
   /** total log rows — drives the compaction trigger */
   private var logRowCount: Long = logCounts.values.map(_._1).sum
 
-  /** pending frontier rows — maintained by arithmetic per batch
-    * (prev − selected + discovered); read from the store exactly once.
+  /** pending frontier rows BY PRIORITY TIER — maintained by arithmetic
+    * per batch (prev − selected + discovered, each side's per-tier
+    * counts riding jobs that run anyway); read from the store exactly
+    * once, at open. The map picks the scheduler's tier cut — it is an
+    * optimization only, the widen-on-shortfall loop in step() keeps
+    * selection exact even if it drifted.
     */
-  private var pendingCount: Long =
-    store.read("frontier").map(_.count()).getOrElse(0L) - consumedCount
+  private var pendingByTier: Map[Int, Long] =
+    store.read("frontier").map { raw =>
+      frontierView(raw, store.readOr("frontier_log", emptyLog))
+        .groupBy(tierCol(col("priority")).as("t")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }.getOrElse(Map.empty)
+
+  private def tierAdd(m: Map[Int, Long], delta: Iterable[(Int, Long)],
+      sign: Long): Map[Int, Long] =
+    delta.foldLeft(m) { case (acc, (t, n)) =>
+      val v = acc.getOrElse(t, 0L) + sign * n
+      if (v <= 0L) acc - t else acc.updated(t, v)
+    }
+
+  /** pending frontier rows (all tiers) */
+  private def pendingCount: Long = pendingByTier.values.sum
 
   private def compactThreshold: Long =
     if (cfg.compactLogThreshold >= 0) cfg.compactLogThreshold
@@ -452,6 +500,7 @@ final class CrawlEngine(
       .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val frontier0 = seedDf.select(frontierCols: _*)
+      .withColumn("__tier", tierCol(col("priority")))
       .withColumn("__shard", shardCol(col("canon")))
     // re-seeding a previously-used store must not duplicate a seed's
     // (name, id) row — a duplicate fans out through the name joins
@@ -486,7 +535,7 @@ final class CrawlEngine(
         dropUnsharded = true)
     }
     staged.publish()
-    pendingCount = pairs.length.toLong
+    pendingByTier = if (pairs.isEmpty) Map.empty else Map(0 -> pairs.length.toLong)
     consumedCount = 0L
     logRowCount = 0L
     consumedBytes = 0L
@@ -634,12 +683,13 @@ final class CrawlEngine(
     staged.appendSharded("nodes", shardPacked(
       newNodes.withColumn("__shard", nameShardOf(col("name")))))
     staged.appendSharded("frontier", shardPacked(
-      fresh.withColumn("__shard", shardCol(col("canon")))))
+      fresh.withColumn("__tier", tierCol(col("priority")))
+        .withColumn("__shard", shardCol(col("canon")))))
     staged.append("frontier_log",
       fresh.select(col("canon"), lit(1).as("kind")))
     if (driverSeenMode) urlSeen.absorb(pairs)
     staged.publish()
-    pendingCount += freshCount
+    pendingByTier = tierAdd(pendingByTier, Seq(0 -> freshCount), 1L)
     logRowCount += freshCount
     Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
     probeBc.foreach(_.destroy())
@@ -651,42 +701,6 @@ final class CrawlEngine(
   private def politenessCap(frontier: DataFrame): DataFrame =
     Politeness.capPerHost(frontier, cfg.hostBudget, cfg.salt, ordering)
 
-  /** Deterministic global sequence numbers without a single-partition
-    * window: range-partition by the order columns, then add per-
-    * partition offsets (classic scalable zipWithIndex). The result
-    * depends only on the total order of `orderCols`, not on the
-    * partitioning. Returns (out, totalRows, cacheHandle) — the caller
-    * unpersists the handle once `out` is fully consumed.
-    */
-  private def withGlobalSeq(df: DataFrame, orderCols: Seq[Column],
-      outName: String, offset: Long): (DataFrame, Long, Option[DataFrame]) = {
-    import org.apache.spark.sql.expressions.Window
-    val sorted = df.repartitionByRange(
-        math.max(2, spark.sparkContext.defaultParallelism), orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.groupBy(col("__pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    if (total == 0L) {
-      sorted.unpersist()
-      return (df.withColumn(outName, lit(0L)), 0L, None)
-    }
-    val offsetMap: Map[Int, Long] = {
-      var acc = offset
-      counts.map { case (pid, c) => val r = pid -> acc; acc += c; r }.toMap
-    }
-    val mapExpr = map(offsetMap.toSeq.flatMap { case (k, v) =>
-      Seq(lit(k), lit(v)) }: _*)
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    val out = sorted
-      .withColumn(outName,
-        element_at(mapExpr, col("__pid")) + row_number().over(w).cast("long") - 1L)
-      .drop("__pid")
-    (out, total, Some(sorted))
-  }
-
   /** Compact-only commit (no selection): fold the residual log into
     * the sharded bases and truncate it. Runs when the crawl drains.
     */
@@ -694,7 +708,8 @@ final class CrawlEngine(
       log: DataFrame): Unit = {
     val staged = store.stage(batchId)
     staged.replaceShards("frontier",
-      frontierViewDf.withColumn("__shard", shardCol(col("canon"))),
+      frontierViewDf.withColumn("__tier", tierCol(col("priority")))
+        .withColumn("__shard", shardCol(col("canon"))),
       0 until cfg.numShards, dropUnsharded = true)
     staged.replace("frontier_log", emptyLog)
     if (driverSeenMode) {
@@ -726,15 +741,64 @@ final class CrawlEngine(
   /** Run one micro-batch. Returns None when the frontier is empty. */
   def step(): Option[BatchResult] = {
     val batchId = store.batchId + 1
-    val frontierRaw = store.readOr("frontier", emptyFrontier)
     val log = store.readOr("frontier_log", emptyLog)
-    val frontier = frontierView(frontierRaw, log)
+    // full pending view — compaction folds only; the SCHEDULE below
+    // reads a tier-pruned subset and the URL membership confirm reads
+    // a shard-pruned one, so a non-compacting batch never evaluates
+    // this (lazy)
+    lazy val frontier = frontierView(store.readOr("frontier", emptyFrontier), log)
 
-    // --- schedule: politeness cap, then global priority-ordered take ---
-    val eligible = politenessCap(frontier)
-    val selected = eligible.orderBy(ordering: _*).limit(cfg.batchSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val selCount = selected.count() // non-write job 1 (the batch gate)
+    // --- schedule (north_rule §2.8): the frontier is laid out
+    //     range-partitioned by priority tier, so the batch take reads
+    //     ONLY the lowest tiers that can cover a batch — O(active
+    //     wave), not O(pending): in a deepening BFS the accumulating
+    //     next-wave rows are written but never re-scanned. Tiers ≤ cut
+    //     are prefix-closed under the (priority, depth, seq) ordering
+    //     AND under the per-host politeness rank (a host's earlier
+    //     rows all sort into the prefix), so when the pruned take
+    //     fills the batch it EQUALS the global take; a shortfall
+    //     (tier transition, binding host caps) widens to the full
+    //     view and retries — selection is exact in every case. ---
+    val tiersOnDisk = store.tiers("frontier")
+    val startCut: Option[Int] =
+      if (tiersOnDisk.isEmpty) None
+      else {
+        // smallest tier prefix whose TRACKED pending covers the batch
+        // (tracked counts are exact arithmetic, but only an optimizer:
+        // the widen path below owns correctness)
+        val target = math.min(cfg.batchSize.toLong, math.max(1L, pendingCount))
+        var acc = 0L
+        val idx = tiersOnDisk.indexWhere { t =>
+          acc += pendingByTier.getOrElse(t, 0L); acc >= target
+        }
+        if (idx < 0 || idx == tiersOnDisk.length - 1) None
+        else Some(tiersOnDisk(idx))
+      }
+    def scheduleAt(cut: Option[Int]): DataFrame = {
+      val raw = cut match {
+        case Some(t) => store.readTiersUpTo("frontier", t).getOrElse(emptyFrontier)
+        case None => store.readOr("frontier", emptyFrontier)
+      }
+      politenessCap(frontierView(raw, log))
+        .orderBy(ordering: _*).limit(cfg.batchSize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // non-write job 1 (the batch gate) — its collect also carries the
+    // batch's per-tier counts for the pending ledger
+    def gate(df: DataFrame): Map[Int, Long] = described("schedule-gate") {
+      df.groupBy(tierCol(col("priority")).as("t")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    var selected = scheduleAt(startCut)
+    var selByTier = gate(selected)
+    var selCount = selByTier.values.sum
+    if (selCount < cfg.batchSize && startCut.isDefined) {
+      // pruned take came up short — deeper tiers may owe rows
+      selected.unpersist()
+      selected = scheduleAt(None)
+      selByTier = gate(selected)
+      selCount = selByTier.values.sum
+    }
     if (selCount == 0) {
       selected.unpersist()
       // drained: fold any residual log so the stored base tables equal
@@ -860,11 +924,12 @@ final class CrawlEngine(
       .persist(StorageLevel.MEMORY_AND_DISK)
     // non-write job: ONE collect fetches BOTH families' (tiny)
     // maybe-shard sets — they bound the exact confirm reads
-    val maybeShardRows =
+    val maybeShardRows = described("maybe-shards") {
       maybeN.select(lit(0).as("f"), col("__nshard").as("s")).distinct()
         .unionByName(
           maybeE.select(lit(1).as("f"), col("__eshard").as("s")).distinct())
         .collect()
+    }
     val maybeNShards =
       maybeShardRows.filter(_.getInt(0) == 0).map(_.getInt(1)).toSet
     val maybeShards =
@@ -925,7 +990,11 @@ final class CrawlEngine(
     val probeBc: Option[Broadcast[Map[Int, Array[Byte]]]] =
       if (driverSeenMode) Some(spark.sparkContext.broadcast(urlSeen.fresh()))
       else None
-    val guarded = probeBc match {
+    // persisted: the maybe-shard collect below and BOTH membership
+    // branches consume it — and the cache means the discovery
+    // groupBy/robots/probe pipeline runs once per batch, not once per
+    // branch
+    val guarded = (probeBc match {
       case Some(bc) =>
         allowedDiscoveries.withColumn("maybe_seen",
           Bloom.blobsColumnBc(bc, cfg.numShards, col("canon")))
@@ -934,7 +1003,7 @@ final class CrawlEngine(
           store.readOr("seen_shards", emptySeen), cfg.numShards)
         allowedDiscoveries.join(probed, Seq("canon"), "left")
           .withColumn("maybe_seen", coalesce(col("maybe_seen"), lit(false)))
-    }
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew0 = guarded.filter(!col("maybe_seen")).drop("maybe_seen")
     // shuffle mode probes only the COMPACTED base filters; canons that
     // entered the seen set since the last compaction live in the log
@@ -945,30 +1014,91 @@ final class CrawlEngine(
       if (driverSeenMode || logRowCount == 0L) definitelyNew0
       else definitelyNew0.join(
         log.filter(col("kind") === 1).select("canon"), Seq("canon"), "left_anti")
+    // the exact confirm for bloom maybes reads ONLY the frontier
+    // shards their canons hash to (the frontier is canon-sharded on
+    // disk exactly for this) — never the full pending table; the full
+    // `frontier` view is now touched only by compaction folds. The
+    // (tiny) shard set is one more O(batch) collect; driver mode pays
+    // for it by fusing the discovery-count job into the url-hash
+    // collect below.
+    val maybeUShards: Set[Int] = described("url-maybe-shards") {
+      guarded.filter(col("maybe_seen"))
+        .select(shardCol(col("canon")).as("s")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    }
+    val confirmSide =
+      if (maybeUShards.isEmpty) emptyFrontier
+      else frontierView(
+        store.readShards("frontier", maybeUShards).getOrElse(emptyFrontier),
+        log.filter(shardCol(col("canon")).isin(maybeUShards.toSeq: _*)))
     val confirmedNew = guarded.filter(col("maybe_seen")).drop("maybe_seen")
-      .join(frontier.select("canon"), Seq("canon"), "left_anti")
+      .join(confirmSide.select("canon"), Seq("canon"), "left_anti")
     val newDiscoveries = definitelyNew.unionByName(confirmedNew)
 
-    // non-write job 2 (seq-offset collect) — also materializes the
-    // extracted/named/newNodes caches and fires their observations
-    val (sequenced, newCount, seqHandle) = withGlobalSeq(
-      newDiscoveries, Seq(col("src_seq"), col("pos")), "seq", seqBase(batchId))
-    val newFrontier = sequenced
+    // --- sequence assignment: PURE ARITHMETIC, no global sort.
+    //     seq = seqBase | parentRank << POS_BITS | pos, where
+    //     parentRank is the parent's rank by src_seq within this
+    //     batch's (bounded) selected set. Strictly monotone in
+    //     (src_seq, pos) — the BFS discovery order — and unique
+    //     ((parent, pos) identifies one link instance), so it replaces
+    //     the earlier range-partitioned zipWithIndex, whose range
+    //     sampler re-evaluated the whole uncached discovery pipeline
+    //     a second time and paid an extra exchange + window per batch.
+    //     The rank window is a single partition of ≤ batchSize rows
+    //     (the schedule take is K ≪ frontier by design) broadcast into
+    //     the discovery stream; overflow of either bit field raises
+    //     inside the plan rather than silently corrupting order. ---
+    val parentRanks = {
+      import org.apache.spark.sql.expressions.Window
+      selected.select(col("seq").as("src_seq"))
+        .withColumn("__prank",
+          row_number().over(
+            Window.partitionBy(lit(0)).orderBy(col("src_seq"))).cast("long") - 1L)
+    }
+    val prankBits = seqBatchShift - seqPosBits
+    val newFrontier = newDiscoveries
+      .join(broadcast(parentRanks), Seq("src_seq"))
+      .withColumn("seq",
+        when(col("pos") >= (1L << seqPosBits) ||
+             col("__prank") >= (1L << prankBits),
+          raise_error(concat(lit("seq field overflow: pos="), col("pos"),
+            lit(" prank="), col("__prank"))))
+          .otherwise(lit(seqBase(batchId)) +
+            shiftleft(col("__prank"), seqPosBits) + col("pos")))
       .withColumn("batch_id", lit(batchId))
       .select(frontierCols: _*)
-
-    // non-write job 4 (driver seen mode only): the batch's new url
-    // (shard, hash) pairs, feeding the in-memory url filter fold;
-    // shuffle mode needs no per-batch collect at all. Edge hashes are
-    // NOT collected — the edge-presence blobs are compaction-frozen
-    // (the un-folded segments are the delta anti-join above), so the
-    // driver never touches per-batch edge state.
-    val newUrlHashes: Array[(Int, Long)] =
-      if (driverSeenMode)
-        newFrontier
-          .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
-      else Array.empty[(Int, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // non-write job 2 (discoveries) — materializes the discovery
+    // pipeline ONCE into the cache (extracted/named/newNodes caches
+    // fire here) and feeds the per-tier pending ledger. Driver seen
+    // mode ALSO needs the batch's new url (shard, hash) pairs for the
+    // in-memory filter fold — it was already collecting a row per new
+    // url, so the tier rides that same collect and the count-only job
+    // disappears (budget for the url-maybe-shards collect above).
+    // Shuffle mode never collects rows — it keeps the count-only job.
+    // Edge hashes are NOT collected in either mode — the edge-presence
+    // blobs are compaction-frozen (the un-folded segments are the
+    // delta anti-join above), so the driver never touches per-batch
+    // edge state.
+    val (newByTier: Map[Int, Long], newUrlHashes: Array[(Int, Long)]) =
+      if (driverSeenMode) {
+        val rows = described("discoveries+url-hashes") {
+          newFrontier.select(
+            shardCol(col("canon")).as("s"),
+            xxhash64(col("canon")).as("h"),
+            tierCol(col("priority")).as("t")).collect()
+        }
+        val byTier = rows.groupBy(_.getInt(2))
+          .map { case (t, rs) => t -> rs.length.toLong }
+        (byTier, rows.map(r => (r.getInt(0), r.getLong(1))))
+      } else {
+        val byTier = described("discoveries") {
+          newFrontier.groupBy(tierCol(col("priority")).as("t")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }
+        (byTier, Array.empty[(Int, Long)])
+      }
+    val newCount = newByTier.values.sum
 
     // --- stage the commit; counters ride the writes as Observations.
     //     NOTE: observe() is attached ON TOP of the persisted Datasets
@@ -1019,7 +1149,8 @@ final class CrawlEngine(
       // (canon, kind) log delta. Base shards and base blobs untouched;
       // driver-mode seen durability comes from the log itself.
       staged.appendSharded("frontier", shardPacked(
-        newFrontier.withColumn("__shard", shardCol(col("canon")))))
+        newFrontier.withColumn("__tier", tierCol(col("priority")))
+          .withColumn("__shard", shardCol(col("canon")))))
       staged.append("frontier_log",
         selected.select(col("canon"), lit(0).as("kind"))
           .unionByName(newFrontier.select(col("canon"), lit(1).as("kind"))))
@@ -1040,10 +1171,13 @@ final class CrawlEngine(
       val liveS = frontierView(rawS, log.filter(inFold))
         .join(selected.select("canon"), Seq("canon"), "left_anti")
         .unionByName(newFrontier.filter(inFold))
+        .withColumn("__tier", tierCol(col("priority")))
         .withColumn("__shard", shardCol(col("canon")))
       staged.replaceShards("frontier", liveS, foldShards.toSeq)
       staged.appendSharded("frontier", shardPacked(
-        newFrontier.filter(!inFold).withColumn("__shard", shardCol(col("canon")))))
+        newFrontier.filter(!inFold)
+          .withColumn("__tier", tierCol(col("priority")))
+          .withColumn("__shard", shardCol(col("canon")))))
       // the log keeps only non-folded shards' entries (folded shards'
       // state now lives in their base segments + blobs); the write's
       // Observation reports the remainder for the driver counters
@@ -1083,6 +1217,7 @@ final class CrawlEngine(
       val pendingAll = frontier
         .join(selected.select("canon"), Seq("canon"), "left_anti")
         .unionByName(newFrontier)
+        .withColumn("__tier", tierCol(col("priority")))
         .withColumn("__shard", shardCol(col("canon")))
       staged.replaceShards("frontier", pendingAll, 0 until cfg.numShards,
         dropUnsharded = true)
@@ -1130,7 +1265,7 @@ final class CrawlEngine(
       // blob watermarks advanced inside stageBlobFolds
     }
 
-    pendingCount = pendingCount - selCount + newCount
+    pendingByTier = tierAdd(tierAdd(pendingByTier, selByTier, -1L), newByTier, 1L)
     if (staggered) {
       // partial fold: the log write's Observation reported what remains
       logRowCount = obsLog.get("n").asInstanceOf[Long]
@@ -1145,8 +1280,7 @@ final class CrawlEngine(
     totalNodesAdded += nodesAddedCount
 
     Seq(selected, extracted, named, batchNames, probedN, maybeN, newNodes,
-      probedE, maybeE, newEdges).foreach(_.unpersist())
-    seqHandle.foreach(_.unpersist())
+      probedE, maybeE, newEdges, guarded, newFrontier).foreach(_.unpersist())
     probeBc.foreach(_.destroy())
     // a compaction rewrote the edge blobs — the cached probe broadcast
     // is stale; the next batch re-reads + re-broadcasts the snapshot

@@ -85,6 +85,24 @@ final class Store(val root: String, spark: SparkSession) {
       .filter(_.nonEmpty)
       .map(dirs => spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
 
+  /** distinct `__tier=T` values among a table's live segments, sorted —
+    * the scheduler's view of which priority tiers exist on disk
+    */
+  def tiers(table: String): Seq[Int] =
+    tables.getOrElse(table, Vector.empty)
+      .flatMap(Store.tierOfDir).distinct.sorted
+
+  /** Read only the segments that can contain rows of priority tiers
+    * ≤ `tier`: `__tier=T` segments with T ≤ tier plus every segment
+    * without a tier dimension (which may hold any tier's rows — never
+    * skipped; correctness over pruning).
+    */
+  def readTiersUpTo(table: String, tier: Int): Option[DataFrame] =
+    tables.get(table)
+      .map(_.filter(d => Store.tierOfDir(d).forall(_ <= tier)))
+      .filter(_.nonEmpty)
+      .map(dirs => spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
+
   /** highest batch id among a table's live segments (−1 if none) —
     * the watermark for "which appends does a derived snapshot cover"
     */
@@ -112,10 +130,19 @@ final class Store(val root: String, spark: SparkSession) {
     private var appendIdx = 0
     private var published = false
 
+    /** tag the write's jobs so profilers/UIs can attribute batch time */
+    private def described[T](df: DataFrame, label: String)(f: => T): T = {
+      val sc = df.sparkSession.sparkContext
+      sc.setJobDescription(label)
+      try f finally sc.setJobDescription(null)
+    }
+
     def append(table: String, df: DataFrame): Unit = {
       val rel = s"$table/b$newBatchId-$appendIdx"
       appendIdx += 1
-      df.write.mode("overwrite").parquet(s"$root/$rel")
+      described(df, s"write:$table") {
+        df.write.mode("overwrite").parquet(s"$root/$rel")
+      }
       next = next.updated(table, next.getOrElse(table, Vector.empty) :+ rel)
     }
 
@@ -123,25 +150,33 @@ final class Store(val root: String, spark: SparkSession) {
       * `{table}/b{batch}-{n}/__shard=K/` per materialized shard, and
       * each subdir registers as its OWN segment — so later reads can
       * be restricted to a shard subset ([[readShards]]). `df` must
-      * carry an int column `__shard`. This is what makes an
-      * append-only table's exact membership confirm o(table): the
-      * probe reads only the shards its candidate keys hash to.
+      * carry an int column `__shard`; if it also carries an int
+      * column `__tier`, the write partitions by (tier, shard) —
+      * `{…}/__tier=T/__shard=K/` — and each leaf registers, so reads
+      * can additionally be restricted to a tier prefix
+      * ([[readTiersUpTo]], the scheduler's priority-range pruning).
+      * This is what makes an append-only table's exact membership
+      * confirm o(table): the probe reads only the shards its
+      * candidate keys hash to.
       */
     def appendSharded(table: String, df: DataFrame): Unit = {
       val rel = s"$table/b$newBatchId-$appendIdx"
       appendIdx += 1
-      df.write.mode("overwrite").partitionBy("__shard").parquet(s"$root/$rel")
-      val written = Files.list(Paths.get(root, rel)).iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(p => s"$rel/${p.getFileName}")
-        .filter(Store.shardOfDir(_).isDefined)
-        .toVector.sorted
+      val parts =
+        if (df.columns.contains("__tier")) Seq("__tier", "__shard")
+        else Seq("__shard")
+      described(df, s"write-sharded:$table") {
+        df.write.mode("overwrite").partitionBy(parts: _*).parquet(s"$root/$rel")
+      }
+      val written = Store.leafSegmentDirs(Paths.get(root, rel), rel)
       next = next.updated(table, next.getOrElse(table, Vector.empty) ++ written)
     }
 
     def replace(table: String, df: DataFrame): Unit = {
       val rel = s"$table/r$newBatchId"
-      df.write.mode("overwrite").parquet(s"$root/$rel")
+      described(df, s"replace:$table") {
+        df.write.mode("overwrite").parquet(s"$root/$rel")
+      }
       next = next.updated(table, Vector(rel))
     }
 
@@ -158,7 +193,12 @@ final class Store(val root: String, spark: SparkSession) {
     def replaceShards(table: String, df: DataFrame, shards: Seq[Int],
         dropUnsharded: Boolean = false): Unit = {
       val rel = s"$table/r$newBatchId"
-      df.write.mode("overwrite").partitionBy("__shard").parquet(s"$root/$rel")
+      val parts =
+        if (df.columns.contains("__tier")) Seq("__tier", "__shard")
+        else Seq("__shard")
+      described(df, s"replace-shards:$table") {
+        df.write.mode("overwrite").partitionBy(parts: _*).parquet(s"$root/$rel")
+      }
       val replaced = shards.toSet
       val kept = next.getOrElse(table, Vector.empty).filterNot { d =>
         Store.shardOfDir(d) match {
@@ -166,10 +206,12 @@ final class Store(val root: String, spark: SparkSession) {
           case None => dropUnsharded
         }
       }
-      // reference only subdirs that materialized (empty shard ⇒ none)
-      val written = shards.sorted.flatMap { s =>
-        val sub = s"$rel/__shard=$s"
-        if (Files.isDirectory(Paths.get(root, sub))) Some(sub) else None
+      // reference only leaf dirs that materialized (empty shard ⇒
+      // none); `df` must hold exactly `shards`' rows, asserted here
+      val written = Store.leafSegmentDirs(Paths.get(root, rel), rel)
+      written.foreach { d =>
+        require(Store.shardOfDir(d).forall(replaced.contains),
+          s"replaceShards($table) wrote undeclared shard dir $d")
       }
       next = next.updated(table, kept ++ written)
     }
@@ -214,30 +256,24 @@ final class Store(val root: String, spark: SparkSession) {
     */
   def sweepOrphans(): Unit = {
     val live: Set[String] = tables.values.flatten.toSet
-    // a live shard subdir keeps its parent r{batch} dir alive
-    val liveParents: Set[String] = live.map { d =>
-      val i = d.indexOf("/__shard=")
-      if (i >= 0) d.substring(0, i) else d
-    }
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return
+    // a path survives iff it IS a live segment, or is an ancestor of
+    // one (recursed into to sweep its dead siblings — handles both
+    // `r{b}/__shard=K` and `r{b}/__tier=T/__shard=K` layouts)
+    def sweep(p: Path, rel: String): Unit = {
+      if (live.contains(rel)) return
+      if (live.exists(_.startsWith(rel + "/")))
+        Files.list(p).iterator().asScala.toList
+          .foreach(c => sweep(c, s"$rel/${c.getFileName}"))
+      else Store.deleteRecursively(p)
+    }
     Files.list(rootPath).iterator().asScala
       .filter(Files.isDirectory(_))
       .filter(d => tables.contains(d.getFileName.toString))
       .foreach { tableDir =>
         Files.list(tableDir).iterator().asScala.toList.foreach { seg =>
-          val rel = s"${tableDir.getFileName}/${seg.getFileName}"
-          if (!live.contains(rel) && !liveParents.contains(rel))
-            Store.deleteRecursively(seg)
-          else if (!live.contains(rel) && Files.isDirectory(seg)) {
-            // live parent of shard subdirs: sweep superseded shards
-            Files.list(seg).iterator().asScala.toList
-              .filter(_.getFileName.toString.startsWith("__shard="))
-              .foreach { sub =>
-                if (!live.contains(s"$rel/${sub.getFileName}"))
-                  Store.deleteRecursively(sub)
-              }
-          }
+          sweep(seg, s"${tableDir.getFileName}/${seg.getFileName}")
         }
       }
   }
@@ -250,6 +286,32 @@ object Store {
     */
   def shardOfDir(dir: String): Option[Int] =
     "__shard=(\\d+)$".r.findFirstMatchIn(dir).map(_.group(1).toInt)
+
+  /** priority tier of a tier-partitioned segment dir, None when the
+    * segment carries no tier dimension (and so may hold any tier)
+    */
+  def tierOfDir(dir: String): Option[Int] =
+    "__tier=(\\d+)".r.findFirstMatchIn(dir).map(_.group(1).toInt)
+
+  /** the registerable leaf partition dirs under a freshly-written
+    * segment root: `__shard=K` children, or `__tier=T/__shard=K`
+    * grandchildren when the write was tier-partitioned
+    */
+  def leafSegmentDirs(base: Path, rel: String): Vector[String] = {
+    def children(p: Path): List[Path] =
+      if (!Files.isDirectory(p)) Nil
+      else Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).toList
+    children(base).flatMap { c =>
+      val name = c.getFileName.toString
+      if (name.startsWith("__shard=")) List(s"$rel/$name")
+      else if (name.startsWith("__tier="))
+        children(c).collect {
+          case s if s.getFileName.toString.startsWith("__shard=") =>
+            s"$rel/$name/${s.getFileName}"
+        }
+      else Nil
+    }.toVector.sorted
+  }
 
   /** batch id encoded in a segment dir name: the second path component
     * is always `b{batch}-{n}` (append) or `r{batch}` (replacement)

@@ -315,6 +315,76 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(segBytes(surviving) === bytesBefore.view.filterKeys(surviving.contains).toMap)
   }
 
+  test("tier-pruned schedule: frontier lands tier-partitioned, schedule reads prune to the active wave, crawl stays oracle-exact") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-tier").toString
+    // append path pinned (no compaction): mid-crawl the frontier holds
+    // several depth tiers at once
+    val eng = newEngine(root,
+      CrawlConfig(site = "wikipedia", batchSize = 3,
+        compactLogThreshold = 1L << 30))
+    eng.seed(Seq(seedUrl))
+    eng.step(); eng.step(); eng.step()
+
+    // layout: sharded frontier segments carry the priority-tier dim
+    val dirs = eng.store.segmentDirs("frontier")
+    assert(dirs.exists(_.matches(".*__tier=\\d+/__shard=\\d+$")),
+      s"no tier-partitioned frontier segment in $dirs")
+    val tiers = eng.store.tiers("frontier")
+    assert(tiers.size >= 2, s"expected multiple live tiers, got $tiers")
+    // the pruned read is a genuine subset of the full read
+    val low = eng.store.readTiersUpTo("frontier", tiers.head).get.count()
+    val full = eng.store.read("frontier").get.count()
+    assert(low < full, "tier pruning read the whole frontier")
+
+    // and the schedule stays EXACT: finish the crawl, compare sets
+    eng.run()
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+    assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
+  }
+
+  test("tier-pruned schedule under a binding host cap (widen path) stays oracle-exact") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-tier-widen").toString
+    // hostBudget < batchSize on a single-host web: every batch's pruned
+    // take comes up short and must widen — the fallback is exercised on
+    // EVERY step, and the crawl must still be exhaustive and exact
+    val eng = newEngine(root,
+      CrawlConfig(site = "wikipedia", batchSize = 5, hostBudget = 2))
+    eng.seed(Seq(seedUrl))
+    val results = eng.run()
+    assert(results.forall(_.pagesFetched <= 2), "host cap violated")
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+  }
+
+  test("shard-restricted membership confirms stay oracle-exact under heavy bloom false positives") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-urlfp").toString
+    // undersized, high-fpp filters: most probes (url, node AND edge
+    // families) come back maybe — the shard-restricted exact confirms
+    // carry correctness alone, on nearly every row of every batch
+    val pages = SyntheticWeb.pages(spark, spec).toDF()
+    val cfg = CrawlConfig(site = "wikipedia", batchSize = 7,
+      numShards = 8, bloomItemsPerShard = 2L, bloomFpp = 0.4)
+    val eng = new CrawlEngine(spark, new Store(root, spark), profile, cfg, pages)
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+    assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
+  }
+
   test("LSM compaction folds the log into base shards and stays oracle-correct") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val (oracleNodes, oracleEdges) = oracle(seedUrl)
@@ -424,10 +494,11 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
         if (c == last) stable += 1 else { stable = 0; last = c }
       }
       // 6 commit writes (nodes/edges/errors/frontier/seen/metrics) + 4
-      // driver actions (schedule gate, seq-offset collect, edge
-      // maybe-shard collect, combined url+edge hash collect); r1 ran
-      // ~14 — batch counters ride the writes as Observations, and the
-      // per-batch reads are O(batch), not O(table)
+      // driver actions (schedule gate, fused node+edge maybe-shard
+      // collect, url-maybe-shard collect, discovery collect — which in
+      // driver mode also carries the url hashes); r1 ran ~14 — batch
+      // counters ride the writes as Observations, and the per-batch
+      // reads are O(batch), not O(table)
       assert(last > 0 && last <= 10, s"engine ran $last actions in one batch")
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.state.Store
@@ -63,6 +65,86 @@ class StoreSpec extends SparkSpec {
         .select("src", "dst").as[(Long, Long)].collect().toSet
       assert(got.contains((1000L, 2000L)))
     }
+  }
+
+  test("tiered append registers (tier, shard) leaves; readTiersUpTo prunes deep tiers, never plain segments") {
+    val store = freshStore()
+    val s0 = store.stage(0L)
+    // tiers 0..2, sharded by src
+    val df = (1L to 90L).map(i => (i, i % 3)).toDF("src", "t")
+      .withColumn("__tier", col("t").cast("int")).drop("t")
+      .withColumn("__shard", pmod(xxhash64(col("src")), lit(4)).cast("int"))
+    s0.appendSharded("frontier", df)
+    s0.publish()
+    val s1 = store.stage(1L)
+    s1.append("frontier", Seq(1000L).toDF("src")) // plain segment
+    s1.publish()
+
+    // leaf registration: every sharded dir is __tier=T/__shard=K
+    val dirs = store.segmentDirs("frontier")
+    assert(dirs.exists(_.matches(".*__tier=\\d+/__shard=\\d+$")))
+    assert(store.tiers("frontier") === Seq(0, 1, 2))
+
+    // tier pruning: tiers ≤ 1 plus the plain segment, nothing deeper
+    val pruned = store.readTiersUpTo("frontier", 1).get
+      .select("src").as[Long].collect().toSet
+    val want = (1L to 90L).filter(i => i % 3 <= 1).toSet + 1000L
+    assert(pruned === want)
+    // full tier range ≡ read()
+    assert(store.readTiersUpTo("frontier", 2).get.count() ===
+      store.read("frontier").get.count())
+    // shard reads still see all tiers of their shard
+    val all = store.read("frontier").get.select("src").as[Long].collect().toSet
+    val byShard = (0 until 4).map(s =>
+      store.readShards("frontier", Set(s))
+        .map(_.select("src").as[Long].collect().toSet).getOrElse(Set.empty))
+    assert(byShard.reduce(_ ++ _) === all)
+  }
+
+  test("sweepOrphans keeps live tiered leaves and foreign dirs, drops superseded ones") {
+    val store = freshStore()
+    val s0 = store.stage(0L)
+    val df = (1L to 40L).map(i => (i, i % 2)).toDF("src", "t")
+      .withColumn("__tier", col("t").cast("int")).drop("t")
+      .withColumn("__shard", pmod(xxhash64(col("src")), lit(4)).cast("int"))
+    s0.appendSharded("frontier", df)
+    s0.publish()
+    val rootP = java.nio.file.Paths.get(store.root)
+    val foreign = rootP.resolve("_checkpointish")
+    Files.createDirectories(foreign)
+    Files.write(foreign.resolve("state"), Array[Byte](1, 2))
+
+    // replace shards 0,1 with a tiered rewrite; 2,3 stay
+    val s1 = store.stage(1L)
+    val repl = (100L to 120L).map(i => (i, 0L)).toDF("src", "t")
+      .withColumn("__tier", col("t").cast("int")).drop("t")
+      .withColumn("__shard", pmod(xxhash64(col("src")), lit(4)).cast("int"))
+      .filter(col("__shard").isin(0, 1))
+    s1.replaceShards("frontier", repl, Seq(0, 1))
+    s1.publish()
+    store.sweepOrphans()
+
+    // live segment files all exist; superseded b0 shard-0/1 leaves gone
+    store.segmentDirs("frontier").foreach { d =>
+      assert(Files.isDirectory(rootP.resolve(d)), s"live segment $d swept")
+    }
+    val b0 = rootP.resolve("frontier/b0-0")
+    Files.walk(b0).iterator().asScala.filter(Files.isDirectory(_)).foreach { p =>
+      val name = p.getFileName.toString
+      assert(!(name == "__shard=0" || name == "__shard=1"),
+        s"superseded leaf $p survived the sweep")
+    }
+    assert(Files.exists(foreign.resolve("state")), "foreign dir destroyed")
+    // contents still exact: untouched shards hold only old rows, the
+    // replaced shards hold only the rewrite's rows
+    val got = store.read("frontier").get.select("src").as[Long].collect().toSet
+    val oldKept = store.readShards("frontier", Set(2, 3)).get
+      .select("src").as[Long].collect().toSet
+    val newPart = store.readShards("frontier", Set(0, 1)).get
+      .select("src").as[Long].collect().toSet
+    assert(oldKept.subsetOf((1L to 40L).toSet))
+    assert(newPart.nonEmpty && newPart.subsetOf((100L to 120L).toSet))
+    assert(got === oldKept ++ newPart)
   }
 
   test("readNewerThan returns exactly the post-watermark segments") {
