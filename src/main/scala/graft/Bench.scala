@@ -313,7 +313,7 @@ object Bench {
         // time must stay flat while the EDGE table grows 10×+ (the
         // two-phase bloom + shard-restricted confirm at work; a full
         // edge scan per batch would show sec growing with edges)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, Long)]
         var cumEdges = 0L
         var go = true
         while (go && out.length < 12) {
@@ -321,7 +321,8 @@ object Bench {
           eng.step() match {
             case Some(r) =>
               cumEdges += r.edgesAdded
-              out += ((r.frontierPending, (System.nanoTime() - t0) / 1e9, cumEdges))
+              out += ((r.frontierPending, (System.nanoTime() - t0) / 1e9,
+                cumEdges, r.scheduleRowsRead))
               go = r.frontierPending > 0 && r.frontierPending < 3000000L
             case None => go = false
           }
@@ -368,7 +369,8 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val engArr = engineBatches
-      .map { case (p, sec, e) => f"""{"pending":$p,"sec":$sec%.2f,"edges":$e}""" }
+      .map { case (p, sec, e, sr) =>
+        f"""{"pending":$p,"sec":$sec%.2f,"edges":$e,"sched_rows":$sr}""" }
       .mkString("[", ",", "]")
     println(
       f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)}}""")

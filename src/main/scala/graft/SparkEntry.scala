@@ -335,6 +335,36 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 200L)).toDF()
     }),
 
+    // REAL audio decode, foreign-verified: the payloads are valid
+    // PCM WAV containers whose header parameters are arithmetic in
+    // the row id — javax.sound parses the actual bytes here while the
+    // DuckDB oracle recomputes the expectation from the id, so a
+    // mis-parse (rate, channel count, frame count, duration) breaks
+    // the hash
+    "q_audio_meta" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.decodeAudioMeta(Multimodal.syntheticAudio(s, 200L),
+          Some(new Multimodal.JdkAvDecoder)).toDF()
+        .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("frames"),
+          col("duration_ms"), col("format"))
+    }),
+
+    // REAL image decode, foreign-verified: payloads are valid PNG
+    // containers (encoded by the JDK's PNG writer) whose dimensions
+    // are arithmetic in the row id — javax.imageio parses the actual
+    // bytes here while the DuckDB oracle recomputes the expectation
+    // from the id, so a mis-parse (width, height, channels) breaks
+    // the hash
+    "q_image_meta" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.decodeMeta(Multimodal.syntheticImages(s, 200L),
+          Some(new Multimodal.ImageIoDecoder)).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("format"))
+    }),
+
     // robots.txt rule enforcement: anti join on host + path prefix
     "q_robots_filter" -> ((s, dir) => {
       import s.implicits._
@@ -394,6 +424,24 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // recomputes the WAV generator's header arithmetic; the Spark side
+    // parsed the actual container bytes with javax.sound
+    "q_audio_meta" ->
+      ("SELECT i AS media_id, " +
+        "CAST(CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+        "WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate, " +
+        "1 + i % 2 AS channels, 300 + (i * 37) % 1000 AS frames, " +
+        "(300 + (i * 37) % 1000) * 1000 // (CASE i % 4 WHEN 0 THEN 8000 " +
+        "WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) AS duration_ms, " +
+        "'wav' AS format FROM range(200) t(i)"),
+
+    // recomputes the PNG generator's dimension arithmetic; the Spark
+    // side parsed the actual container bytes with javax.imageio
+    "q_image_meta" ->
+      ("SELECT i AS media_id, 8 + (i * 13) % 120 AS width, " +
+        "8 + (i * 29) % 90 AS height, CAST(3 AS BIGINT) AS channels, " +
+        "'png' AS format FROM range(200) t(i)"),
+
     "q_clean_name" ->
       "SELECT p_partkey, lower(p_name) AS name FROM part",
 

@@ -42,7 +42,12 @@ final case class BatchResult(
     nodesAdded: Long,
     edgesAdded: Long,
     maxDepth: Int,
-    frontierPending: Long)
+    frontierPending: Long,
+    /** tracked pending rows in the priority tiers the schedule
+      * actually read (= frontierPending only when the take had to
+      * widen to the full view) — the O(active wave) read criterion
+      */
+    scheduleRowsRead: Long = -1L)
 
 /** The crawl loop — reference lifecycle E1 (SURVEY §3) re-expressed as
   * a driver-side micro-batch loop over Datasets:
@@ -792,13 +797,20 @@ final class CrawlEngine(
     var selected = scheduleAt(startCut)
     var selByTier = gate(selected)
     var selCount = selByTier.values.sum
+    var schedCut = startCut
     if (selCount < cfg.batchSize && startCut.isDefined) {
       // pruned take came up short — deeper tiers may owe rows
       selected.unpersist()
       selected = scheduleAt(None)
       selByTier = gate(selected)
       selCount = selByTier.values.sum
+      schedCut = None
     }
+    // tracked rows in the tiers the (final) schedule read — reported
+    // in BatchResult as the O(active wave) evidence
+    val schedRowsRead = schedCut
+      .map(t => pendingByTier.collect { case (k, v) if k <= t => v }.sum)
+      .getOrElse(pendingCount)
     if (selCount == 0) {
       selected.unpersist()
       // drained: fold any residual log so the stored base tables equal
@@ -1287,7 +1299,7 @@ final class CrawlEngine(
     if (doCompact) { edgeBlobs.invalidate(); nodeBlobs.invalidate() }
 
     Some(BatchResult(batchId, selCount, errorCount, nodesAddedCount,
-      edgesAddedCount, maxDepthBatch, pendingCount))
+      edgesAddedCount, maxDepthBatch, pendingCount, schedRowsRead))
   }
 
   /** Loop until budget (F5) or empty frontier; approximate stop at

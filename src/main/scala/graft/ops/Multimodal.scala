@@ -27,16 +27,23 @@ object Multimodal {
   final case class ImageMeta(
       media_id: Long, width: Int, height: Int, channels: Int, format: String)
 
+  final case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+      frames: Long, duration_ms: Long, format: String)
+
   final case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
       feature: Array[Float])
 
   /** Codec contract. Implementations ship to executors inside task
     * closures, so they must be Serializable and constructible with a
-    * no-arg constructor.
+    * no-arg constructor. `decodeAudio` defaults to the stub so
+    * image-only decoders (and injected test fakes) stay source-
+    * compatible.
     */
   trait MediaDecoder extends Serializable {
     def decodeMeta(mediaId: Long, payload: Array[Byte]): ImageMeta
     def feature(payload: Array[Byte], dim: Int): Array[Float]
+    def decodeAudio(mediaId: Long, payload: Array[Byte]): AudioMeta =
+      stubDecodeAudio(mediaId, payload)
   }
 
   /** the default: deterministic fake decode (no codec libs here) */
@@ -56,7 +63,7 @@ object Multimodal {
     * corpus) fall back to the stub so the operators stay total; the
     * `format` field records what the magic bytes said either way.
     */
-  final class ImageIoDecoder extends MediaDecoder {
+  class ImageIoDecoder extends MediaDecoder {
     private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -101,6 +108,93 @@ object Multimodal {
     }
   }
 
+  /** REAL audio + image decoder, still JDK-only: images via the
+    * inherited javax.imageio path, audio via `javax.sound.sampled`
+    * (WAV/AIFF/AU parsers ship with every JRE). `decodeAudio` reads
+    * the container header — exact sample rate / channel count / frame
+    * count — and `feature` computes a per-window RMS-energy vector
+    * from the REAL PCM samples (the standard model-free audio
+    * baseline; an encoder forward pass would slot in here). Payloads
+    * neither codec family parses fall back to the stub so the
+    * operators stay total.
+    */
+  final class JdkAvDecoder extends ImageIoDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    private def audioStream(payload: Array[Byte]) =
+      try AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+    override def decodeAudio(mediaId: Long, payload: Array[Byte]): AudioMeta = {
+      val in = audioStream(payload)
+      if (in == null) stubDecodeAudio(mediaId, payload)
+      else try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        val rate = math.round(f.getSampleRate)
+        AudioMeta(mediaId, rate, f.getChannels, frames,
+          duration_ms = if (rate > 0) frames * 1000L / rate else 0L,
+          format = sniffFormat(payload))
+      } finally in.close()
+    }
+
+    /** mono float samples in [-1, 1] (channels averaged), or null when
+      * the payload is not parseable audio
+      */
+    private def readPcm(payload: Array[Byte]): Array[Float] = {
+      val raw = audioStream(payload)
+      if (raw == null) return null
+      try {
+        val src = raw.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val in = AudioSystem.getAudioInputStream(target, raw)
+        val bytes = in.readAllBytes()
+        val ch = target.getChannels
+        val n = bytes.length / (2 * ch)
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0f
+          var c = 0
+          while (c < ch) {
+            val o = (i * ch + c) * 2
+            val s = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+            acc += s / 32768f
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        out
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally raw.close()
+    }
+
+    override def feature(payload: Array[Byte], dim: Int): Array[Float] = {
+      val pcm = readPcm(payload)
+      if (pcm == null || pcm.isEmpty) super.feature(payload, dim)
+      else {
+        // RMS energy per window: dim equal slices of the sample stream
+        val out = new Array[Float](dim)
+        var w = 0
+        while (w < dim) {
+          val lo = (pcm.length.toLong * w / dim).toInt
+          val hi = math.max(lo + 1, (pcm.length.toLong * (w + 1) / dim).toInt)
+          var acc = 0.0
+          var i = lo
+          while (i < hi) { acc += pcm(i).toDouble * pcm(i); i += 1 }
+          out(w) = math.sqrt(acc / (hi - lo)).toFloat
+          w += 1
+        }
+        out
+      }
+    }
+  }
+
   /** conf key selecting the decoder implementation */
   val decoderConfKey = "graft.media.decoder"
 
@@ -118,7 +212,9 @@ object Multimodal {
     if (payload == null || payload.length < 4) "unknown"
     else if (payload(0) == 0x89.toByte && payload(1) == 'P') "png"
     else if (payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) "jpeg"
-    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F') "riff"
+    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F')
+      if (payload.length > 11 && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E') "wav" else "riff"
     else if (payload.length > 8 && payload(4) == 'f' && payload(5) == 't' &&
       payload(6) == 'y' && payload(7) == 'p') "mp4"
     else "unknown"
@@ -144,6 +240,19 @@ object Multimodal {
       format = sniffFormat(payload))
   }
 
+  /** STUB audio decode: rate/channels/frames derived from the content
+    * hash. Real implementation parses the container header
+    * ([[JdkAvDecoder.decodeAudio]]).
+    */
+  def stubDecodeAudio(media_id: Long, payload: Array[Byte]): AudioMeta = {
+    val s = graft.sites.SyntheticWeb.mix64(contentSeed(payload))
+    val rate = Seq(8000, 16000, 22050, 44100)((s & 0x3).toInt)
+    val frames = 256L + ((s >>> 2) & 0xFFFF)
+    AudioMeta(media_id, rate, channels = 1 + ((s >>> 18) & 0x1).toInt,
+      frames = frames, duration_ms = frames * 1000L / rate,
+      format = sniffFormat(payload))
+  }
+
   /** STUB feature extraction: a deterministic pseudo-embedding of the
     * payload (dim floats seeded by content hash). Real implementation:
     * decoded pixels → model forward pass.
@@ -158,13 +267,29 @@ object Multimodal {
 
   /** Decode metadata for a media table — partition-parallel, batch
     * shape one-row-per-media; only (media_id, payload) are read, so
-    * Parquet column pruning skips everything else.
+    * Parquet column pruning skips everything else. `decoder` overrides
+    * the conf-selected codec (the driver queries pass
+    * [[ImageIoDecoder]] explicitly so the REAL parse is verified).
     */
-  def decodeMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+  def decodeMeta(media: Dataset[MediaRow],
+      decoder: Option[MediaDecoder] = None): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val dec = decoderFor(spark)
+    val dec = decoder.getOrElse(decoderFor(spark))
     media.mapPartitions(_.map(m => dec.decodeMeta(m.media_id, m.payload)))
+  }
+
+  /** Decode audio metadata — same partition-parallel batch shape as
+    * [[decodeMeta]]. `decoder` overrides the conf-selected codec (the
+    * driver queries pass [[JdkAvDecoder]] explicitly so the REAL
+    * header parse is what gets verified).
+    */
+  def decodeAudioMeta(media: Dataset[MediaRow],
+      decoder: Option[MediaDecoder] = None): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val dec = decoder.getOrElse(decoderFor(spark))
+    media.mapPartitions(_.map(m => dec.decodeAudio(m.media_id, m.payload)))
   }
 
   /** Frame sampling for video-ish payloads: every `strideMs`, up to
@@ -186,6 +311,81 @@ object Multimodal {
           dec.feature(m.payload ++ BigInt(tsMs).toByteArray, featureDim))
       }
     }
+  }
+
+  /** One synthetic but VALID 16-bit PCM RIFF/WAVE payload: sine tone
+    * plus hash noise. Header parameters are simple arithmetic in the
+    * row id — a foreign oracle recomputes the expected metadata while
+    * the decoder parses the actual container bytes.
+    */
+  def syntheticWavBytes(i: Long, seed: Long): Array[Byte] = {
+    val rate = Seq(8000, 16000, 22050, 44100)((i % 4).toInt)
+    val channels = 1 + (i % 2).toInt
+    val frames = (300L + (i * 37L) % 1000L).toInt
+    val dataLen = frames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val freq = 110.0 * (1 + (i % 8))
+    var j = 0
+    while (j < frames) {
+      var c = 0
+      while (c < channels) {
+        val tone = 0.4 * StrictMath.sin(2.0 * math.Pi * freq * j / rate)
+        val noise = (graft.sites.SyntheticWeb.mix(seed, i,
+          (j.toLong << 1) | c) & 0xFFF).toInt / 40960.0 - 0.05
+        buf.putShort(math.round((tone + noise) * 32767.0).toShort)
+        c += 1
+      }
+      j += 1
+    }
+    buf.array()
+  }
+
+  /** One synthetic but VALID PNG payload, encoded by the JDK's own
+    * PNG writer: dimensions are arithmetic in the row id, pixels a
+    * deterministic hash pattern. The image-decode oracle recomputes
+    * the dimensions from the id while [[ImageIoDecoder]] parses the
+    * actual PNG container bytes — a mis-parse breaks the hash.
+    */
+  def syntheticPngBytes(i: Long, seed: Long): Array[Byte] = {
+    val w = 8 + ((i * 13L) % 120L).toInt
+    val h = 8 + ((i * 29L) % 90L).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = graft.sites.SyntheticWeb.mix(seed, i, (y.toLong << 20) | x)
+        img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** synthetic image corpus: real PNG containers (deterministic) */
+  def syntheticImages(spark: SparkSession, n: Long,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => MediaRow(i, "png", syntheticPngBytes(i, seed)))
+  }
+
+  /** synthetic audio corpus: real WAV containers (deterministic) */
+  def syntheticAudio(spark: SparkSession, n: Long,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => MediaRow(i, "wav", syntheticWavBytes(i, seed)))
   }
 
   /** synthetic media corpus for tests/bench (deterministic) */

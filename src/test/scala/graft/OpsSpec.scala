@@ -400,6 +400,63 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.unset(Multimodal.decoderConfKey)
   }
 
+  test("ImageIoDecoder decodes real PNG containers (synthetic image corpus)") {
+    val dec = new Multimodal.ImageIoDecoder
+    // i = 7 → 8 + 91 = 99 wide, 8 + 203 % 90 = 8 + 23 = 31 tall
+    val png = Multimodal.syntheticPngBytes(7L, seed = 42L)
+    assert(Multimodal.sniffFormat(png) === "png")
+    assert(dec.decodeMeta(7L, png) === Multimodal.ImageMeta(7L, 99, 31, 3, "png"))
+    // the luminance-histogram feature comes from REAL pixels: hash
+    // pattern pixels spread across bins and L1-normalize to 1
+    val f = dec.feature(png, 8)
+    assert(math.abs(f.sum - 1f) < 1e-3, f.toSeq.toString)
+    assert(f.count(_ > 0f) >= 4)
+    assert(f.toSeq !== Multimodal.stubFeature(png, 8).toSeq)
+    // the distributed operator decodes the same containers per partition
+    val metas = Multimodal.decodeMeta(
+      Multimodal.syntheticImages(spark, 12L), Some(dec)).collect()
+    assert(metas.length === 12)
+    metas.foreach { m =>
+      val i = m.media_id
+      assert(m.width === 8 + ((i * 13L) % 120L).toInt)
+      assert(m.height === 8 + ((i * 29L) % 90L).toInt)
+      assert(m.channels === 3)
+      assert(m.format === "png")
+    }
+  }
+
+  test("JdkAvDecoder decodes real WAV headers and PCM RMS features via javax.sound") {
+    val dec = new Multimodal.JdkAvDecoder
+    // i = 5 → 16000 Hz stereo, 300 + 185 = 485 frames, 30 ms
+    val wav = Multimodal.syntheticWavBytes(5L, seed = 42L)
+    assert(Multimodal.sniffFormat(wav) === "wav")
+    assert(dec.decodeAudio(5L, wav) ===
+      Multimodal.AudioMeta(5L, 16000, 2, 485L, 30L, "wav"))
+    // real PCM feature: the generator writes a 0.4-amplitude sine
+    // (+≤0.05 noise), so every RMS window sits near 0.4/√2 ≈ 0.283 —
+    // nothing the content-hash stub could produce
+    val f = dec.feature(wav, 4)
+    assert(f.length === 4)
+    assert(f.forall(v => v > 0.2f && v < 0.36f), f.toSeq.toString)
+    assert(f.toSeq !== Multimodal.stubFeature(wav, 4).toSeq)
+    // non-audio, non-image payload falls back to the (total) stub
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    assert(dec.decodeAudio(7L, junk) === Multimodal.stubDecodeAudio(7L, junk))
+    assert(dec.feature(junk, 4).toSeq === Multimodal.stubFeature(junk, 4).toSeq)
+    // the distributed operator runs the same decode per partition
+    val metas = Multimodal.decodeAudioMeta(
+      Multimodal.syntheticAudio(spark, 12L), Some(dec)).collect()
+    assert(metas.length === 12)
+    metas.foreach { m =>
+      val i = m.media_id
+      assert(m.sample_rate === Seq(8000, 16000, 22050, 44100)((i % 4).toInt))
+      assert(m.channels === 1 + (i % 2).toInt)
+      assert(m.frames === 300L + (i * 37L) % 1000L)
+      assert(m.duration_ms === m.frames * 1000L / m.sample_rate)
+      assert(m.format === "wav")
+    }
+  }
+
   test("multimodal: sniffing real, stub decode deterministic, frame fan-out bounded") {
     val media = Multimodal.syntheticMedia(spark, 30L)
     val meta = Multimodal.decodeMeta(media).collect()
