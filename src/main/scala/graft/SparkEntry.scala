@@ -365,6 +365,21 @@ object SparkEntry {
           col("channels").cast("long").as("channels"), col("format"))
     }),
 
+    // REAL video-container parse, foreign-verified: payloads are
+    // well-formed ISO-BMFF box trees (ftyp/moov/mvhd/trak/mdat) whose
+    // movie-header parameters are arithmetic in the row id — the box
+    // walker parses the actual big-endian container bytes here while
+    // the DuckDB oracle recomputes the expectation from the id, so a
+    // mis-parse (duration, timescale, track count, brand) breaks the
+    // hash
+    "q_video_meta" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.decodeVideoMeta(Multimodal.syntheticVideo(s, 200L)).toDF()
+        .select(col("media_id"), col("duration_ms"),
+          col("timescale").cast("long").as("timescale"),
+          col("tracks").cast("long").as("tracks"), col("brand"), col("format"))
+    }),
+
     // robots.txt rule enforcement: anti join on host + path prefix
     "q_robots_filter" -> ((s, dir) => {
       import s.implicits._
@@ -441,6 +456,14 @@ object SparkEntry {
       ("SELECT i AS media_id, 8 + (i * 13) % 120 AS width, " +
         "8 + (i * 29) % 90 AS height, CAST(3 AS BIGINT) AS channels, " +
         "'png' AS format FROM range(200) t(i)"),
+
+    // recomputes the MP4 generator's movie-header arithmetic; the
+    // Spark side walked the actual ISO-BMFF box bytes
+    "q_video_meta" ->
+      ("SELECT i AS media_id, " +
+        "(1200 + (i * 53) % 4800) * 1000 // (600 * (1 + i % 4)) AS duration_ms, " +
+        "600 * (1 + i % 4) AS timescale, 1 + i % 3 AS tracks, " +
+        "'isom' AS brand, 'mp4' AS format FROM range(200) t(i)"),
 
     "q_clean_name" ->
       "SELECT p_partkey, lower(p_name) AS name FROM part",

@@ -195,6 +195,76 @@ object Multimodal {
     }
   }
 
+  final case class VideoMeta(media_id: Long, duration_ms: Long,
+      timescale: Int, tracks: Int, brand: String, format: String)
+
+  /** REAL MP4 / ISO-BMFF box-structure parse (the container layout is
+    * a public standard, ISO/IEC 14496-12): walks the top-level box
+    * tree — each box is [uint32 size][4cc type], size 1 = 64-bit
+    * largesize follows — reads the `ftyp` major brand, the
+    * `moov`/`mvhd` movie header (timescale + duration, version 0 and
+    * 1 layouts), and counts `trak` boxes. Header-level metadata only:
+    * SAMPLE decode (pixels/audio inside `mdat`) needs codec libraries
+    * the JDK doesn't ship and stays behind the pluggable decoder
+    * seam. Returns None for payloads that aren't a well-formed box
+    * tree with a movie header.
+    */
+  def parseMp4Meta(mediaId: Long, payload: Array[Byte]): Option[VideoMeta] = {
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > payload.length) -1L
+      else ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+        ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+    def u64(o: Int): Long =
+      if (o < 0 || o + 8 > payload.length) -1L else (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      if (o + 4 > payload.length) ""
+      else new String(payload, o, 4, "US-ASCII")
+    // walk a box span, returning (type, payloadStart, boxEnd) triples
+    def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = start
+        def hasNext: Boolean = off + 8 <= end
+        def next(): (String, Int, Int) = {
+          val size0 = u32(off)
+          val typ = fourcc(off + 4)
+          val (size, hdr) =
+            if (size0 == 1L) (u64(off + 8), 16) else (size0, 8)
+          val boxEnd =
+            if (size == 0L) end // "to end of file" per spec
+            else off + size
+          if (size < hdr || boxEnd > end || boxEnd <= off) {
+            off = end // malformed: stop the walk
+            ("", 0, 0)
+          } else {
+            val res = (typ, off + hdr, math.min(boxEnd, end.toLong).toInt)
+            off = math.min(boxEnd, end.toLong).toInt
+            res
+          }
+        }
+      }
+    val top = boxes(0, payload.length).toList
+    if (top.isEmpty || top.exists(_._1 == "")) return None
+    val brand = top.find(_._1 == "ftyp").map(b => fourcc(b._2)).getOrElse("")
+    top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+      val kids = boxes(ms, me).toList
+      val tracks = kids.count(_._1 == "trak")
+      kids.find(_._1 == "mvhd").flatMap { case (_, ps, pe) =>
+        if (ps >= pe) None
+        else {
+          val version = payload(ps) & 0xFF
+          val (timescale, duration) =
+            if (version == 1) (u32(ps + 20), u64(ps + 24))
+            else (u32(ps + 12), u32(ps + 16))
+          if (timescale <= 0 || duration < 0) None
+          else Some(VideoMeta(mediaId,
+            duration_ms = duration * 1000L / timescale,
+            timescale = timescale.toInt, tracks = tracks, brand = brand,
+            format = sniffFormat(payload)))
+        }
+      }
+    }
+  }
+
   /** conf key selecting the decoder implementation */
   val decoderConfKey = "graft.media.decoder"
 
@@ -253,6 +323,19 @@ object Multimodal {
       format = sniffFormat(payload))
   }
 
+  /** STUB video decode (payloads with no parseable box tree):
+    * duration/tracks derived from the content hash, mirroring
+    * [[stubDecodeMeta]]/[[stubDecodeAudio]].
+    */
+  def stubDecodeVideo(media_id: Long, payload: Array[Byte]): VideoMeta = {
+    val s = graft.sites.SyntheticWeb.mix64(contentSeed(payload))
+    val timescale = 600
+    val durTicks = 600L + (s & 0xFFFF)
+    VideoMeta(media_id, duration_ms = durTicks * 1000L / timescale,
+      timescale = timescale, tracks = 1 + ((s >>> 16) & 0x1).toInt,
+      brand = "", format = sniffFormat(payload))
+  }
+
   /** STUB feature extraction: a deterministic pseudo-embedding of the
     * payload (dim floats seeded by content hash). Real implementation:
     * decoded pixels → model forward pass.
@@ -292,9 +375,25 @@ object Multimodal {
     media.mapPartitions(_.map(m => dec.decodeAudio(m.media_id, m.payload)))
   }
 
+  /** Decode video (container) metadata — [[parseMp4Meta]] box walk
+    * for real ISO-BMFF payloads, stub fallback for everything else;
+    * same partition-parallel batch shape as [[decodeMeta]].
+    */
+  def decodeVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m =>
+      parseMp4Meta(m.media_id, m.payload)
+        .getOrElse(stubDecodeVideo(m.media_id, m.payload))))
+  }
+
   /** Frame sampling for video-ish payloads: every `strideMs`, up to
-    * `maxFrames` frames, each with a stub feature vector. One input row
+    * `maxFrames` frames, each with a feature vector. One input row
     * fans out to ≤ maxFrames rows — the UDTF (flatMap) batch shape.
+    * Duration is REAL when the payload is a parseable ISO-BMFF box
+    * tree (mvhd duration, [[parseMp4Meta]]); the payload-size
+    * heuristic remains the fallback. Frame PIXEL decode would need
+    * codec libs — features route through the pluggable decoder seam.
     */
   def sampleFrames(media: Dataset[MediaRow], strideMs: Long, maxFrames: Int,
       featureDim: Int = 16): Dataset[Frame] = {
@@ -302,9 +401,10 @@ object Multimodal {
     import spark.implicits._
     val dec = decoderFor(spark)
     media.flatMap { m =>
-      // STUB duration: derived from payload size (real: container header)
-      val durMs = math.min(m.payload.length.toLong * 10L, strideMs * maxFrames)
-      val n = math.min(maxFrames.toLong, math.max(1L, durMs / strideMs)).toInt
+      val durMs = parseMp4Meta(m.media_id, m.payload).map(_.duration_ms)
+        .getOrElse(math.min(m.payload.length.toLong * 10L, strideMs * maxFrames))
+      val n = math.min(maxFrames.toLong,
+        math.max(1L, durMs / strideMs)).toInt
       (0 until n).iterator.map { i =>
         val tsMs = i * strideMs
         Frame(m.media_id, i, tsMs,
@@ -379,6 +479,53 @@ object Multimodal {
       seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n).map(i => MediaRow(i, "png", syntheticPngBytes(i, seed)))
+  }
+
+  /** One synthetic but VALID ISO-BMFF (MP4) payload: a well-formed
+    * box tree — `ftyp` (isom), `moov` holding a version-0 `mvhd`
+    * movie header plus `trak` boxes, and an `mdat` of hash noise.
+    * Header parameters are arithmetic in the row id — the video
+    * oracle recomputes them while [[parseMp4Meta]] walks the actual
+    * box bytes.
+    */
+  def syntheticMp4Bytes(i: Long, seed: Long): Array[Byte] = {
+    val timescale = 600 * (1 + (i % 4).toInt)
+    val durTicks = 1200L + (i * 53L) % 4800L
+    val tracks = 1 + (i % 3).toInt
+    val mdatLen = 64 + (graft.sites.SyntheticWeb.mix(seed, i, 0L) & 0xFF).toInt
+    val buf = java.nio.ByteBuffer.allocate( // big-endian per the spec
+      16 + (8 + 108 + 8 * tracks) + (8 + mdatLen))
+    buf.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0x200)
+    buf.putInt(8 + 108 + 8 * tracks).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)           // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification time
+      .putInt(timescale).putInt(durTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putLong(0L)         // reserved
+      .putInt(0x10000).putInt(0).putInt(0) // unity matrix
+      .putInt(0).putInt(0x10000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    var p = 0
+    while (p < 6) { buf.putInt(0); p += 1 } // pre_defined
+    buf.putInt(tracks + 1) // next_track_id
+    var t = 0
+    while (t < tracks) {
+      buf.putInt(8).put("trak".getBytes("US-ASCII")); t += 1
+    }
+    buf.putInt(8 + mdatLen).put("mdat".getBytes("US-ASCII"))
+    var j = 0
+    while (j < mdatLen) {
+      buf.put(graft.sites.SyntheticWeb.mix(seed, i, j.toLong).toByte); j += 1
+    }
+    buf.array()
+  }
+
+  /** synthetic video corpus: real ISO-BMFF box trees (deterministic) */
+  def syntheticVideo(spark: SparkSession, n: Long,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => MediaRow(i, "mp4", syntheticMp4Bytes(i, seed)))
   }
 
   /** synthetic audio corpus: real WAV containers (deterministic) */

@@ -457,6 +457,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("parseMp4Meta walks real ISO-BMFF box trees (v0/v1 mvhd, largesize, malformed)") {
+    // hand-written fixture off the public spec: version-1 movie
+    // header (64-bit duration) plus a largesize (size == 1) mdat —
+    // the two layouts the arithmetic generator doesn't produce
+    val b = java.nio.ByteBuffer.allocate(168)
+    b.putInt(16).put("ftypmp42".getBytes("US-ASCII")).putInt(0)
+    b.putInt(128).put("moov".getBytes("US-ASCII"))
+    b.putInt(120).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000).putLong(0L).putLong(0L) // v1; ctime/mtime 64-bit
+      .putInt(90000).putLong(123456L).put(new Array[Byte](80))
+    b.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(24L)
+      .putLong(0x0102030405060708L)
+    val fixture = b.array()
+    assert(Multimodal.parseMp4Meta(1L, fixture) ===
+      Some(Multimodal.VideoMeta(1L, 1371L, 90000, 0, "mp42", "mp4")))
+    // generated v0 corpus: i = 9 → timescale 1200, 1677 ticks, 1 trak
+    val gen = Multimodal.syntheticMp4Bytes(9L, seed = 42L)
+    assert(Multimodal.sniffFormat(gen) === "mp4")
+    assert(Multimodal.parseMp4Meta(9L, gen) ===
+      Some(Multimodal.VideoMeta(9L, 1397L, 1200, 1, "isom", "mp4")))
+    // magic-bytes-plus-noise (no box tree) must NOT parse
+    val junk = Array[Byte](0, 0, 0, 0x18) ++
+      "ftyp".getBytes("US-ASCII") ++ Array.fill[Byte](40)(7)
+    assert(Multimodal.parseMp4Meta(2L, junk) === None)
+    // the distributed operator: real parse for the corpus, stub fallback
+    val metas = Multimodal.decodeVideoMeta(
+      Multimodal.syntheticVideo(spark, 12L)).collect()
+    assert(metas.length === 12)
+    metas.foreach { m =>
+      val i = m.media_id
+      val ts = 600 * (1 + (i % 4).toInt)
+      assert(m.timescale === ts)
+      assert(m.duration_ms === (1200L + (i * 53L) % 4800L) * 1000L / ts)
+      assert(m.tracks === 1 + (i % 3).toInt)
+      assert(m.brand === "isom")
+    }
+    // sampleFrames now uses the REAL mvhd duration for parseable
+    // payloads: i = 0 → 2000 ms at stride 500 → exactly 4 frames
+    val frames = Multimodal.sampleFrames(
+      Multimodal.syntheticVideo(spark, 1L), strideMs = 500L, maxFrames = 100)
+      .collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.ts_ms).sorted.toSeq === Seq(0L, 500L, 1000L, 1500L))
+  }
+
   test("multimodal: sniffing real, stub decode deterministic, frame fan-out bounded") {
     val media = Multimodal.syntheticMedia(spark, 30L)
     val meta = Multimodal.decodeMeta(media).collect()
