@@ -325,7 +325,15 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
       CrawlConfig(site = "wikipedia", batchSize = 3,
         compactLogThreshold = 1L << 30))
     eng.seed(Seq(seedUrl))
-    eng.step(); eng.step(); eng.step()
+    val r1 = eng.step().get
+    val r2 = eng.step().get
+    val r3 = eng.step().get
+    // telemetry: some mid-crawl schedule read a tier prefix strictly
+    // smaller than the pending frontier it scheduled from (the
+    // BatchResult field the bench reports as sched_rows)
+    assert(Seq((r2, r1), (r3, r2)).exists { case (r, prev) =>
+      r.scheduleRowsRead < prev.frontierPending },
+      s"schedule never pruned: ${Seq(r1, r2, r3).map(_.scheduleRowsRead)}")
 
     // layout: sharded frontier segments carry the priority-tier dim
     val dirs = eng.store.segmentDirs("frontier")
@@ -359,6 +367,12 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     eng.seed(Seq(seedUrl))
     val results = eng.run()
     assert(results.forall(_.pagesFetched <= 2), "host cap violated")
+    // telemetry: a widened (or single-tier) schedule reads the full
+    // pending view — scheduleRowsRead equals the pre-batch pending
+    results.sliding(2).foreach {
+      case Seq(a, b) => assert(b.scheduleRowsRead === a.frontierPending)
+      case _ => ()
+    }
     val gotNodes = eng.store.read("nodes").get
       .select("name").collect().map(_.getString(0)).toSet
     assert(gotNodes === oracleNodes)
