@@ -380,6 +380,22 @@ object SparkEntry {
           col("tracks").cast("long").as("tracks"), col("brand"), col("format"))
     }),
 
+    // REAL video SAMPLE decode, foreign-verified: payloads carry a
+    // complete uncompressed `raw ` RGB24 track whose sample table
+    // (stsd/stts/stsc/stsz/stco) the walker resolves to exact frame
+    // timestamps, dimensions and byte sizes — all arithmetic in the
+    // row id, recomputed by the DuckDB oracle, so a mis-walk of any
+    // table breaks the hash. (Pixel CONTENT is cross-verified against
+    // javax.imageio in OpsSpec — two independent decoders must
+    // produce the same luminance histogram.)
+    "q_video_frames" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.decodeVideoFrames(Multimodal.syntheticRawVideo(s, 200L)).toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("ts_ms"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("sample_bytes"))
+    }),
+
     // robots.txt rule enforcement: anti join on host + path prefix
     "q_robots_filter" -> ((s, dir) => {
       import s.implicits._
@@ -464,6 +480,16 @@ object SparkEntry {
         "(1200 + (i * 53) % 4800) * 1000 // (600 * (1 + i % 4)) AS duration_ms, " +
         "600 * (1 + i % 4) AS timescale, 1 + i % 3 AS tracks, " +
         "'isom' AS brand, 'mp4' AS format FROM range(200) t(i)"),
+
+    // recomputes the raw-track generator's sample-table arithmetic
+    // (frame count, stts timestamps, stsd dimensions, stsz sizes);
+    // the Spark side walked the actual big-endian table bytes
+    "q_video_frames" ->
+      ("SELECT i AS media_id, f AS frame_idx, " +
+        "f * (40 * (1 + i % 3)) * 1000 // (1000 * (1 + i % 2)) AS ts_ms, " +
+        "8 + (i * 11) % 24 AS width, 8 + (i * 7) % 16 AS height, " +
+        "(8 + (i * 11) % 24) * (8 + (i * 7) % 16) * 3 AS sample_bytes " +
+        "FROM range(200) t(i) CROSS JOIN range(6) u(f) WHERE f < 2 + i % 4"),
 
     "q_clean_name" ->
       "SELECT p_partkey, lower(p_name) AS name FROM part",

@@ -85,27 +85,31 @@ object Multimodal {
       val img = readImage(payload)
       if (img == null) stubFeature(payload, dim)
       else {
-        val hist = new Array[Float](dim)
         val w = img.getWidth
-        val h = img.getHeight
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            hist(math.min(dim - 1, lum * dim / 256)) += 1f
-            x += 1
-          }
-          y += 1
-        }
-        val total = (w.toLong * h).toFloat
-        var i = 0
-        while (i < dim) { hist(i) /= total; i += 1 }
-        hist
+        lumHistogram(dim, w * img.getHeight, { p =>
+          val rgb = img.getRGB(p % w, p / w)
+          (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+        })
       }
     }
+  }
+
+  /** L1-normalized `dim`-bin luminance histogram over `n` pixels —
+    * the model-free visual feature both the image path and the raw
+    * video path reduce REAL pixels to. `lumAt` yields pixel p's
+    * 0-255 luminance.
+    */
+  private def lumHistogram(dim: Int, n: Int, lumAt: Int => Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    var p = 0
+    while (p < n) {
+      hist(math.min(dim - 1, lumAt(p) * dim / 256)) += 1f
+      p += 1
+    }
+    var i = 0
+    while (i < dim) { hist(i) /= n.toFloat; i += 1 }
+    hist
   }
 
   /** REAL audio + image decoder, still JDK-only: images via the
@@ -198,18 +202,16 @@ object Multimodal {
   final case class VideoMeta(media_id: Long, duration_ms: Long,
       timescale: Int, tracks: Int, brand: String, format: String)
 
-  /** REAL MP4 / ISO-BMFF box-structure parse (the container layout is
-    * a public standard, ISO/IEC 14496-12): walks the top-level box
-    * tree — each box is [uint32 size][4cc type], size 1 = 64-bit
-    * largesize follows — reads the `ftyp` major brand, the
-    * `moov`/`mvhd` movie header (timescale + duration, version 0 and
-    * 1 layouts), and counts `trak` boxes. Header-level metadata only:
-    * SAMPLE decode (pixels/audio inside `mdat`) needs codec libraries
-    * the JDK doesn't ship and stays behind the pluggable decoder
-    * seam. Returns None for payloads that aren't a well-formed box
-    * tree with a movie header.
+  /** ISO-BMFF (ISO/IEC 14496-12, a public standard) primitives shared
+    * by the header parse ([[parseMp4Meta]]) and the sample-table walk
+    * ([[parseRawVideoTrack]]): big-endian integer reads and the box
+    * iterator — each box is [uint32 size][4cc type], size 1 = 64-bit
+    * largesize follows, size 0 = "to end of enclosing span".
     */
-  def parseMp4Meta(mediaId: Long, payload: Array[Byte]): Option[VideoMeta] = {
+  private final class Bmff(payload: Array[Byte]) {
+    def u16(o: Int): Int =
+      if (o < 0 || o + 2 > payload.length) -1
+      else ((payload(o) & 0xFF) << 8) | (payload(o + 1) & 0xFF)
     def u32(o: Int): Long =
       if (o < 0 || o + 4 > payload.length) -1L
       else ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
@@ -219,7 +221,8 @@ object Multimodal {
     def fourcc(o: Int): String =
       if (o + 4 > payload.length) ""
       else new String(payload, o, 4, "US-ASCII")
-    // walk a box span, returning (type, payloadStart, boxEnd) triples
+    // walk a box span, returning (type, payloadStart, boxEnd) triples;
+    // a malformed box yields ("", 0, 0) and stops the walk
     def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
       new Iterator[(String, Int, Int)] {
         private var off = start
@@ -242,19 +245,42 @@ object Multimodal {
           }
         }
       }
-    val top = boxes(0, payload.length).toList
+    /** first `path`-nested box under the span, descending one
+      * container level per path element
+      */
+    def find(path: Seq[String], start: Int, end: Int): Option[(Int, Int)] =
+      path.foldLeft(Option((start, end))) { (span, typ) =>
+        span.flatMap { case (s, e) =>
+          boxes(s, e).find(_._1 == typ).map(b => (b._2, b._3))
+        }
+      }
+  }
+
+  /** REAL MP4 / ISO-BMFF box-structure parse (the container layout is
+    * a public standard, ISO/IEC 14496-12): walks the top-level box
+    * tree, reads the `ftyp` major brand, the `moov`/`mvhd` movie
+    * header (timescale + duration, version 0 and 1 layouts), and
+    * counts `trak` boxes. COMPRESSED sample decode (H.264 etc. inside
+    * `mdat`) needs codec libraries the JDK doesn't ship and stays
+    * behind the pluggable decoder seam — but uncompressed tracks
+    * decode for real via [[parseRawVideoTrack]]. Returns None for
+    * payloads that aren't a well-formed box tree with a movie header.
+    */
+  def parseMp4Meta(mediaId: Long, payload: Array[Byte]): Option[VideoMeta] = {
+    val b = new Bmff(payload)
+    val top = b.boxes(0, payload.length).toList
     if (top.isEmpty || top.exists(_._1 == "")) return None
-    val brand = top.find(_._1 == "ftyp").map(b => fourcc(b._2)).getOrElse("")
+    val brand = top.find(_._1 == "ftyp").map(x => b.fourcc(x._2)).getOrElse("")
     top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
-      val kids = boxes(ms, me).toList
+      val kids = b.boxes(ms, me).toList
       val tracks = kids.count(_._1 == "trak")
       kids.find(_._1 == "mvhd").flatMap { case (_, ps, pe) =>
         if (ps >= pe) None
         else {
           val version = payload(ps) & 0xFF
           val (timescale, duration) =
-            if (version == 1) (u32(ps + 20), u64(ps + 24))
-            else (u32(ps + 12), u32(ps + 16))
+            if (version == 1) (b.u32(ps + 20), b.u64(ps + 24))
+            else (b.u32(ps + 12), b.u32(ps + 16))
           if (timescale <= 0 || duration < 0) None
           else Some(VideoMeta(mediaId,
             duration_ms = duration * 1000L / timescale,
@@ -263,6 +289,123 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** One decoded video sample: REAL pixels (for uncompressed tracks)
+    * reduced to the same luminance-histogram feature the image path
+    * computes, plus the sample-table facts (timestamp from `stts`,
+    * size from `stsz`, dimensions from the `stsd` sample entry).
+    */
+  final case class RawFrame(media_id: Long, frame_idx: Int, ts_ms: Long,
+      width: Int, height: Int, sample_bytes: Long, feature: Array[Float])
+
+  /** A video track whose samples the sample table locates exactly:
+    * per-sample (offset, size, timestamp-ticks) resolved through the
+    * full `stts`/`stsc`/`stsz`/`stco` machinery of 14496-12 §8.
+    */
+  final case class TrackSamples(codec: String, width: Int, height: Int,
+      depth: Int, timescale: Long, offsets: Array[Long], sizes: Array[Long],
+      ticks: Array[Long])
+
+  /** REAL sample-table walk (ISO/IEC 14496-12 §8.5-8.7) for the first
+    * video track: `stsd` gives the sample-entry fourcc + dimensions +
+    * depth, `stts` the per-sample decode timestamps (run-length
+    * (count, delta) pairs), `stsz` the per-sample byte sizes (fixed or
+    * per-sample table), and `stsc`+`stco` map samples → chunks → file
+    * offsets (chunk runs are (first_chunk, samples_per_chunk) ranges;
+    * within a chunk, sample offsets accumulate the preceding samples'
+    * sizes). Nothing here needs a codec: the table addresses raw
+    * bytes. Returns None when any table is absent or malformed.
+    */
+  def parseRawVideoTrack(payload: Array[Byte]): Option[TrackSamples] = {
+    val b = new Bmff(payload)
+    val moov = b.find(Seq("moov"), 0, payload.length).getOrElse(return None)
+    b.boxes(moov._1, moov._2).filter(_._1 == "trak").flatMap { trak =>
+      decodeTrak(b, payload, trak._2, trak._3)
+    }.take(1).toList.headOption
+  }
+
+  private def decodeTrak(b: Bmff, payload: Array[Byte],
+      ts: Int, te: Int): Option[TrackSamples] = {
+    val mdia = b.find(Seq("mdia"), ts, te).getOrElse(return None)
+    // mdhd: media timescale (v0 at +12, v1 at +20)
+    val mdhd = b.find(Seq("mdhd"), mdia._1, mdia._2).getOrElse(return None)
+    val mver = payload(mdhd._1) & 0xFF
+    val timescale = if (mver == 1) b.u32(mdhd._1 + 20) else b.u32(mdhd._1 + 12)
+    if (timescale <= 0) return None
+    val stbl = b.find(Seq("minf", "stbl"), mdia._1, mdia._2)
+      .getOrElse(return None)
+    // stsd: first sample entry — VisualSampleEntry layout (§12.1.3):
+    // box header 8, SampleEntry (reserved 6 + data_reference_index 2),
+    // pre_defined/reserved 16, width/height u16 at +32/+34, then
+    // resolutions(8)/reserved(4)/frame_count(2)/compressorname(32);
+    // depth u16 at +82
+    val stsd = b.find(Seq("stsd"), stbl._1, stbl._2).getOrElse(return None)
+    if (b.u32(stsd._1 + 4) < 1) return None // entry_count
+    val e = stsd._1 + 8 // first entry's box header
+    val codec = b.fourcc(e + 4)
+    val width = b.u16(e + 32)
+    val height = b.u16(e + 34)
+    val depth = b.u16(e + 82)
+    if (width <= 0 || height <= 0) return None
+    // stts: run-length (sample_count, sample_delta) → per-sample ticks
+    val stts = b.find(Seq("stts"), stbl._1, stbl._2).getOrElse(return None)
+    val nRuns = b.u32(stts._1 + 4)
+    if (nRuns < 0) return None
+    val ticksBuf = Array.newBuilder[Long]
+    var acc = 0L
+    var r = 0
+    while (r < nRuns) {
+      val cnt = b.u32(stts._1 + 8 + r * 8)
+      val delta = b.u32(stts._1 + 8 + r * 8 + 4)
+      if (cnt < 0 || delta < 0) return None
+      var k = 0L
+      while (k < cnt) { ticksBuf += acc; acc += delta; k += 1 }
+      r += 1
+    }
+    val ticks = ticksBuf.result()
+    val n = ticks.length
+    // stsz: fixed sample_size or per-sample table
+    val stsz = b.find(Seq("stsz"), stbl._1, stbl._2).getOrElse(return None)
+    val fixedSize = b.u32(stsz._1 + 4)
+    val szCount = b.u32(stsz._1 + 8)
+    if (szCount != n) return None
+    val sizes =
+      if (fixedSize > 0) Array.fill(n)(fixedSize)
+      else Array.tabulate(n)(i => b.u32(stsz._1 + 12 + i * 4))
+    if (sizes.exists(_ < 0)) return None
+    // stsc: (first_chunk, samples_per_chunk, _) runs; stco: chunk → file
+    // offset. Walk chunks in order, laying samples consecutively.
+    val stsc = b.find(Seq("stsc"), stbl._1, stbl._2).getOrElse(return None)
+    val stco = b.find(Seq("stco"), stbl._1, stbl._2).getOrElse(return None)
+    val scRuns = b.u32(stsc._1 + 4).toInt
+    val nChunks = b.u32(stco._1 + 4).toInt
+    if (scRuns <= 0 || nChunks <= 0) return None
+    val offsets = new Array[Long](n)
+    var sample = 0
+    var run = 0
+    var chunk = 1
+    while (chunk <= nChunks && sample < n) {
+      // advance to the stsc run covering this chunk
+      while (run + 1 < scRuns && b.u32(stsc._1 + 8 + (run + 1) * 12) <= chunk)
+        run += 1
+      val perChunk = b.u32(stsc._1 + 8 + run * 12 + 4)
+      var off = b.u32(stco._1 + 8 + (chunk - 1) * 4)
+      if (perChunk <= 0 || off < 0) return None
+      var k = 0L
+      while (k < perChunk && sample < n) {
+        offsets(sample) = off
+        off += sizes(sample)
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (sample != n) return None
+    if (offsets.zip(sizes).exists { case (o, s) => o + s > payload.length })
+      return None
+    Some(TrackSamples(codec, width, height, depth, timescale,
+      offsets, sizes, ticks))
   }
 
   /** conf key selecting the decoder implementation */
@@ -385,6 +528,46 @@ object Multimodal {
     media.mapPartitions(_.map(m =>
       parseMp4Meta(m.media_id, m.payload)
         .getOrElse(stubDecodeVideo(m.media_id, m.payload))))
+  }
+
+  /** REAL video SAMPLE decode — the full-fidelity path for tracks
+    * whose samples need no codec: the sample table
+    * ([[parseRawVideoTrack]]) locates every sample's bytes exactly,
+    * and a `raw `/`RGB `-entry track at depth 24 is interpreted as
+    * packed row-major R,G,B bytes (the uncompressed video layout of
+    * QTFF/14496-12), reduced to the same REAL-pixel luminance
+    * histogram the image path computes. One input row fans out to one
+    * row per sample with its `stts` timestamp — the UDTF (flatMap)
+    * batch shape, partition-parallel, nothing but (media_id, payload)
+    * read. Compressed tracks (H.264 …) yield no rows here: their
+    * sample BYTES are still addressed exactly, but turning them into
+    * pixels needs codec libraries the JDK doesn't ship — that decode
+    * stays behind the pluggable [[MediaDecoder]] seam.
+    */
+  def decodeVideoFrames(media: Dataset[MediaRow],
+      featureDim: Int = 16): Dataset[RawFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      parseRawVideoTrack(m.payload) match {
+        case Some(t) if (t.codec == "raw " || t.codec == "RGB ") && t.depth == 24 =>
+          t.offsets.indices.iterator.map { i =>
+            val off = t.offsets(i).toInt
+            val expected = t.width.toLong * t.height * 3
+            val feat =
+              if (t.sizes(i) == expected)
+                lumHistogram(featureDim, t.width * t.height, { p =>
+                  val o = off + p * 3
+                  ((m.payload(o) & 0xFF) * 299 + (m.payload(o + 1) & 0xFF) * 587 +
+                    (m.payload(o + 2) & 0xFF) * 114) / 1000
+                })
+              else new Array[Float](featureDim) // size ≠ dims: undecodable
+            RawFrame(m.media_id, i, t.ticks(i) * 1000L / t.timescale,
+              t.width, t.height, t.sizes(i), feat)
+          }
+        case _ => Iterator.empty
+      }
+    }
   }
 
   /** Frame sampling for video-ish payloads: every `strideMs`, up to
@@ -526,6 +709,117 @@ object Multimodal {
       seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n).map(i => MediaRow(i, "mp4", syntheticMp4Bytes(i, seed)))
+  }
+
+  /** One synthetic but VALID ISO-BMFF payload holding a complete
+    * UNCOMPRESSED video track: `moov/trak/mdia/minf/stbl` with a
+    * `raw ` VisualSampleEntry (packed RGB24), full
+    * `stts`/`stsc`/`stsz`/`stco` sample table, and real pixel bytes
+    * in `mdat`. Track parameters are arithmetic in the row id — the
+    * frames oracle recomputes them while [[parseRawVideoTrack]] walks
+    * the actual table bytes — and the pixels are deterministic hash
+    * bytes the spec suite cross-decodes against javax.imageio.
+    */
+  def syntheticRawMp4Bytes(i: Long, seed: Long): Array[Byte] = {
+    val w = 8 + ((i * 11L) % 24L).toInt
+    val h = 8 + ((i * 7L) % 16L).toInt
+    val frames = 2 + (i % 4).toInt
+    val mediaTs = 1000 * (1 + (i % 2).toInt)
+    val delta = 40 * (1 + (i % 3).toInt)
+    val sampleSize = w * h * 3
+    val ascii = "US-ASCII"
+    // box sizes, leaves up: stbl = stsd(102) stts(24) stsc(28)
+    // stsz(20) stco(20); minf = vmhd(20) dinf(36) stbl; mdia =
+    // mdhd(32) hdlr(33) minf; trak = tkhd(92) mdia; moov = mvhd(108)
+    // trak — mdat payload starts right after
+    val stblSz = 8 + 102 + 24 + 28 + 20 + 20
+    val minfSz = 8 + 20 + 36 + stblSz
+    val mdiaSz = 8 + 32 + 33 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val chunkOffset = 16 + moovSz + 8
+    val buf = java.nio.ByteBuffer.allocate(chunkOffset + frames * sampleSize)
+    buf.putInt(16).put("ftypisom".getBytes(ascii)).putInt(0x200)
+    buf.putInt(moovSz).put("moov".getBytes(ascii))
+    // mvhd v0: movie timescale 600, duration in movie ticks
+    buf.putInt(108).put("mvhd".getBytes(ascii))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(600).putInt((frames.toLong * delta * 600L / mediaTs).toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putLong(0L)
+      .putInt(0x10000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x10000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(2) // next_track_id
+    buf.putInt(trakSz).put("trak".getBytes(ascii))
+    // tkhd v0 (flags: enabled|in_movie)
+    buf.putInt(92).put("tkhd".getBytes(ascii))
+      .putInt(0x000003).putInt(0).putInt(0)
+      .putInt(1)  // track_ID
+      .putInt(0)  // reserved
+      .putInt((frames.toLong * delta * 600L / mediaTs).toInt)
+      .putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+      .putInt(0x10000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x10000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+    buf.putInt(mdiaSz).put("mdia".getBytes(ascii))
+    // mdhd v0: the MEDIA timescale stts ticks are expressed in
+    buf.putInt(32).put("mdhd".getBytes(ascii))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(mediaTs).putInt((frames * delta).toInt)
+      .putShort(0x55C4.toShort).putShort(0) // language 'und'
+    buf.putInt(33).put("hdlr".getBytes(ascii))
+      .putInt(0).putInt(0).put("vide".getBytes(ascii))
+      .putInt(0).putInt(0).putInt(0).put(0.toByte) // reserved + "" name
+    buf.putInt(minfSz).put("minf".getBytes(ascii))
+    buf.putInt(20).put("vmhd".getBytes(ascii))
+      .putInt(0x000001).putShort(0).putShort(0).putShort(0).putShort(0)
+    buf.putInt(36).put("dinf".getBytes(ascii))
+      .putInt(28).put("dref".getBytes(ascii)).putInt(0).putInt(1)
+      .putInt(12).put("url ".getBytes(ascii)).putInt(0x000001) // self-contained
+    buf.putInt(stblSz).put("stbl".getBytes(ascii))
+    // stsd: one 'raw ' VisualSampleEntry, RGB24
+    buf.putInt(102).put("stsd".getBytes(ascii)).putInt(0).putInt(1)
+      .putInt(86).put("raw ".getBytes(ascii))
+      .putInt(0).putShort(0).putShort(1)       // reserved(6) + dri
+      .putShort(0).putShort(0)                 // pre_defined + reserved
+      .putInt(0).putInt(0).putInt(0)           // pre_defined[3]
+      .putShort(w.toShort).putShort(h.toShort)
+      .putInt(0x00480000).putInt(0x00480000)   // 72 dpi
+      .putInt(0).putShort(1)                   // reserved + frame_count
+      .put(new Array[Byte](32))                // compressorname
+      .putShort(24).putShort(-1)               // depth + pre_defined
+    buf.putInt(24).put("stts".getBytes(ascii)).putInt(0).putInt(1)
+      .putInt(frames).putInt(delta)
+    buf.putInt(28).put("stsc".getBytes(ascii)).putInt(0).putInt(1)
+      .putInt(1).putInt(frames).putInt(1)
+    buf.putInt(20).put("stsz".getBytes(ascii)).putInt(0)
+      .putInt(sampleSize).putInt(frames)
+    buf.putInt(20).put("stco".getBytes(ascii)).putInt(0).putInt(1)
+      .putInt(chunkOffset)
+    buf.putInt(8 + frames * sampleSize).put("mdat".getBytes(ascii))
+    var f = 0
+    while (f < frames) {
+      var p = 0
+      while (p < sampleSize) {
+        buf.put(graft.sites.SyntheticWeb.mix(seed, i,
+          (f.toLong << 32) | p.toLong).toByte)
+        p += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** synthetic uncompressed-video corpus: complete decodable raw
+    * tracks (deterministic)
+    */
+  def syntheticRawVideo(spark: SparkSession, n: Long,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => MediaRow(i, "mp4", syntheticRawMp4Bytes(i, seed)))
   }
 
   /** synthetic audio corpus: real WAV containers (deterministic) */
