@@ -428,6 +428,35 @@ object SparkEntry {
       graft.ops.GraphOps.topByInDegree(edges, 20)
     }),
 
+    // PageRank over the order→part graph, 3 power iterations with
+    // dangling-mass redistribution (parts are never src, so the
+    // dangling term is exercised for real); the DuckDB oracle runs
+    // the same recurrence as chained CTEs. Output mean-normalized
+    // (rank × N) and rounded so cross-engine float-sum order noise
+    // (~1e-15 relative) sits 9 orders below the comparison grain.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      val pr = graft.ops.GraphOps.pageRank(edges, iters = 3)
+      pr.crossJoin(pr.agg(count(lit(1)).cast("double").as("nn")))
+        .select(col("node"), round(col("rank") * col("nn"), 6).as("rank_n"))
+    }),
+
+    // connected components via large-star/small-star over an
+    // arithmetic block graph (64-node chains + in-block shortcuts):
+    // the closed-form oracle (component = block head) verifies the
+    // full O(log n) star-contraction machinery end-to-end
+    "q_cc" -> ((s, _) => {
+      val ids = s.range(0, 4000L)
+      val chain = ids.filter(col("id") % 64 =!= 63)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val shortcuts = ids.filter(col("id") % 5 === 2)
+        .select(col("id").as("src"),
+          (col("id") - pmod(col("id"), lit(64L))).as("dst"))
+      graft.ops.GraphOps.connectedComponents(
+        chain.unionByName(shortcuts), ids.select(col("id").as("node")))
+    }),
+
     "q_khop" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
@@ -603,6 +632,36 @@ object SparkEntry {
         |   SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node WHERE r.hops < 3)
         |SELECT node, min(hops) AS hops FROM r GROUP BY node"""
         .stripMargin),
+
+    // the same 3-iteration dangling-aware recurrence as chained CTEs
+    "q_pagerank" ->
+      ("""WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+        | nd AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        | prm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+        | dg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        | r0 AS (SELECT nd.node, dg.deg, 1.0/(SELECT n FROM prm) AS r
+        |   FROM nd LEFT JOIN dg ON nd.node = dg.node),
+        | c1 AS (SELECT e.dst AS node, SUM(r0.r/r0.deg) AS c FROM r0 JOIN e ON r0.node = e.src GROUP BY e.dst),
+        | d1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0 WHERE deg IS NULL),
+        | r1 AS (SELECT r0.node, r0.deg, 0.15/(SELECT n FROM prm)
+        |   + 0.85*(COALESCE(c1.c, 0) + (SELECT dm FROM d1)/(SELECT n FROM prm)) AS r
+        |   FROM r0 LEFT JOIN c1 ON r0.node = c1.node),
+        | c2 AS (SELECT e.dst AS node, SUM(r1.r/r1.deg) AS c FROM r1 JOIN e ON r1.node = e.src GROUP BY e.dst),
+        | d2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r1 WHERE deg IS NULL),
+        | r2 AS (SELECT r1.node, r1.deg, 0.15/(SELECT n FROM prm)
+        |   + 0.85*(COALESCE(c2.c, 0) + (SELECT dm FROM d2)/(SELECT n FROM prm)) AS r
+        |   FROM r1 LEFT JOIN c2 ON r1.node = c2.node),
+        | c3 AS (SELECT e.dst AS node, SUM(r2.r/r2.deg) AS c FROM r2 JOIN e ON r2.node = e.src GROUP BY e.dst),
+        | d3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r2 WHERE deg IS NULL),
+        | r3 AS (SELECT r2.node, r2.deg, 0.15/(SELECT n FROM prm)
+        |   + 0.85*(COALESCE(c3.c, 0) + (SELECT dm FROM d3)/(SELECT n FROM prm)) AS r
+        |   FROM r2 LEFT JOIN c3 ON r2.node = c3.node)
+        |SELECT node, ROUND(r * (SELECT n FROM prm), 6) AS rank_n FROM r3"""
+        .stripMargin),
+
+    // closed-form components of the arithmetic block graph
+    "q_cc" ->
+      "SELECT i AS node, (i // 64) * 64 AS component FROM range(4000) t(i)",
 
     "q_embed_norm" ->
       ("SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding, " +

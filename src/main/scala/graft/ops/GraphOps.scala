@@ -41,6 +41,138 @@ object GraphOps {
     * and the cache holds every historical wave (fine at 3 hops, fatal
     * at 20+).
     */
+  /** PageRank over the crawl's directed edge table — the canonical
+    * web-graph score for frontier prioritization and corpus quality
+    * weighting. Standard power iteration with DANGLING-MASS
+    * redistribution (a crawl graph is full of pages with no parsed
+    * outlinks; dropping their mass makes ranks drain to 0):
+    *
+    *   r_k(x) = (1-d)/N + d·( Σ_{s→x} r_{k-1}(s)/deg(s) + DM_k/N )
+    *   DM_k   = Σ_{deg(s)=0} r_{k-1}(s)
+    *
+    * Scale shape: per iteration ONE shuffle of (node, rank) by join
+    * key and ONE 8-byte-key aggregation on dst; the dangling mass
+    * rides as a 1-row cross join (no driver round trip per
+    * iteration); ranks are eagerly localCheckpoint'ed per iteration
+    * (same deep-iteration plan hygiene as [[reachable]] — without it
+    * the optimizer, not the data, is the bottleneck). Returns
+    * (node, rank) with Σ rank = 1.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    // deg NULL = dangling (never a src)
+    val degged = nodes
+      .join(outDeg, nodes("node") === outDeg("src"), "left")
+      .select(col("node"), col("deg"))
+      .localCheckpoint(true)
+    val n = degged.count().toDouble
+    var ranks = degged.withColumn("rank", lit(1.0 / n))
+    var k = 0
+    while (k < iters) {
+      k += 1
+      val dangling = ranks.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contribs = ranks
+        .join(e, ranks("node") === e("src"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = degged
+        .join(contribs, degged("node") === contribs("dst"), "left")
+        .crossJoin(dangling)
+        .select(col("node"), col("deg"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * — a public algorithm): logarithmic-round star contraction
+    * (O(log² n) proven, O(log n) in practice) that survives
+    * web-scale graphs where O(diameter) label propagation does not
+    * (a 10^10-node crawl graph has chains thousands of hops long;
+    * this converges in tens of rounds regardless):
+    *
+    *   large-star: every node u links its LARGER neighbors to
+    *     min(Γ(u) ∪ {u})
+    *   small-star: with edges oriented large→small, u links its
+    *     smaller neighbors AND itself to min(Γ(u) ∪ {u})
+    *
+    * Each round is two groupBy-min + join passes over the edge list —
+    * 8-byte-key shuffles, no driver-side neighbor sets. Convergence
+    * is detected by an order-independent edge-set checksum (count +
+    * xor of per-edge hashes); at the fixed point the edge set is a
+    * star forest and min-neighbor IS the component. Returns
+    * (node, component) where component = min node id reachable,
+    * including isolated nodes from `nodes` (single column `node`).
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    var e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      round += 1
+      // large-star over the symmetric view. Both "emit two rows per
+      // input row" steps use explode(array(struct…)) rather than a
+      // self-union with swapped aliases: one pass over the edge list
+      // instead of two, and no Union node whose two children share
+      // swapped attribute lineage (which trips Catalyst's union
+      // constraint rewrite at runtime).
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(lmins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the large→small orientation; each (u, v, m)
+      // row emits BOTH (v, m) and (u, m) — the duplicate (u, m) per
+      // neighbor collapses in the distinct
+      val oriented = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val smins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = oriented.join(smins, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val sigRow = next.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      e = next
+    }
+    require(converged || round < maxRounds,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    // star forest: non-roots point at their root; roots + isolated
+    // nodes label themselves
+    val labels = e.groupBy(col("u")).agg(min(col("v")).as("component"))
+      .select(col("u").as("node"), col("component"))
+    nodes.select(col("node").cast("long").as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
   def reachable(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     val checkpointEvery = 4
     var visited = sources.select(col("node"), lit(0).as("hops"))

@@ -38,6 +38,62 @@ class GraphOpsSpec extends SparkSpec {
     assert(oneHop === Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
 
+  test("pageRank matches a serial reference recurrence; mass conserved with dangling") {
+    // order→part style graph: 1,2,3 link into 10,11; 10/11 dangling
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val got = GraphOps.pageRank(e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // serial reference: same recurrence, plain Scala
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L)
+    val out = Map(1L -> Seq(10L, 11L), 2L -> Seq(10L), 3L -> Seq(11L, 10L))
+    val n = nodes.length.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 4).foreach { _ =>
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val contrib = nodes.flatMap(s =>
+        out.getOrElse(s, Nil).map(_ -> r(s) / out(s).length))
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      r = nodes.map(x => x ->
+        (0.15 / n + 0.85 * (contrib.getOrElse(x, 0.0) + dm / n))).toMap
+    }
+    assert(got.keySet === r.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - r(k)) < 1e-12, s"node $k") }
+    // dangling redistribution conserves total mass
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // dangling sinks accumulate more than sources
+    assert(got(10L) > got(1L))
+  }
+
+  test("connectedComponents: star contraction converges in O(log n) rounds on a 512-chain") {
+    // single chain 0—1—…—511: diameter 511. O(diameter) label
+    // propagation would need >500 rounds; large-star/small-star must
+    // finish inside 15 or the op's convergence require throws.
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = spark.range(0, 512L).select(col("id").as("node"))
+    val labels = GraphOps.connectedComponents(chain, nodes, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 512)
+    assert(labels.values.toSet === Set(0L))
+  }
+
+  test("connectedComponents: multiple blocks, isolated nodes, duplicate/reversed edges") {
+    // two 8-node chains + one triangle + isolated nodes 100, 101;
+    // edges deliberately duplicated and reversed
+    val e = ((0L until 7L).map(i => (i, i + 1)) ++
+      (10L until 17L).map(i => (i + 1, i)) ++ // reversed chain 10..17
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (20L, 21L))).toDF("src", "dst")
+    val nodes = (0L to 7L).union(10L to 17L).union(20L to 22L)
+      .union(Seq(100L, 101L)).toDF("node")
+    val labels = GraphOps.connectedComponents(e, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 7L).foreach(i => assert(labels(i) === 0L))
+    (10L to 17L).foreach(i => assert(labels(i) === 10L))
+    (20L to 22L).foreach(i => assert(labels(i) === 20L))
+    assert(labels(100L) === 100L)
+    assert(labels(101L) === 101L)
+  }
+
   test("deep BFS (20+ hops) completes: per-wave checkpoints keep plans flat") {
     // 30-node chain: hop counts equal node ids. Without the per-wave
     // localCheckpoint this OOMs the *optimizer* (exponentially nested
