@@ -281,6 +281,13 @@ object SparkEntry {
       Dedup.minhashNearDups(t(s, dir, "documents"), k = 16, bands = 4,
         shingleN = 3, threshold = 0.8)),
 
+    // near-dup pairs closed under transitivity into keep/drop clusters
+    // (LSH-based → rows-only here; OpsSpec pins the cluster structure
+    // and the canonical keep-pass against the synthetic corpus)
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(t(s, dir, "documents"), k = 16, bands = 4,
+        shingleN = 3, threshold = 0.8)),
+
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.simhash(col("text")).as("fp"))),

@@ -267,6 +267,41 @@ object Dedup {
     finalized(pairs, Seq(cands, grams))
   }
 
+  /** Near-duplicate CLUSTERS — the shape curation pipelines actually
+    * consume: [[minhashNearDups]] pairs closed under TRANSITIVITY by
+    * star-contraction connected components
+    * ([[GraphOps.connectedComponents]]). A≈B and B≈C must collapse to
+    * one cluster even when A and C share no LSH bucket and sit below
+    * the pairwise threshold — pairs alone can't say which doc to keep.
+    * Returns (doc_id, cluster_id, is_canonical) for EVERY doc:
+    * cluster_id = min doc_id of the component, singletons are their
+    * own cluster, and the canonical row is the one a dedup keep-pass
+    * retains. Scale shape: the pair list is 8-byte-key rows and the
+    * component step is logarithmic-round star contraction — no
+    * per-cluster driver state, no union-find on one machine.
+    */
+  def nearDupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashNearDups(docs, k, bands, shingleN, threshold, maxBucket)
+    GraphOps.connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        docs.select(col("doc_id").as("node")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("is_canonical"))
+  }
+
+  /** Keep one representative per near-dup cluster (the min-doc_id
+    * canonical row) — the actual corpus-reduction pass.
+    */
+  def dropNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxBucket: Int = 1000): DataFrame =
+    docs.join(
+      nearDupClusters(docs, k, bands, shingleN, threshold, maxBucket)
+        .filter(col("is_canonical")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** SimHash near-dup pairs: 64-bit fingerprints joined on 16-bit
     * chunks (any doc pair within Hamming distance 3 shares at least
     * one of 4 chunks — pigeonhole), verified by exact Hamming ≤ maxDist.

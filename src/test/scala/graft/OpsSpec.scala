@@ -126,6 +126,32 @@ class OpsSpec extends SparkSpec {
     assert(st2.getAs[Long]("n_capped_buckets") === 0)
   }
 
+  test("nearDupClusters: pairs close under transitivity, canonical keep-pass") {
+    val clusters = Dedup.nearDupClusters(docs, k = 16, bands = 8,
+      shingleN = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters.size === 53) // every doc labeled, singletons included
+    // i, 100+i (near), 200+i (exact) collapse to ONE cluster rooted at i —
+    // three pairwise pairs become one component, not three pair rows
+    (0 until 3).foreach { i =>
+      assert(clusters(i.toLong) === ((i.toLong, true)))
+      assert(clusters(100L + i) === ((i.toLong, false)))
+      assert(clusters(200L + i) === ((i.toLong, false)))
+    }
+    (3 until 10).foreach { i =>
+      assert(clusters(100L + i) === ((i.toLong, false)))
+    }
+    // untouched base docs are their own canonical singletons
+    (10 until 40).foreach(i => assert(clusters(i.toLong) === ((i.toLong, true))))
+    assert(clusters.values.count(_._2) === 40)
+    // the keep-pass retains exactly the canonical rows
+    val kept = Dedup.dropNearDups(docs, k = 16, bands = 8,
+      shingleN = 3, threshold = 0.5)
+    assert(kept.count() === 40)
+    assert(kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet ===
+      (0L until 40L).toSet)
+  }
+
   test("simhash: exact dups collide, near-dups within distance, far docs far") {
     val fps = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
