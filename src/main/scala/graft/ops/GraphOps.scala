@@ -77,21 +77,31 @@ object GraphOps {
     var k = 0
     while (k < iters) {
       k += 1
-      val dangling = ranks.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val contribs = ranks
-        .join(e, ranks("node") === e("src"))
-        .select(col("dst"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      ranks = degged
-        .join(contribs, degged("node") === contribs("dst"), "left")
-        .crossJoin(dangling)
-        .select(col("node"), col("deg"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
-        .localCheckpoint(true)
+      ranks = pageRankStep(degged, e, n, damping, ranks).localCheckpoint(true)
     }
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** One power-iteration step (no checkpoint) — split out so PlanSpec
+    * can pin the physical shape: the dangling scalar must ride a
+    * broadcast 1-row join and the contribution aggregation must
+    * exchange on the 8-byte dst key only. `degged` = (node, deg with
+    * NULL for dangling), `ranks` = degged + rank.
+    */
+  private[graft] def pageRankStep(degged: DataFrame, e: DataFrame,
+      n: Double, damping: Double, ranks: DataFrame): DataFrame = {
+    val dangling = ranks.filter(col("deg").isNull)
+      .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+    val contribs = ranks
+      .join(e, ranks("node") === e("src"))
+      .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+    degged
+      .join(contribs, degged("node") === contribs("dst"), "left")
+      .crossJoin(dangling)
+      .select(col("node"), col("deg"),
+        (lit((1.0 - damping) / n) + lit(damping) *
+          (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -126,35 +136,7 @@ object GraphOps {
     var converged = e.isEmpty
     while (!converged && round < maxRounds) {
       round += 1
-      // large-star over the symmetric view. Both "emit two rows per
-      // input row" steps use explode(array(struct…)) rather than a
-      // self-union with swapped aliases: one pass over the edge list
-      // instead of two, and no Union node whose two children share
-      // swapped attribute lineage (which trips Catalyst's union
-      // constraint rewrite at runtime).
-      val sym = e.select(explode(array(
-          struct(col("u"), col("v")),
-          struct(col("v").as("u"), col("u").as("v")))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-      val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val large = sym.join(lmins, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // small-star over the large→small orientation; each (u, v, m)
-      // row emits BOTH (v, m) and (u, m) — the duplicate (u, m) per
-      // neighbor collapses in the distinct
-      val oriented = large.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v")).distinct()
-      val smins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = oriented.join(smins, Seq("u"))
-        .select(explode(array(
-          struct(col("v").as("u"), col("m").as("v")),
-          struct(col("u"), col("m").as("v")))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+      val next = ccRound(e).localCheckpoint(true)
       val sigRow = next.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
@@ -171,6 +153,40 @@ object GraphOps {
     nodes.select(col("node").cast("long").as("node"))
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** One large-star + small-star round over canonical (u, v) edges
+    * (no checkpoint) — split out so PlanSpec can pin the physical
+    * shape. Both "emit two rows per input row" steps use
+    * explode(array(struct…)) rather than a self-union with swapped
+    * aliases: one pass over the edge list instead of two, and no
+    * Union node whose two children share swapped attribute lineage
+    * (which trips Catalyst's union constraint rewrite at runtime).
+    */
+  private[graft] def ccRound(e: DataFrame): DataFrame = {
+    // large-star over the symmetric view
+    val sym = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    val large = sym.join(lmins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // small-star over the large→small orientation; each (u, v, m)
+    // row emits BOTH (v, m) and (u, m) — the duplicate (u, m) per
+    // neighbor collapses in the distinct
+    val oriented = large.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).distinct()
+    val smins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(smins, Seq("u"))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u"), col("m").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
   }
 
   def reachable(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {

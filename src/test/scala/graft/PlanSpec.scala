@@ -105,6 +105,41 @@ class PlanSpec extends SparkSpec {
       s"bucket exchange ships embeddings: $bucketExchanges")
   }
 
+  test("pageRank step: dangling scalar rides a broadcast 1-row join, contribs shuffle dst only") {
+    val e = spark.range(0, 1000)
+      .select(col("id").as("src"), ((col("id") * 7) % 900).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val degged = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
+      .select(col("node"), col("deg")).localCheckpoint(true)
+    val ranks = degged.withColumn("rank", lit(1.0 / 1000))
+    val p = plan(graft.ops.GraphOps.pageRankStep(degged, e, 1000.0, 0.85, ranks))
+    // the 1-row dangling aggregate must broadcast, not shuffle or
+    // cartesian with the full rank table
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the contribution aggregation exchanges on the 8-byte dst key
+    assert(p.contains("hashpartitioning(dst"), p)
+  }
+
+  test("cc round: symmetric view via explode, no self-union in the plan") {
+    val e = spark.range(0, 100)
+      .select(col("id").as("u"), (col("id") + 1).as("v"))
+      .localCheckpoint(true)
+    val p = plan(graft.ops.GraphOps.ccRound(e))
+    // two-rows-per-edge emits are Generate(explode), NOT a self-union
+    // with swapped aliases (one pass instead of two; also the shape
+    // that avoids Catalyst's union constraint-rewrite runtime failure)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Union"), p)
+    // star-contraction aggregations exchange on the 8-byte u key
+    assert(p.contains("hashpartitioning(u"), p)
+  }
+
   test("politeness cap windows partition by (host, salt) then host") {
     val pages = SyntheticWeb.pages(spark,
       SyntheticWeb.Spec("web", numPages = 50L)).toDF()
