@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.CrawlEngine
 import graft.functions.canon
 import graft.model.CrawlConfig
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 import graft.sites.{Sites, SyntheticWeb}
 import graft.state.Store
 
@@ -275,6 +275,40 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), shingleN = 3, threshold = 0.8)),
 
+    // ---- dataset-curation ops: deterministic splits / stratified
+    //      sampling / normalization / PII redaction / rollups ----
+
+    "q_split" -> ((s, dir) =>
+      Curation.assignSplits(t(s, dir, "documents"))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "lang", k = 20)
+        .select(col("doc_id"), col("lang"), col("rk"))),
+
+    // non-NFC input is synthesized in-query (the corpus text is ASCII,
+    // where NFC is the identity) so the oracle checks real composition
+    "q_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.normalizeText(
+          concat(col("text"), lit(" café  Å\tx "))).as("norm"))),
+
+    // PII is synthesized in-query the same way — deterministic fake
+    // emails/IPs/account numbers derived from doc_id on BOTH sides
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.redactPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".77 acct 9"),
+          lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 11, "0")))
+          .as("redacted"))),
+
+    "q_corpus_stats" -> ((s, dir) =>
+      Curation.corpusStats(t(s, dir, "documents"))),
+
     // LSH/minhash/simhash: not ANSI-SQL-expressible — rows-only here,
     // recall-vs-exact oracles live in DedupSpec
     "q_minhash_pairs" -> ((s, dir) =>
@@ -433,6 +467,16 @@ object SparkEntry {
         .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
       graft.ops.GraphOps.topByInDegree(edges, 20)
+    }),
+
+    // per-node triangle counts (degree-oriented compact-forward) on a
+    // mod-folded projection of the order→part graph — bipartite graphs
+    // have no triangles, so both key spaces fold into 0..199 first
+    "q_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        pmod(col("l_orderkey"), lit(200)).as("src"),
+        pmod(col("l_partkey"), lit(200)).as("dst"))
+      graft.ops.GraphOps.triangleCounts(edges)
     }),
 
     // PageRank over the order→part graph, 3 power iterations with
@@ -606,6 +650,56 @@ object SparkEntry {
         "(SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 2 GROUP BY doc_id"),
 
     "q_jaccard_pairs" -> jaccardOracle,
+
+    "q_split" ->
+      ("""SELECT doc_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  (((doc_id*1103515245+12345)%2147483648) >> 16)%100 AS bucket
+        |  FROM documents)"""
+        .stripMargin),
+
+    "q_sample_stratified" ->
+      ("""SELECT doc_id, lang, rk FROM (
+        | SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY (doc_id*1103515245+12345)%2147483648, doc_id) AS BIGINT) AS rk
+        | FROM documents) WHERE rk <= 20"""
+        .stripMargin),
+
+    "q_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "nfc_normalize(text || ' cafe' || chr(769) || '  A' || chr(778) || chr(9) || 'x '), " +
+        "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents"),
+
+    "q_pii_redact" ->
+      ("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.org from 10.0.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.77 acct 9'
+        |    || lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\b\d{9,}\b', '<ID>', 'g') AS redacted
+        |FROM documents"""
+        .stripMargin),
+
+    "q_corpus_stats" ->
+      ("SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "round(avg(len(string_split_regex(text, '\\s+'))), 4) AS avg_tokens " +
+        "FROM documents GROUP BY source, lang"),
+
+    "q_triangles" ->
+      ("""WITH e AS (SELECT DISTINCT least(l_orderkey % 200, l_partkey % 200) AS u,
+        |    greatest(l_orderkey % 200, l_partkey % 200) AS v
+        |  FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200),
+        | t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |   FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        | r AS (SELECT a AS node FROM t UNION ALL SELECT b AS node FROM t
+        |   UNION ALL SELECT c AS node FROM t)
+        |SELECT node, count(*) AS n_tri FROM r GROUP BY node"""
+        .stripMargin),
 
     "q_knn_cosine" -> knnOracle,
 

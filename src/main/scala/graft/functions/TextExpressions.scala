@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,6 +21,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * postings), so this is the hot inner loop of dedup at corpus scale.
   */
 object TextKernel {
+
+  /** Unicode NFC normalization (java.text.Normalizer — the same
+    * canonical composition DuckDB's `nfc_normalize` implements, which
+    * is what makes the op foreign-oracle-checkable). ASCII fast path:
+    * NFC is the identity on pure-ASCII bytes, and UTF8String exposes
+    * that check without decoding — a 100 TB web corpus is mostly
+    * ASCII, so the common row never allocates.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val n = text.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((text.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC))
+  }
 
   def shingleHash64(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split("\\s+", -1)
@@ -66,7 +86,21 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `nfc_normalize(text)` → STRING in Unicode Normalization Form C;
+  * one static call in generated code, identity (no copy) on ASCII.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.nfcNormalize(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 object texthash {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def shingle_hash64(c: Column, n: Int): Column = column(ShingleHash64(expression(c), n))
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.texthash
+
+/** Dataset-curation operators for a training-data pipeline: the steps
+  * between "deduped corpus" and "training shards" — deterministic
+  * splits, stratified sampling, text normalization, PII redaction,
+  * per-source rollups.
+  *
+  * Everything here is either per-row Column algebra (codegen, zero
+  * shuffle) or a bounded two-phase plan, and every hash is plain
+  * 64-bit arithmetic an ANSI-SQL oracle can recompute — no
+  * Spark-private hash functions in anything the driver gate compares.
+  */
+object Curation {
+
+  /** Deterministic mixing hash in [0, 2^31): one LCG step (Knuth/
+    * glibc constants — public) on the key, high bits taken by the
+    * consumers. Pure BIGINT arithmetic (no overflow for keys < 2^33)
+    * so DuckDB evaluates it bit-identically — that property, not hash
+    * quality, is why this is not xxhash64: split/sample assignments
+    * must be auditable by a foreign engine.
+    */
+  def lcgHash(key: Column): Column =
+    (key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+
+  /** Deterministic train/val/test assignment: bucket = high bits of
+    * lcgHash(key) mod 100, split by cumulative weights. Hash-based
+    * (not random, not row_number) so the assignment is stable under
+    * repartitioning, appends, and reruns — the property that matters
+    * when the corpus is rewritten incrementally at 100 TB. Per-row,
+    * no shuffle.
+    */
+  def assignSplits(df: DataFrame, key: Column = col("doc_id"),
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = (shiftright(lcgHash(key), 16) % 100).as("bucket")
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Exact deterministic k-per-stratum sample: the k rows with the
+    * smallest (lcgHash(key), key) per stratum.
+    *
+    * Scale shape: the naive form is one window over the WHOLE corpus
+    * partitioned by stratum — a full shuffle of 100 TB to keep k rows
+    * per language. Instead: (1) per-stratum counts (tiny agg — one
+    * row per stratum); (2) a hash threshold per stratum sized to pass
+    * ~margin×k rows (uniform hash ⇒ the k-th smallest hash
+    * concentrates at k/n·2^31), applied as a per-row filter at scan
+    * time; (3) the exact window runs over only the ~margin×k
+    * survivors per stratum. Strata where the prefilter could
+    * under-select (count says so, deterministically — no probabilistic
+    * failure path survives to the result) widen to the full stratum,
+    * same widen-and-retry contract as the engine's tier scheduler.
+    */
+  def stratifiedSample(df: DataFrame, strata: String, k: Int,
+      key: Column = col("doc_id"), margin: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val max31 = 2147483648L
+    val hashed = df.withColumn("h", lcgHash(key)).withColumn("k", key)
+    val counts = hashed.groupBy(col(strata)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    def thresholdOf(n: Long): Long =
+      if (n <= margin.toLong * k) max31
+      else math.min(max31, (max31 * margin.toLong * k) / n + 1)
+    val thrExpr = counts.foldLeft(lit(max31): Column) { case (e, (s, n)) =>
+      when(col(strata) === lit(s), lit(thresholdOf(n))).otherwise(e)
+    }
+    val pre = hashed.filter(col("h") < thrExpr)
+    // deterministic safety: a stratum whose survivor count fell under
+    // min(k, n) widens to the full stratum (prob ~e^-k, but the gate
+    // compares hashes, so "almost never" must become "never")
+    val survivors = pre.groupBy(col(strata)).agg(count(lit(1)).as("m"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val short = counts.collect {
+      case (s, n) if survivors.getOrElse(s, 0L) < math.min(k.toLong, n) => s
+    }.toSet
+    val bounded =
+      if (short.isEmpty) pre
+      else hashed.filter(col("h") < thrExpr ||
+        col(strata).isInCollection(short.toSeq))
+    val w = Window.partitionBy(col(strata)).orderBy(col("h"), col("k"))
+    bounded.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("h", "k")
+  }
+
+  /** Text normalization: Unicode NFC (custom codegen'd expression —
+    * Spark has no built-in), control chars → space, whitespace runs
+    * collapsed, trimmed. Per-row, no shuffle, ASCII rows never leave
+    * the fast path inside [[graft.functions.TextKernel.nfcNormalize]].
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(texthash.nfc_normalize(text), "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
+  /** PII redaction: emails, IPv4 addresses, then long (9+) digit runs
+    * (account/card-shaped), replaced in that order so an address
+    * inside an email is already gone when the IP pass runs. Patterns
+    * stay in the Java∩RE2 regex subset so the redaction is
+    * oracle-checkable in DuckDB.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{9,}\\b", "<ID>")
+  }
+
+  /** Per-(source, language) corpus rollup — the curation dashboard
+    * query (doc counts, byte volume, mean token length). One hash
+    * aggregation on a tiny composite key; partial aggregation does the
+    * heavy lifting map-side.
+    */
+  def corpusStats(df: DataFrame): DataFrame =
+    df.groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(size(TextOps.wsTokens(col("text")))), 4).as("avg_tokens"))
+}

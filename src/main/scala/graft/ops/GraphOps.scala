@@ -189,6 +189,48 @@ object GraphOps {
       .filter(col("u") =!= col("v")).distinct()
   }
 
+  /** Per-node triangle counts over the undirected view of the edge
+    * table — the standard local-clustering signal (link-farm and
+    * mirror-cluster detection on a web graph).
+    *
+    * Scale shape — compact-forward with DEGREE ORIENTATION (public
+    * algorithm; Latapy 2008): each undirected edge is oriented from
+    * its lower-(degree, id) endpoint to the higher, which bounds every
+    * out-neighborhood by O(√m) regardless of skew — a hub of degree
+    * 10^6 (every crawl graph has them) contributes wedges only through
+    * its ~√m lower-ranked neighbors, not deg² pairs. Wedges are then
+    * one self-equi-join of the oriented list on the apex, closed by
+    * one equi-join against the canonical edge set on the 16-byte
+    * (min, max) key. No driver round trips, no cartesian anywhere.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("x"), col("v").as("y")))
+        .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    // wedges around each apex; endpoints kept id-ordered so the
+    // closing probe hits the canonical (u < v) edge form directly
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.x") === col("b.x") && col("a.y") < col("b.y"))
+      .select(col("a.x").as("apex"), col("a.y").as("p"), col("b.y").as("q"))
+    val tris = wedges.join(und,
+      wedges("p") === und("u") && wedges("q") === und("v"))
+    tris.select(explode(array(col("apex"), col("p"), col("q"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   def reachable(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     val checkpointEvery = 4
     var visited = sources.select(col("node"), lit(0).as("hops"))

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, GraphOps}
+
+/** Dataset-curation ops: deterministic splits, stratified sampling
+  * (including the deterministic widen path), normalization, PII
+  * redaction, triangle counting — each against a Scala oracle.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lcg(x: Long): Long = (x * 1103515245L + 12345L) % 2147483648L
+
+  test("assignSplits matches the arithmetic oracle and is ~80/10/10") {
+    val df = spark.range(10000).select(col("id").as("doc_id"))
+    val got = Curation.assignSplits(df)
+      .select("doc_id", "bucket", "split").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    got.foreach { case (id, bucket, split) =>
+      val expB = (lcg(id) >> 16) % 100
+      assert(bucket == expB, s"doc $id")
+      val expS = if (expB < 80) "train" else if (expB < 90) "val" else "test"
+      assert(split == expS, s"doc $id")
+    }
+    val byS = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byS("train") > 7800 && byS("train") < 8200, byS.toString)
+    assert(byS("val") > 800 && byS("val") < 1200, byS.toString)
+    assert(byS("test") > 800 && byS("test") < 1200, byS.toString)
+  }
+
+  test("assignSplits is stable under repartitioning (hash, not order)") {
+    val df = spark.range(1000).select(col("id").as("doc_id"))
+    val a = Curation.assignSplits(df).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Curation.assignSplits(df.repartition(13)).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("stratifiedSample returns the exact k smallest (h, key) per stratum") {
+    val rows = (0L until 500L).map(i => (i, "big")) ++
+      (500L until 510L).map(i => (i, "tiny")) // n < k stratum
+    val df = rows.toDF("doc_id", "lang")
+    val got = Curation.stratifiedSample(df, "lang", k = 20)
+      .select("doc_id", "lang", "rk").as[(Long, String, Long)]
+      .collect().groupBy(_._2)
+    val expBig = (0L until 500L).sortBy(i => (lcg(i), i)).take(20)
+    assert(got("big").sortBy(_._3).map(_._1).toSeq == expBig)
+    assert(got("big").map(_._3).sorted.toSeq == (1L to 20L))
+    // the tiny stratum returns ALL its rows (min(k, n) semantics)
+    assert(got("tiny").map(_._1).toSet == (500L until 510L).toSet)
+  }
+
+  test("stratifiedSample widen path: all-high-hash stratum stays exact") {
+    // keys whose hashes all land in the top quarter of the space —
+    // with margin=1, k=5, n=100 the prefilter threshold (~2^31/20)
+    // deterministically keeps ZERO of them, forcing the widen
+    val highKeys = (0L until 200000L)
+      .filter(i => lcg(i) >= (1L << 29) * 3).take(100)
+    assert(highKeys.size == 100)
+    val df = highKeys.map((_, "hot")).toDF("doc_id", "lang")
+    val got = Curation.stratifiedSample(df, "lang", k = 5, margin = 1)
+      .select("doc_id", "rk").as[(Long, Long)].collect().sortBy(_._2)
+    val exp = highKeys.sortBy(i => (lcg(i), i)).take(5)
+    assert(got.map(_._1).toSeq == exp)
+  }
+
+  test("normalizeText: NFC composition, control strip, ws collapse, trim") {
+    val df = Seq(
+      "café du  parc",        // combining acute -> é
+      "Ångström",       // ring + diaeresis compose
+      "a\u0000b\u001fc\u007fd",     // control chars -> spaces
+      "  x \t\n y  ",
+      "plain ascii").toDF("text")
+    val got = df.select(Curation.normalizeText(col("text"))).as[String].collect()
+    assert(got(0) == "café du parc")
+    assert(got(1) == "Ångström")
+    assert(got(2) == "a b c d")
+    assert(got(3) == "x y")
+    assert(got(4) == "plain ascii")
+  }
+
+  test("redactPii: emails then IPs then long digit runs, in order") {
+    val df = Seq(
+      "mail bob.smith+x@sub.example.co.uk end",
+      "ip 192.168.0.1 and 10.0.0.255 stay gone",
+      "card 4111111111111111 acct 123456789 but 12345678 stays",
+      "both a@b.io at 1.2.3.4").toDF("text")
+    val got = df.select(Curation.redactPii(col("text"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> end")
+    assert(got(1) == "ip <IP> and <IP> stay gone")
+    assert(got(2) == "card <ID> acct <ID> but 12345678 stays")
+    assert(got(3) == "both <EMAIL> at <IP>")
+  }
+
+  test("split/normalize/redact are shuffle-free codegen'd per-row plans") {
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id").cast("string")).as("text"))
+    val p1 = Curation.assignSplits(df).queryExecution.executedPlan.toString
+    val p2 = df.select(Curation.normalizeText(col("text")))
+      .queryExecution.executedPlan.toString
+    val p3 = df.select(Curation.redactPii(col("text")))
+      .queryExecution.executedPlan.toString
+    for (p <- Seq(p1, p2, p3)) {
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("*(1)"), p) // one whole-stage codegen span
+      assert(!p.contains("ScalaUDF"), p)
+    }
+  }
+
+  test("triangleCounts matches a brute-force oracle on a seeded graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val edges = (0 until 160).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val undSet = und.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val exp = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if undSet((a, b)) && undSet((a, c)) && undSet((b, c))
+    } { exp(a) += 1; exp(b) += 1; exp(c) += 1 }
+    val got = GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == exp.filter(_._2 > 0).toMap)
+  }
+
+  test("triangleCounts: known triangles, no cartesian in the plan") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (1L, 4L), (6L, 7L), (2L, 1L)).toDF("src", "dst")
+    val df = GraphOps.triangleCounts(edges)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    // triangles: {1,2,3}, {3,4,5}, {1,3,4} (via the 1-4 chord)
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+}
