@@ -309,6 +309,9 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) =>
       Curation.corpusStats(t(s, dir, "documents"))),
 
+    "q_vocab" -> ((s, dir) =>
+      Curation.topVocab(t(s, dir, "documents"), k = 20)),
+
     // LSH/minhash/simhash: not ANSI-SQL-expressible — rows-only here,
     // recall-vs-exact oracles live in DedupSpec
     "q_minhash_pairs" -> ((s, dir) =>
@@ -688,6 +691,16 @@ object SparkEntry {
       ("SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "round(avg(len(string_split_regex(text, '\\s+'))), 4) AS avg_tokens " +
         "FROM documents GROUP BY source, lang"),
+
+    "q_vocab" ->
+      ("""WITH c AS (SELECT lang, t.token AS token, count(*) AS cnt
+        |  FROM documents, unnest(string_split_regex(text, '\s+')) t(token)
+        |  GROUP BY lang, t.token)
+        |SELECT lang, token, cnt, rk FROM (
+        |  SELECT lang, token, cnt, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, token ASC) AS BIGINT) AS rk FROM c)
+        |WHERE rk <= 20"""
+        .stripMargin),
 
     "q_triangles" ->
       ("""WITH e AS (SELECT DISTINCT least(l_orderkey % 200, l_partkey % 200) AS u,

@@ -126,4 +126,34 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         round(avg(size(TextOps.wsTokens(col("text")))), 4).as("avg_tokens"))
+
+  /** Exact top-k vocabulary per language (count desc, token asc) —
+    * the tokenizer-training / stopword-mining primitive.
+    *
+    * Scale shape: the naive plan windows over every distinct token of
+    * a language — one sort of a 10^8-row vocabulary per partition key,
+    * concentrated on whichever language dominates the corpus. Instead
+    * the (lang, token) counts (map-side partial agg does the heavy
+    * lifting) go through a TWO-STAGE top-k: stage 1 ranks within
+    * (lang, hash-salt) — `salt` bounded sorts of vocab/salt rows —
+    * and only each salt's top k survive; stage 2 ranks the ≤ salt×k
+    * survivors per language. Exact because a global top-k row is a
+    * fortiori in its own salt bucket's top k.
+    */
+  def topVocab(df: DataFrame, k: Int, salt: Int = 16,
+      text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col("lang"), explode(TextOps.wsTokens(text)).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    val order = Seq(col("cnt").desc, col("token").asc)
+    val w1 = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("token")), lit(salt)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("lang")).orderBy(order: _*)
+    counts
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= k)
+      .select(col("lang"), col("token"), col("cnt"), col("rk"))
+  }
 }

@@ -110,6 +110,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("topVocab: exact top-k per language, two-stage = naive oracle") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h", "zz", "yy")
+    val docs = (0 until 200).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      val text = (0 until 30).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i.toLong, lang, text)
+    }
+    val df = docs.toDF("doc_id", "lang", "text")
+    // naive oracle: full count + sort per language
+    val exp = docs.flatMap { case (_, l, t) => t.split("\\s+").map(w => (l, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((l, w), c) => (l, w, c) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5)
+          .zipWithIndex.map { case ((l, w, c), i) => (l, w, c, i + 1L) }
+      }.toSet
+    val got = Curation.topVocab(df, k = 5, salt = 4)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == exp)
+  }
+
   test("triangleCounts matches a brute-force oracle on a seeded graph") {
     val rnd = new scala.util.Random(7)
     val n = 30
