@@ -344,7 +344,8 @@ object Bench {
       "q_simhash", "q_fingerprint", "q_lang_id",
       "q_valid_link_wiki", "q_clean_name", "q_canonical_url",
       "q_split", "q_sample_stratified", "q_normalize", "q_pii_redact",
-      "q_corpus_stats", "q_vocab", "q_triangles")
+      "q_corpus_stats", "q_vocab", "q_triangles",
+      "q_contamination", "q_unigram_ll", "q_repetition")
     // 3 interleaved passes, best-of per query: single-shot per-query
     // numbers sat right in hypervisor steal windows in round 2 (4-9×
     // inflation on per-row queries whose code hadn't changed) — the

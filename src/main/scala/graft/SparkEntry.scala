@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.CrawlEngine
-import graft.functions.canon
+import graft.functions.{canon, Extract}
 import graft.model.CrawlConfig
 import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 import graft.sites.{Sites, SyntheticWeb}
@@ -311,6 +311,38 @@ object SparkEntry {
 
     "q_vocab" -> ((s, dir) =>
       Curation.topVocab(t(s, dir, "documents"), k = 20)),
+
+    // benchmark decontamination: the "eval set" is the deterministic
+    // doc_id % 50 == 0 slice of the corpus itself (no external data)
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+    }),
+
+    "q_unigram_ll" -> ((s, dir) =>
+      Curation.unigramLogLik(t(s, dir, "documents"))),
+
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(t(s, dir, "documents"))),
+
+    // REAL WARC parse, foreign-verified like the media queries: the
+    // payloads are valid ISO-28500 archive files (half gzipped) whose
+    // record fields are arithmetic in the record index — the parser
+    // walks actual WARC+HTTP bytes here while the DuckDB oracle
+    // recomputes every field from range(), so a mis-parse (header
+    // split, content-length walk, gzip decode, status line, link
+    // extraction from the carried body) breaks the hash
+    "q_warc_ingest" -> ((s, _) => {
+      val dir = "/tmp/graft_warc_synth_4x50"
+      if (!new java.io.File(dir, "part-000.warc").exists())
+        graft.sources.Warc.writeSyntheticArchive(dir, nFiles = 4, perFile = 50)
+      graft.sources.Warc.readRecords(s, dir).toDF()
+        .filter(col("record_type") === "response")
+        .select(col("url"), col("warc_ts"),
+          col("http_status").cast("long").as("http_status"),
+          size(Extract.extract_links(col("html"), lit("web"))
+            .getField("links")).cast("long").as("n_links"))
+    }),
 
     // LSH/minhash/simhash: not ANSI-SQL-expressible — rows-only here,
     // recall-vs-exact oracles live in DedupSpec
@@ -700,6 +732,40 @@ object SparkEntry {
         |  SELECT lang, token, cnt, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY cnt DESC, token ASC) AS BIGINT) AS rk FROM c)
         |WHERE rk <= 20"""
+        .stripMargin),
+
+    "q_contamination" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | g AS (SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS gram
+        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 2),
+        | b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_shared FROM g JOIN b USING (gram) GROUP BY doc_id"""
+        .stripMargin),
+
+    "q_warc_ingest" ->
+      ("SELECT 'https://h' || CAST(i % 7 AS VARCHAR) || '.test/p' || CAST(i AS VARCHAR) AS url, " +
+        "TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS warc_ts, " +
+        "CAST(CASE WHEN i % 10 = 9 THEN 404 ELSE 200 END AS BIGINT) AS http_status, " +
+        "1 + i % 5 AS n_links FROM range(200) t(i)"),
+
+    "q_unigram_ll" ->
+      ("""WITH toks AS (SELECT doc_id, t.token AS token
+        |   FROM documents, unnest(string_split_regex(text, '\s+')) t(token)),
+        | v AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v)
+        |SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 4) AS avg_ll
+        |FROM toks JOIN v USING (token) GROUP BY doc_id"""
+        .stripMargin),
+
+    "q_repetition" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | g AS (SELECT doc_id, t[i.i] || ' ' || t[i.i+1] AS gram
+        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 1),
+        | c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+        | s AS (SELECT doc_id, sum(cnt) AS ng, max(cnt) AS mx,
+        |        sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams, round(CAST(mx AS DOUBLE) / ng, 4) AS top_frac,
+        |  round(CAST(dup AS DOUBLE) / ng, 4) AS dup_frac FROM s"""
         .stripMargin),
 
     "q_triangles" ->

@@ -127,6 +127,63 @@ object Curation {
         sum(col("n_chars")).as("total_chars"),
         round(avg(size(TextOps.wsTokens(col("text")))), 4).as("avg_tokens"))
 
+  /** Benchmark decontamination: which corpus documents share at least
+    * one word n-gram with an evaluation set — the standard pre-training
+    * hygiene pass (the public WebText/GPT-2 and Llama recipes drop
+    * train docs overlapping eval n-grams).
+    *
+    * Scale shape: per-document DISTINCT grams are computed per-row
+    * (`array_distinct` before `explode` — no dedup shuffle over the
+    * corpus); the benchmark gram set is tiny relative to the corpus
+    * (eval suites, not web dumps), so the membership probe is a
+    * broadcast inner join, and the only corpus-wide shuffle is the
+    * final 8-byte-key count per doc_id with map-side partial
+    * aggregation. With `broadcastBench = false` (a benchmark too big
+    * for executor memory) the probe becomes an ordinary shuffled equi
+    * join on the gram string — same result, one extra exchange of the
+    * gram column only.
+    *
+    * Returns one row per CONTAMINATED document: (doc_id, n_shared =
+    * number of distinct shared grams). Clean documents are absent —
+    * at corpus scale the output must be proportional to the
+    * contamination, not the corpus.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+      broadcastBench: Boolean = true): DataFrame = {
+    val docGrams = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles(col("text"), n))).as("gram"))
+    val benchGrams = benchmark
+      .select(explode(TextOps.shingles(col("text"), n)).as("gram"))
+      .distinct()
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    docGrams.join(probe, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Unigram-LM log-likelihood score per document: avg over tokens of
+    * ln(corpus_count(token) / corpus_total_tokens) — the cheap
+    * model-free stand-in for perplexity filtering (docs of rare/garble
+    * tokens score low, stopword-heavy prose scores high).
+    *
+    * Scale shape: the vocabulary aggregation is map-side-partial over
+    * (token) keys; the per-doc scoring joins tokens to the vocabulary
+    * (broadcast when the vocab fits — a 10^6-type vocabulary is a few
+    * tens of MB; web-scale tail vocabularies shuffle on the token
+    * key) and folds into one 8-byte-key avg per doc. The corpus total
+    * rides a 1-row broadcast cross join, not a driver round trip, so
+    * the whole score is one job.
+    */
+  def unigramLogLik(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = df.select(col("doc_id"), explode(TextOps.wsTokens(text)).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+        .as("avg_ll"))
+  }
+
   /** Exact top-k vocabulary per language (count desc, token asc) —
     * the tokenizer-training / stopword-mining primitive.
     *

@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{canon, Extract}
+import graft.ops.TextOps
+
+/** WARC ingestion source: the format Common Crawl actually ships
+  * (ISO 28500 / WARC 1.0 — public spec), parsed into the engine's
+  * input table shape (url, warc_ts, html, text, lang).
+  *
+  * The reference crawls live HTTP; this library's corpus is a static
+  * pages table (SURVEY S3) — this source is how that table gets BUILT
+  * from real crawl archives. A WARC file is a sequence of records:
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * WARC-Type: response\r\n
+  * WARC-Target-URI: <url>\r\n
+  * WARC-Date: <ISO-8601>\r\n
+  * Content-Length: <n>\r\n
+  * \r\n
+  * <n bytes: an HTTP/1.1 message — status line, headers, \r\n\r\n, body>
+  * \r\n\r\n
+  * }}}
+  *
+  * Scale shape: Common Crawl ships ~1 GB .warc.gz files, ~100k of
+  * them per dump — `spark.read.format("binaryFile")` gives one task
+  * per file, which IS the right parallelism unit (records inside a
+  * gzip member are not splittable), and the flatMap parser streams
+  * records without materializing more than one at a time beyond the
+  * file bytes themselves. This is a genuine per-partition imperative
+  * source boundary — the one place `flatMap` over bytes beats Column
+  * algebra. Gzip is detected per-file by magic bytes;
+  * multi-member (record-per-member, how CC writes them) and
+  * single-member streams both decode through the JDK's own
+  * GZIPInputStream.
+  *
+  * Malformed tails are tolerated: a file yields every record up to
+  * the first structural break (missing mandatory header, short body),
+  * then stops — an ingest over 100k archive files must not fail the
+  * job on one truncated tail.
+  */
+object Warc {
+
+  /** One parsed WARC record (response records carry the HTTP payload
+    * split into status + body; other types keep their raw block).
+    */
+  final case class WarcRecord(
+      url: String,
+      warc_ts: Timestamp,
+      record_type: String,
+      http_status: Int,
+      html: Array[Byte])
+
+  private val CRLF2 = "\r\n\r\n".getBytes(UTF_8)
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    val limit = hay.length - needle.length
+    while (i <= limit) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](1 << 16)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: EOFException => () } // truncated last member: keep prefix
+    out.toByteArray
+  }
+
+  /** Parse one WARC file's bytes (gzip-detected) into records; stops
+    * at the first structural break (returns the records before it).
+    */
+  def parseWarcBytes(raw: Array[Byte]): Seq[WarcRecord] = {
+    if (raw == null || raw.length < 4) return Seq.empty
+    val bytes =
+      if ((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzipAll(raw)
+      else raw
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // skip inter-record CRLFs
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+      if (pos >= bytes.length) ok = false
+      else {
+        val headEnd = indexOf(bytes, CRLF2, pos)
+        if (headEnd < 0) ok = false
+        else {
+          val head = new String(bytes, pos, headEnd - pos, UTF_8)
+          val lines = head.split("\r\n")
+          if (lines.isEmpty || !lines(0).startsWith("WARC/")) ok = false
+          else {
+            val hdrs = lines.drop(1).flatMap { l =>
+              val i = l.indexOf(':')
+              if (i < 0) None else Some(l.substring(0, i).trim.toLowerCase ->
+                l.substring(i + 1).trim)
+            }.toMap
+            hdrs.get("content-length").flatMap(_.toLongOption) match {
+              case None => ok = false // mandatory per spec
+              case Some(len) =>
+                val bodyStart = headEnd + 4
+                if (bodyStart + len > bytes.length) ok = false // short body
+                else {
+                  val block = java.util.Arrays.copyOfRange(
+                    bytes, bodyStart, bodyStart + len.toInt)
+                  val rtype = hdrs.getOrElse("warc-type", "unknown")
+                  val ts = hdrs.get("warc-date").flatMap { d =>
+                    try Some(Timestamp.from(Instant.parse(d)))
+                    catch { case _: Exception => None }
+                  }.orNull
+                  val url = hdrs.getOrElse("warc-target-uri", null)
+                  val (status, body) =
+                    if (rtype == "response") splitHttp(block) else (0, block)
+                  out += WarcRecord(url, ts, rtype, status, body)
+                  pos = bodyStart + len.toInt
+                }
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Split an HTTP/1.1 response block into (status code, body bytes);
+    * a block without an HTTP status line is kept whole with status 0
+    * (some archives store raw payloads).
+    */
+  private def splitHttp(block: Array[Byte]): (Int, Array[Byte]) = {
+    val sep = indexOf(block, CRLF2, 0)
+    if (sep < 0) return (0, block)
+    val head = new String(block, 0, math.min(sep, 8192), UTF_8)
+    val first = head.takeWhile(_ != '\r')
+    if (!first.startsWith("HTTP/")) (0, block)
+    else {
+      val status = first.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(0)
+      (status, java.util.Arrays.copyOfRange(block, sep + 4, block.length))
+    }
+  }
+
+  /** All records of every WARC file under `path` (non-splittable
+    * per-file tasks — the Common-Crawl parallelism unit).
+    */
+  def readRecords(spark: SparkSession, path: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(parseWarcBytes _)
+  }
+
+  /** The engine's input table (input_hint shape): HTTP-200 response
+    * records → (url canonicalized downstream as-is, warc_ts, html,
+    * text, lang). `text` is the whole-document extraction the corpus
+    * carries (SURVEY §1.1 Page); `lang` the stopword language-ID.
+    */
+  def toPages(records: Dataset[WarcRecord]): DataFrame = {
+    val fullTextUdf = udf((h: Array[Byte]) =>
+      try Extract.fullText(h) catch { case _: Exception => "" })
+    records.toDF()
+      .filter(col("record_type") === "response" && col("http_status") === 200 &&
+        col("url").isNotNull)
+      .select(col("url"), col("warc_ts"), col("html"))
+      .withColumn("text", fullTextUdf(col("html")))
+      .withColumn("lang", TextOps.langId(col("text")))
+  }
+
+  /** pages-table read straight off an archive directory. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    toPages(readRecords(spark, path))
+
+  // ---- deterministic synthetic archive (tests / driver oracle) ----
+
+  /** Write `nFiles` WARC files (alternating plain / gzip) of
+    * `perFile` records each under `dir`. Record i (global) is
+    * arithmetic in i so a foreign oracle recomputes every field:
+    * url https://h{i%7}.test/p{i}, date 2024-01-01T00:00Z + i min,
+    * status 404 when i%10==9 else 200, body an html page with
+    * 1 + i%5 links (to p{i+1}..), one warcinfo record at the head of
+    * each file (must be skipped by toPages). File f holds records
+    * [f*perFile, (f+1)*perFile).
+    */
+  def writeSyntheticArchive(dir: String, nFiles: Int, perFile: Int): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    for (f <- 0 until nFiles) {
+      val sb = new ByteArrayOutputStream()
+      def rec(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+        val head = (Seq("WARC/1.0") ++
+          headers.map { case (k, v) => s"$k: $v" } ++
+          Seq(s"Content-Length: ${block.length}")).mkString("\r\n")
+        sb.write((head + "\r\n\r\n").getBytes(UTF_8))
+        sb.write(block)
+        sb.write("\r\n\r\n".getBytes(UTF_8))
+      }
+      rec(Seq("WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2024-01-01T00:00:00Z"),
+        s"software: graft-synthetic/$f".getBytes(UTF_8))
+      for (i <- f * perFile until (f + 1) * perFile) {
+        val links = (0 until (1 + i % 5))
+          .map(j => s"""<a href="/p${i + 1 + j}">l$j</a>""").mkString(" ")
+        val body = s"<html><body><p>doc $i</p>$links</body></html>"
+        val status = if (i % 10 == 9) "404 Not Found" else "200 OK"
+        val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body"
+        rec(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"https://h${i % 7}.test/p$i",
+          "WARC-Date" -> f"2024-01-01T${i / 60}%02d:${i % 60}%02d:00Z"),
+          http.getBytes(UTF_8))
+      }
+      val plain = sb.toByteArray
+      val out =
+        if (f % 2 == 0) { // even files plain, odd files gzip
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"part-$f%03d.warc"), plain)
+        } else {
+          val bo = new ByteArrayOutputStream()
+          val gz = new GZIPOutputStream(bo)
+          gz.write(plain); gz.close()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"part-$f%03d.warc.gz"), bo.toByteArray)
+        }
+      out.toFile.deleteOnExit()
+    }
+  }
+}

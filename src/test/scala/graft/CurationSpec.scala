@@ -132,6 +132,58 @@ class CurationSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("decontaminate: shared-gram counts vs a hand oracle") {
+    val docs = Seq(
+      (0L, "a b c d e"),          // shares "b c d" and "c d e"
+      (1L, "x y z w v"),          // clean
+      (2L, "q b c d q c d e q"),  // shares the same two grams
+      (3L, "c d e")               // exactly one gram, shared
+    ).toDF("doc_id", "text")
+    val bench = Seq("p b c d e p").toDF("text") // grams incl. "b c d", "c d e"
+    val got = Curation.decontaminate(docs, bench)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 2L -> 2L, 3L -> 1L)) // doc 1 absent (clean)
+  }
+
+  test("decontaminate: same result with and without the broadcast hint") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"w$i w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w$i"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val a = Curation.decontaminate(docs, bench, broadcastBench = true)
+      .as[(Long, Long)].collect().toMap
+    val b = Curation.decontaminate(docs, bench, broadcastBench = false)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("decontaminate plan: broadcast probe, doc grams deduped per-row (no extra exchange)") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("a b c"), col("id").cast("string"), lit("d e f")).as("text"))
+    val p = Curation.decontaminate(docs, docs.limit(5))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exchanges: benchmark-side distinct (2: partial/final around its
+    // agg), the broadcast itself, and the final doc_id count agg (1) —
+    // the corpus gram stream must NOT add a (doc_id, gram) dedup
+    // exchange, that dedup happened per-row in array_distinct
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+    assert(!p.toLowerCase.contains("sortaggregate"), p)
+  }
+
+  test("unigramLogLik matches a hand-computed corpus LM score") {
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    // corpus counts: a=2, b=2, c=1, total=5
+    val ll = (t: Double) => math.log(t / 5.0)
+    val exp0 = BigDecimal((ll(2) + ll(2) + ll(2)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = BigDecimal((ll(2) + ll(1)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.unigramLogLik(docs).as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> exp0, 1L -> exp1))
+  }
+
   test("triangleCounts matches a brute-force oracle on a seeded graph") {
     val rnd = new scala.util.Random(7)
     val n = 30

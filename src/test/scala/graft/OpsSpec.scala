@@ -680,4 +680,29 @@ class OpsSpec extends SparkSpec {
     val fpMap = fp.map(r => r.getLong(0) -> r.getString(1)).toMap
     (0 until 3).foreach(i => assert(fpMap(i.toLong) === fpMap(200L + i)))
   }
+
+  test("repetitionStats: run-fold counts = hand oracle, short docs guarded") {
+    val df = Seq(
+      (0L, "a b a b a b"),   // bigrams: [a b]x3, [b a]x2 → top 3/5, dup 5/5
+      (1L, "p q r s t"),     // 4 distinct bigrams → top 1/4, dup 0
+      (2L, "x x x x"),       // [x x]x3 → top 3/3, dup 3/3
+      (3L, "solo"),          // < n tokens → 0 grams, guarded fractions
+      (4L, "m n m n o m n") // [m n]x3, [n m]x1, [n o]x1, [o m]x1 → top 3/6, dup 3/6
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 5L, 0.6, 1.0)))
+    assert(got(1L) === ((1L, 4L, 0.25, 0.0)))
+    assert(got(2L) === ((2L, 3L, 1.0, 1.0)))
+    assert(got(3L) === ((3L, 0L, 0.0, 0.0)))
+    assert(got(4L) === ((4L, 6L, 0.5, 0.5)))
+  }
+
+  test("repetitionStats is a shuffle-free per-row plan") {
+    val df = spark.range(50).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("a"), col("id").cast("string"), lit("a b a b")).as("text"))
+    val p = TextOps.repetitionStats(df).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }
