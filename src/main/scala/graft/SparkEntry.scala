@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.CrawlEngine
 import graft.functions.{canon, Extract}
 import graft.model.CrawlConfig
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Events, Multimodal, Search, Similarity, TextOps}
 import graft.sites.{Sites, SyntheticWeb}
 import graft.state.Store
 
@@ -324,6 +324,24 @@ object SparkEntry {
 
     "q_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(t(s, dir, "documents"))),
+
+    "q_bm25" -> ((s, dir) =>
+      Search.bm25TopK(t(s, dir, "documents"),
+        Seq("spark", "window", "merge"), k = 20)),
+
+    // paragraph dedup needs multi-paragraph docs; derive them
+    // deterministically by treating the filler token " a " as the
+    // paragraph break (both engines apply the same replace)
+    "q_para_dedup" -> ((s, dir) =>
+      Curation.dropDupParagraphs(
+        t(s, dir, "documents")
+          .withColumn("text", regexp_replace(col("text"), " a ", "\n")))),
+
+    "q_sessions" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"), gapMinutes = 360)),
+
+    "q_dup_windows" -> ((s, dir) =>
+      Dedup.duplicatedWindowStats(t(s, dir, "documents"), n = 5)),
 
     // REAL WARC parse, foreign-verified like the media queries: the
     // payloads are valid ISO-28500 archive files (half gzipped) whose
@@ -755,6 +773,57 @@ object SparkEntry {
         | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v)
         |SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 4) AS avg_ll
         |FROM toks JOIN v USING (token) GROUP BY doc_id"""
+        .stripMargin),
+
+    "q_bm25" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(avg(len(t)) AS DOUBLE) AS avgdl FROM toks),
+        | m AS (SELECT doc_id, len(t) AS dl, u.tok AS term FROM toks, unnest(t) u(tok)
+        |       WHERE u.tok IN ('spark', 'window', 'merge')),
+        | tf AS (SELECT doc_id, term, CAST(max(dl) AS DOUBLE) AS dl, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM m GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        | sc AS (SELECT doc_id, round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |        FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id)
+        |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin),
+
+    "q_para_dedup" ->
+      ("""WITH d AS (SELECT doc_id, regexp_replace(text, ' a ', chr(10), 'g') AS text FROM documents),
+        | sp AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        | p AS (SELECT doc_id, i.i - 1 AS pos, arr[i.i] AS para
+        |       FROM sp, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(arr)),
+        | w AS (SELECT para, min(doc_id * 1048576 + pos) AS enc FROM p GROUP BY para),
+        | kept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN w
+        |          ON p.para = w.para AND p.doc_id * 1048576 + p.pos = w.enc)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id"""
+        .stripMargin),
+
+    "q_sessions" ->
+      ("""WITH e AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 360 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts, value,
+        |    sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM e)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_id"""
+        .stripMargin),
+
+    "q_dup_windows" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | g AS (SELECT doc_id, array_to_string(t[i.i:i.i+4], ' ') AS gram
+        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 4),
+        | c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+        | s AS (SELECT doc_id, count(*) AS nw,
+        |        sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS dup
+        |       FROM g JOIN c USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows, CAST(dup AS BIGINT) AS dup_windows,
+        |  round(CAST(dup AS DOUBLE) / nw, 4) AS dup_frac FROM s"""
         .stripMargin),
 
     "q_repetition" ->

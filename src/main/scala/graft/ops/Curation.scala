@@ -184,6 +184,50 @@ object Curation {
         .as("avg_ll"))
   }
 
+  /** Cross-document paragraph deduplication (the CCNet / RefinedWeb
+    * line-dedup pass — public recipes): every paragraph that occurs
+    * more than once in the corpus is kept ONLY at its first occurrence
+    * (minimum (doc_id, position)); each document's text is rebuilt
+    * from its surviving paragraphs. Documents whose every paragraph
+    * was seen earlier drop out entirely.
+    *
+    * Scale shape: the keep-decision never shuffles text. Paragraph
+    * instances are reduced to (xxhash64(para), doc_id·2^20 + pos) —
+    * two longs — and min-aggregated per hash with map-side partial
+    * combine; the winners fold back to a per-doc sorted keep-position
+    * array (a few ints per doc). The only shuffle that moves document
+    * text is the final doc_id equi-join of that keep-array onto the
+    * corpus (disappears entirely under a doc_id-bucketed layout), and
+    * the rebuild is per-row: re-split, keep the flagged indices,
+    * re-join. Positions are capped at 2^20 paragraphs per document so
+    * the (doc, pos) order key packs into one long; 64-bit hash
+    * collisions conflate unrelated paragraphs with negligible
+    * probability (~n²/2^65).
+    */
+  def dropDupParagraphs(docs: DataFrame, delimRegex: String = "\n",
+      delimOut: String = "\n", text: Column = col("text")): DataFrame = {
+    val posLimit = 1L << 20
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(text, delimRegex)).as(Seq("pos", "para")))
+    val enc = when(col("pos") >= posLimit, raise_error(
+        lit(s"dropDupParagraphs: more than $posLimit paragraphs in one document")))
+      .otherwise(col("doc_id") * posLimit + col("pos"))
+    val winners = paras
+      .select(xxhash64(col("para")).as("h"), enc.as("enc"))
+      .groupBy(col("h"))
+      .agg(min(col("enc")).as("enc"))
+    val keepPos = winners
+      .select(shiftright(col("enc"), 20).as("doc_id"),
+        col("enc").bitwiseAND(lit(posLimit - 1)).cast("int").as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("keep"))
+    docs.join(keepPos, "doc_id")
+      .select(col("doc_id"),
+        concat_ws(delimOut,
+          filter(split(text, delimRegex),
+            (_, i) => array_contains(col("keep"), i))).as("text"))
+  }
+
   /** Exact top-k vocabulary per language (count desc, token asc) —
     * the tokenizer-training / stopword-mining primitive.
     *

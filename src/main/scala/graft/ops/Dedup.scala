@@ -390,4 +390,35 @@ object Dedup {
         sum(when(col("b") > maxBucket, col("b").cast("long")).otherwise(0L))
           .as("n_fps_in_capped"),
         max(col("b")).as("max_bucket"))
+
+  /** Per-document duplicated-window statistics — the measurement side
+    * of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — public): for each
+    * document, how many of its n-token windows occur at least twice
+    * anywhere in the corpus (including within the same document).
+    * Returns (doc_id, n_windows, dup_windows, dup_frac) for every
+    * document with at least one window; docs shorter than n tokens
+    * have no windows and are absent.
+    *
+    * Scale shape: windows are reduced per-row to 64-bit ShingleHash64
+    * values (single codegen pass, text never leaves the row), so the
+    * corpus-wide multiplicity count shuffles (doc_id, hash) pairs —
+    * 16 bytes per window instance — with map-side partial combine on
+    * the 8-byte hash; the count joins back on the same 8-byte key and
+    * folds into a per-doc agg. Unlike the full suffix-array dedup
+    * this never compares strings: two different windows colliding in
+    * 64 bits (~n²/2⁶⁵) is the accepted error.
+    */
+  def duplicatedWindowStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val inst = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), n)).as("h"))
+    val counts = inst.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    inst.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        round(col("dup_windows").cast("double") / col("n_windows"), 4)
+          .as("dup_frac"))
+  }
 }

@@ -172,6 +172,29 @@ class CurationSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("sortaggregate"), p)
   }
 
+  test("dropDupParagraphs keeps first occurrences only, drops emptied docs") {
+    val docs = Seq(
+      (0L, "A\nB\nA"), // A repeats within the doc: second instance goes
+      (1L, "B\nC"),    // B first seen at doc 0
+      (2L, "A\nB"),    // nothing survives → doc absent
+      (3L, "D")
+    ).toDF("doc_id", "text")
+    val got = Curation.dropDupParagraphs(docs)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "A\nB", 1L -> "C", 3L -> "D"))
+  }
+
+  test("dropDupParagraphs: stable under repartitioning (global first = min (doc,pos))") {
+    val docs = (0L until 50L).map(i => (i, s"common\nuniq$i\ncommon2"))
+      .toDF("doc_id", "text")
+    val a = Curation.dropDupParagraphs(docs).as[(Long, String)].collect().toMap
+    val b = Curation.dropDupParagraphs(docs.repartition(13, col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a(0L) == "common\nuniq0\ncommon2") // doc 0 owns both commons
+    assert(a(7L) == "uniq7")
+  }
+
   test("unigramLogLik matches a hand-computed corpus LM score") {
     val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
     // corpus counts: a=2, b=2, c=1, total=5

@@ -698,6 +698,21 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) === ((4L, 6L, 0.5, 0.5)))
   }
 
+  test("duplicatedWindowStats: corpus-wide window multiplicity vs hand oracle") {
+    val docs = Seq(
+      (0L, "a b c"),  // windows "a b","b c" — "a b" shared with doc 1
+      (1L, "a b x"),  // "a b","b x"
+      (2L, "z z z"),  // "z z" twice WITHIN the doc: both instances dup
+      (3L, "q")       // no 2-token window → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindowStats(docs, n = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 2L, 1L, 0.5)))
+    assert(got(1L) === ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 2L, 2L, 1.0)))
+    assert(!got.contains(3L) && got.size == 3)
+  }
+
   test("repetitionStats is a shuffle-free per-row plan") {
     val df = spark.range(50).select(col("id").as("doc_id"),
       concat_ws(" ", lit("a"), col("id").cast("string"), lit("a b a b")).as("text"))
