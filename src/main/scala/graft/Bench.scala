@@ -346,7 +346,8 @@ object Bench {
       "q_split", "q_sample_stratified", "q_normalize", "q_pii_redact",
       "q_corpus_stats", "q_vocab", "q_triangles",
       "q_contamination", "q_unigram_ll", "q_repetition",
-      "q_bm25", "q_para_dedup", "q_sessions", "q_dup_windows")
+      "q_bm25", "q_para_dedup", "q_sessions", "q_dup_windows",
+      "q_source_mix", "q_packing")
     // 3 interleaved passes, best-of per query: single-shot per-query
     // numbers sat right in hypervisor steal windows in round 2 (4-9×
     // inflation on per-row queries whose code hadn't changed) — the

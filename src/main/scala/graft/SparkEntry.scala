@@ -343,6 +343,15 @@ object SparkEntry {
     "q_dup_windows" -> ((s, dir) =>
       Dedup.duplicatedWindowStats(t(s, dir, "documents"), n = 5)),
 
+    // temperature rebalance over the naturally-skewed lang column
+    "q_source_mix" -> ((s, dir) =>
+      Curation.mixSources(t(s, dir, "documents"), group = col("lang"),
+        alpha = 0.5)),
+
+    "q_packing" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), budget = 200L,
+        shards = 8)),
+
     // REAL WARC parse, foreign-verified like the media queries: the
     // payloads are valid ISO-28500 archive files (half gzipped) whose
     // record fields are arithmetic in the record index — the parser
@@ -824,6 +833,29 @@ object SparkEntry {
         |       FROM g JOIN c USING (gram) GROUP BY doc_id)
         |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows, CAST(dup AS BIGINT) AS dup_windows,
         |  round(CAST(dup AS DOUBLE) / nw, 4) AS dup_frac FROM s"""
+        .stripMargin),
+
+    "q_source_mix" ->
+      ("""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        | t AS (SELECT sum(pow(n, 0.5)) AS wsum, sum(n) AS ntotal FROM c),
+        | p AS (SELECT lang, pow(n, 0.5) / wsum * ntotal / n AS p FROM c, t),
+        | j AS (SELECT doc_id, d.lang AS grp, p.p AS p,
+        |        (doc_id * 1103515245 + 12345) % 2147483648 AS h
+        |       FROM documents d JOIN p ON d.lang = p.lang),
+        | k AS (SELECT doc_id, grp, CAST(floor(p) AS BIGINT) +
+        |        CASE WHEN h < CAST(floor((p - floor(p)) * 2147483648.0) AS BIGINT)
+        |             THEN 1 ELSE 0 END AS copies FROM j)
+        |SELECT doc_id, grp, CAST(u.c AS BIGINT) AS copy
+        |FROM k, unnest(range(copies)) u(c)"""
+        .stripMargin),
+
+    "q_packing" ->
+      ("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        | s AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS st
+        |   FROM d)
+        |SELECT doc_id, shard, n_tokens, st // 200 AS chunk, st % 200 AS chunk_off FROM s"""
         .stripMargin),
 
     "q_repetition" ->

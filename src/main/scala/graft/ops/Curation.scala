@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.texthash
@@ -182,6 +183,79 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(round(avg(log(col("cnt").cast("double") / col("total"))), 4)
         .as("avg_ll"))
+  }
+
+  /** Temperature-based source mixing (the multilingual-corpus
+    * rebalancing recipe published with mC4/XLM-R: sample group g with
+    * probability ∝ n_g^alpha, alpha < 1 flattening the distribution).
+    * Each document is kept 0+ times so the EXPECTED output size is
+    * `targetTotal` with group shares ∝ n_g^alpha: per-doc copy count
+    * = floor(p_g) plus one more when the doc's deterministic
+    * 31-bit LCG hash falls under the fractional threshold — rare
+    * groups with p_g > 1 genuinely upsample (repeat), exactly like
+    * the published pipelines. Output one row per copy:
+    * (doc_id, group, copy).
+    *
+    * Deterministic and foreign-recomputable: the keep decision is
+    * integer arithmetic (LCG hash vs floor(frac(p)·2³¹)), so a
+    * different engine reproduces the exact sample, and the result is
+    * independent of partitioning.
+    *
+    * Scale shape: group counts are a tiny agg (groups ≪ corpus), the
+    * per-group rate table broadcasts back, and the copy fan-out is a
+    * per-row sequence explode — the corpus is scanned once with no
+    * wide shuffle at all.
+    */
+  def mixSources(docs: DataFrame, group: Column = col("source"),
+      alpha: Double = 0.5, targetTotal: Long = 0L,
+      key: Column = col("doc_id")): DataFrame = {
+    val base = docs.select(key.as("doc_id"), group.as("grp"))
+    val counts = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum(pow(col("n"), alpha)).as("wsum"),
+      sum(col("n")).as("ntotal"))
+    val rates = counts.crossJoin(broadcast(tot)).select(
+      col("grp"),
+      (pow(col("n"), alpha) / col("wsum") *
+        (if (targetTotal > 0) lit(targetTotal.toDouble) else col("ntotal")) /
+        col("n")).as("p"))
+    val whole = floor(col("p")).cast("long")
+    val thr = floor((col("p") - floor(col("p"))) * (1L << 31).toDouble)
+      .cast("long")
+    val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(1L << 31))
+    base.join(broadcast(rates), "grp")
+      .select(col("doc_id"), col("grp"),
+        (whole + when(h < thr, 1L).otherwise(0L)).as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("grp"),
+        explode(sequence(lit(0L), col("copies") - 1L)).as("copy"))
+  }
+
+  /** GPT-style sequence packing: concatenate documents in a fixed
+    * order and cut every `budget` tokens, so each document lands at a
+    * deterministic (chunk, offset) — documents may span a chunk
+    * boundary, exactly like the published LM pre-training packing.
+    * Packing is per shard (`doc_id % shards`, doc_id order within) so
+    * a 100 TB corpus packs in `shards`-way parallelism instead of one
+    * global sequential pass; each shard's layout is independent.
+    * Returns (doc_id, shard, n_tokens, chunk, chunk_off).
+    *
+    * Scale shape: token counts are per-row; the only shuffle is the
+    * shard hash partition, and the per-shard running sum is one
+    * window pass. All arithmetic is integer — foreign engines
+    * reproduce the layout bit-exactly.
+    */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int = 64,
+      text: Column = col("text")): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(TextOps.wsTokens(text)).cast("long").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"start DIV ${budget}L").as("chunk"),
+        pmod(col("start"), lit(budget)).as("chunk_off"))
   }
 
   /** Cross-document paragraph deduplication (the CCNet / RefinedWeb

@@ -47,4 +47,30 @@ object Events {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("total_value"))
   }
+
+  /** Streaming counterpart of [[sessionize]] over an unbounded event
+    * stream: Structured Streaming's built-in `session_window` merges
+    * events within `gapMinutes` of inactivity per user, the watermark
+    * bounds both state retention and how late an event may arrive, and
+    * sessions emit once the watermark passes their close (Append
+    * mode) — exactly-once per session under checkpointed restarts.
+    *
+    * Boundary note vs the batch op: `session_window` windows are
+    * half-open `[first, last + gap)`, so an event arriving EXACTLY
+    * `gap` after its predecessor starts a NEW session, where the
+    * batch op's strict-greater test keeps it. The batch op is the
+    * semantic of record (it matches the DuckDB oracle); the streaming
+    * surface documents the off-by-an-instant difference rather than
+    * re-deriving session identity in custom keyed state.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
 }

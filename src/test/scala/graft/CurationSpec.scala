@@ -172,6 +172,70 @@ class CurationSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("sortaggregate"), p)
   }
 
+  test("mixSources: copy counts match the integer-threshold oracle exactly") {
+    // two groups keeps the weight sum FP-exact (a+b is commutative)
+    val docs = ((0L until 6L).map(i => (i, "big")) ++
+      Seq((6L, "small"), (7L, "small"))).toDF("doc_id", "source")
+    val alpha = 0.5
+    val target = 8L
+    val n = Map("big" -> 6L, "small" -> 2L)
+    val wsum = math.pow(6, alpha) + math.pow(2, alpha)
+    def copiesOf(id: Long, g: String): Long = {
+      val p = math.pow(n(g).toDouble, alpha) / wsum * target / n(g)
+      val thr = math.floor((p - math.floor(p)) * (1L << 31)).toLong
+      val h = (id * 1103515245L + 12345L) % (1L << 31)
+      math.floor(p).toLong + (if (h < thr) 1L else 0L)
+    }
+    val exp = (for {
+      (id, g) <- (0L until 6L).map((_, "big")) ++ Seq((6L, "small"), (7L, "small"))
+      c = copiesOf(id, g) if c > 0
+    } yield (id, g) -> c).toMap
+    val got = Curation.mixSources(docs, alpha = alpha, targetTotal = target)
+      .groupBy("doc_id", "grp").count()
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == exp)
+    // copy indices are 0..c-1
+    val copies = Curation.mixSources(docs, alpha = alpha, targetTotal = target)
+      .as[(Long, String, Long)].collect()
+    copies.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong))
+    }
+  }
+
+  test("mixSources: expected size near target, flattens skew, repartition-stable") {
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i % 10 < 8) "huge" else if (i % 10 == 8) "mid" else "rare"))
+      .toDF("doc_id", "source")
+    val out = Curation.mixSources(docs, alpha = 0.3, targetTotal = 1000L)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    val total = byGrp.values.sum
+    assert(math.abs(total - 1000L) < 100, s"total $total")
+    // alpha 0.3 pulls shares toward uniform: rare ≫ its 10% raw share
+    assert(byGrp("rare") > 200 && byGrp("huge") < 600, byGrp.toString)
+    val again = Curation.mixSources(docs.repartition(13), alpha = 0.3,
+      targetTotal = 1000L).groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(again == byGrp)
+  }
+
+  test("packSequences: per-shard concat-and-cut layout vs hand oracle") {
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq(
+      (0L, words(4)), (1L, words(5)), (2L, words(7)),
+      (3L, words(3)), (4L, words(6)), (5L, words(8))
+    ).toDF("doc_id", "text")
+    val got = Curation.packSequences(docs, budget = 10L, shards = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // shard 0: docs 0,2,4 (4,7,6 tokens) → starts 0,4,11
+    assert(got(0L) === ((0L, 0L, 4L, 0L, 0L)))
+    assert(got(2L) === ((2L, 0L, 7L, 0L, 4L)))
+    assert(got(4L) === ((4L, 0L, 6L, 1L, 1L)))
+    // shard 1: docs 1,3,5 (5,3,8 tokens) → starts 0,5,8
+    assert(got(1L) === ((1L, 1L, 5L, 0L, 0L)))
+    assert(got(3L) === ((3L, 1L, 3L, 0L, 5L)))
+    assert(got(5L) === ((5L, 1L, 8L, 0L, 8L)))
+  }
+
   test("dropDupParagraphs keeps first occurrences only, drops emptied docs") {
     val docs = Seq(
       (0L, "A\nB\nA"), // A repeats within the doc: second instance goes

@@ -2,7 +2,9 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.ops.Events
 
@@ -51,5 +53,32 @@ class EventsSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._2))
     assert(a.toSeq == b.toSeq)
     assert(a.map(_._5).toSeq == Seq(2L, 1L)) // 12:00 pair, then 13:30
+  }
+
+  test("sessionizeStream: session_window merges within gap, emits on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val sessions = Events.sessionizeStream(
+      input.toDF().toDF("ts", "user_id", "value"),
+      gapMinutes = 10, watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("stream_sessions").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    def ts(min: Int) = new Timestamp(86400000L + min * 60000L)
+    // user 1: two events 5 min apart (one session), a third 30 min later
+    input.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(35), 1L, 4.0))
+    q.processAllAvailable()
+    // push the watermark far past everything so all sessions close
+    input.addData((ts(300), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("stream_sessions")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 % 1440,
+        r.getLong(2), r.getDouble(3)))
+      .filter(_._1 == 1L).toSet
+    assert(rows == Set((1L, 0L, 2L, 3.0), (1L, 35L, 1L, 4.0)))
   }
 }
