@@ -188,6 +188,45 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame =
     toPages(readRecords(spark, path))
 
+  // ---- archive writing (tests / corpus fixtures) ----
+
+  /** One response record to serialize into an archive. */
+  final case class ResponseOut(url: String, date: String, status: String,
+      body: String)
+
+  /** Serialize one WARC file (optionally gzipped) of response records
+    * prefixed by a warcinfo record — the layout Common Crawl uses.
+    */
+  def writeWarcFile(path: java.nio.file.Path, warcinfoBody: String,
+      records: Seq[ResponseOut], gzip: Boolean): Unit = {
+    val sb = new ByteArrayOutputStream()
+    def rec(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+      val head = (Seq("WARC/1.0") ++
+        headers.map { case (k, v) => s"$k: $v" } ++
+        Seq(s"Content-Length: ${block.length}")).mkString("\r\n")
+      sb.write((head + "\r\n\r\n").getBytes(UTF_8))
+      sb.write(block)
+      sb.write("\r\n\r\n".getBytes(UTF_8))
+    }
+    rec(Seq("WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2024-01-01T00:00:00Z"), warcinfoBody.getBytes(UTF_8))
+    records.foreach { r =>
+      val http = s"HTTP/1.1 ${r.status}\r\nContent-Type: text/html\r\n\r\n${r.body}"
+      rec(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> r.url,
+        "WARC-Date" -> r.date), http.getBytes(UTF_8))
+    }
+    val plain = sb.toByteArray
+    if (!gzip) java.nio.file.Files.write(path, plain)
+    else {
+      val bo = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bo)
+      gz.write(plain); gz.close()
+      java.nio.file.Files.write(path, bo.toByteArray)
+    }
+  }
+
   // ---- deterministic synthetic archive (tests / driver oracle) ----
 
   /** Write `nFiles` WARC files (alternating plain / gzip) of
@@ -203,43 +242,20 @@ object Warc {
     val d = new java.io.File(dir)
     d.mkdirs()
     for (f <- 0 until nFiles) {
-      val sb = new ByteArrayOutputStream()
-      def rec(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
-        val head = (Seq("WARC/1.0") ++
-          headers.map { case (k, v) => s"$k: $v" } ++
-          Seq(s"Content-Length: ${block.length}")).mkString("\r\n")
-        sb.write((head + "\r\n\r\n").getBytes(UTF_8))
-        sb.write(block)
-        sb.write("\r\n\r\n".getBytes(UTF_8))
-      }
-      rec(Seq("WARC-Type" -> "warcinfo",
-        "WARC-Date" -> "2024-01-01T00:00:00Z"),
-        s"software: graft-synthetic/$f".getBytes(UTF_8))
-      for (i <- f * perFile until (f + 1) * perFile) {
+      val records = (f * perFile until (f + 1) * perFile).map { i =>
         val links = (0 until (1 + i % 5))
           .map(j => s"""<a href="/p${i + 1 + j}">l$j</a>""").mkString(" ")
-        val body = s"<html><body><p>doc $i</p>$links</body></html>"
-        val status = if (i % 10 == 9) "404 Not Found" else "200 OK"
-        val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body"
-        rec(Seq(
-          "WARC-Type" -> "response",
-          "WARC-Target-URI" -> s"https://h${i % 7}.test/p$i",
-          "WARC-Date" -> f"2024-01-01T${i / 60}%02d:${i % 60}%02d:00Z"),
-          http.getBytes(UTF_8))
+        ResponseOut(
+          url = s"https://h${i % 7}.test/p$i",
+          date = f"2024-01-01T${i / 60}%02d:${i % 60}%02d:00Z",
+          status = if (i % 10 == 9) "404 Not Found" else "200 OK",
+          body = s"<html><body><p>doc $i</p>$links</body></html>")
       }
-      val plain = sb.toByteArray
-      val out =
-        if (f % 2 == 0) { // even files plain, odd files gzip
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"part-$f%03d.warc"), plain)
-        } else {
-          val bo = new ByteArrayOutputStream()
-          val gz = new GZIPOutputStream(bo)
-          gz.write(plain); gz.close()
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"part-$f%03d.warc.gz"), bo.toByteArray)
-        }
-      out.toFile.deleteOnExit()
+      val gzip = f % 2 == 1 // even files plain, odd files gzip
+      val path = java.nio.file.Paths.get(dir,
+        f"part-$f%03d.warc" + (if (gzip) ".gz" else ""))
+      writeWarcFile(path, s"software: graft-synthetic/$f", records, gzip)
+      path.toFile.deleteOnExit()
     }
   }
 }

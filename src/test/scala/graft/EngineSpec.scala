@@ -112,6 +112,40 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
   }
 
+  test("engine crawls a corpus ingested from WARC archives (source → engine)") {
+    // the same synthetic wikipedia web, but the corpus table is BUILT
+    // by the WARC source from real archive bytes (one plain file, one
+    // gzipped) instead of generated directly — pins that a
+    // Common-Crawl-style ingest feeds the engine end-to-end
+    val sp = SyntheticWeb.Spec("wikipedia", numPages = 24L, seed = 7L)
+    val dir = Files.createTempDirectory("graft-warc-corpus")
+    val recs = (0L until sp.numPages).map { i =>
+      graft.sources.Warc.ResponseOut(
+        url = SyntheticWeb.pageUrl(sp, i),
+        date = f"2024-01-01T00:${i}%02d:00Z",
+        status = "200 OK",
+        body = SyntheticWeb.htmlFor(sp, i))
+    }
+    graft.sources.Warc.writeWarcFile(
+      dir.resolve("a.warc"), "software: graft-test", recs.take(12), gzip = false)
+    graft.sources.Warc.writeWarcFile(
+      dir.resolve("b.warc.gz"), "software: graft-test", recs.drop(12), gzip = true)
+    val pages = graft.sources.Warc.read(spark, dir.toString)
+
+    val seedUrl = SyntheticWeb.pageUrl(sp, 0L)
+    val (oracleNodes, oracleEdges) = oracleFor(sp, profile, seedUrl, None)
+    val root = Files.createTempDirectory("graft-engine-warc").toString
+    val eng = new CrawlEngine(spark, new Store(root, spark), profile,
+      testCfg(CrawlConfig(site = "wikipedia", batchSize = 7)), pages)
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+    assert(eng.store.read("fetch_errors").get.count() === 0L)
+  }
+
   test("full crawl matches BFS oracle (nodes + edges sets)") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val (oracleNodes, oracleEdges) = oracle(seedUrl)
