@@ -718,14 +718,14 @@ object SparkEntry {
         | CASE WHEN bucket < 80 THEN 'train'
         |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |  (((doc_id*1103515245+12345)%2147483648) >> 16)%100 AS bucket
+        |  ((((doc_id%2147483648)*1103515245+12345)%2147483648) >> 16)%100 AS bucket
         |  FROM documents)"""
         .stripMargin),
 
     "q_sample_stratified" ->
       ("""SELECT doc_id, lang, rk FROM (
         | SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
-        |   ORDER BY (doc_id*1103515245+12345)%2147483648, doc_id) AS BIGINT) AS rk
+        |   ORDER BY ((doc_id%2147483648)*1103515245+12345)%2147483648, doc_id) AS BIGINT) AS rk
         | FROM documents) WHERE rk <= 20"""
         .stripMargin),
 
@@ -840,7 +840,7 @@ object SparkEntry {
         | t AS (SELECT sum(pow(n, 0.5)) AS wsum, sum(n) AS ntotal FROM c),
         | p AS (SELECT lang, pow(n, 0.5) / wsum * ntotal / n AS p FROM c, t),
         | j AS (SELECT doc_id, d.lang AS grp, p.p AS p,
-        |        (doc_id * 1103515245 + 12345) % 2147483648 AS h
+        |        ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
         |       FROM documents d JOIN p ON d.lang = p.lang),
         | k AS (SELECT doc_id, grp, CAST(floor(p) AS BIGINT) +
         |        CASE WHEN h < CAST(floor((p - floor(p)) * 2147483648.0) AS BIGINT)

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -42,9 +43,15 @@ object TextKernel {
       text.toString, java.text.Normalizer.Form.NFC))
   }
 
-  def shingleHash64(text: UTF8String, n: Int): ArrayData = {
+  def shingleHash64(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleHashArray(text, n))
+
+  /** the raw hash array behind [[shingleHash64]] (shared with the
+    * repetition kernel)
+    */
+  def shingleHashArray(text: UTF8String, n: Int): Array[Long] = {
     val toks = text.toString.split("\\s+", -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    if (toks.length < n) return Array.empty[Long]
     val tb = new Array[Array[Byte]](toks.length)
     var i = 0
     while (i < toks.length) {
@@ -69,7 +76,47 @@ object TextKernel {
       out(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
       i += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  /** Per-row n-gram multiset statistics: (n_grams, max_cnt, dup) where
+    * max_cnt is the multiplicity of the most frequent gram and dup the
+    * number of instances whose gram occurs ≥ 2 times. Counts 64-bit
+    * gram hashes in a per-row open-addressing table (zero allocation
+    * beyond the two flat arrays), replacing an interpreted
+    * sort + aggregate() run-fold over gram STRINGS — same counts
+    * unless two different grams collide in 64 bits (~k²/2⁶⁵ per doc).
+    */
+  def repetitionStats(text: UTF8String, n: Int): InternalRow = {
+    val hs = shingleHashArray(text, n)
+    val m = hs.length
+    if (m == 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val cnts = new Array[Int](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < m) {
+      val h = hs(i)
+      var idx = ((h ^ (h >>> 32)).toInt) & mask
+      while (cnts(idx) != 0 && keys(idx) != h) idx = (idx + 1) & mask
+      keys(idx) = h
+      cnts(idx) += 1
+      i += 1
+    }
+    var mx = 0L
+    var dup = 0L
+    var j = 0
+    while (j < cap) {
+      val c = cnts(j)
+      if (c > 0) {
+        if (c > mx) mx = c.toLong
+        if (c >= 2) dup += c
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](m.toLong, mx, dup))
   }
 }
 
@@ -99,8 +146,25 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `repetition_stats(text, n)` → STRUCT<n_grams, max_cnt, dup BIGINT>
+  * — the Gopher repeated-n-gram counters in one codegen'd pass.
+  */
+case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("max_cnt", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.repetitionStats(v.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
 object texthash {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def shingle_hash64(c: Column, n: Int): Column = column(ShingleHash64(expression(c), n))
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
+  def repetition_stats(c: Column, n: Int): Column = column(RepetitionStats(expression(c), n))
 }

@@ -20,13 +20,15 @@ object Curation {
 
   /** Deterministic mixing hash in [0, 2^31): one LCG step (Knuth/
     * glibc constants — public) on the key, high bits taken by the
-    * consumers. Pure BIGINT arithmetic (no overflow for keys < 2^33)
+    * consumers. Pure BIGINT arithmetic (the key is pre-reduced
+    * mod 2^31 so the multiply cannot overflow at ANY key — ANSI mode
+    * throws on silent wrap)
     * so DuckDB evaluates it bit-identically — that property, not hash
     * quality, is why this is not xxhash64: split/sample assignments
     * must be auditable by a foreign engine.
     */
   def lcgHash(key: Column): Column =
-    (key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    ((key % lit(2147483648L)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
 
   /** Deterministic train/val/test assignment: bucket = high bits of
     * lcgHash(key) mod 100, split by cumulative weights. Hash-based
@@ -222,7 +224,7 @@ object Curation {
     val whole = floor(col("p")).cast("long")
     val thr = floor((col("p") - floor(col("p"))) * (1L << 31).toDouble)
       .cast("long")
-    val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(1L << 31))
+    val h = pmod((col("doc_id") % (1L << 31)) * 1103515245L + 12345L, lit(1L << 31))
     base.join(broadcast(rates), "grp")
       .select(col("doc_id"), col("grp"),
         (whole + when(h < thr, 1L).otherwise(0L)).as("copies"))

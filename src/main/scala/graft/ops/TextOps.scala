@@ -130,33 +130,23 @@ object TextOps {
     * boilerplate/spam pages before training.
     *
     * Scale shape: entirely per-row — the gram multiset is counted
-    * INSIDE the row by sorting the gram array and folding run lengths
-    * with `aggregate()`, so a 100 TB corpus streams at scan speed with
-    * zero shuffle (the naive plan explodes every gram and aggregates
-    * on (doc_id, gram) — two corpus-wide shuffles). Short docs
-    * (< n tokens) report n_grams = 0 and 0.0 fractions; the division
-    * is guarded because ANSI mode throws on x/0.
+    * INSIDE the row (the `RepetitionStats` codegen expression: one
+    * shingle-hash pass + an open-addressing count table per row), so
+    * a 100 TB corpus streams at scan speed with zero shuffle (the
+    * naive plan explodes every gram and aggregates on (doc_id, gram)
+    * — two corpus-wide shuffles; the previous in-row formulation
+    * sort-folded gram STRINGS through the interpreted `aggregate()`
+    * HOF, ~5× slower). Counts are over 64-bit gram hashes — identical
+    * to string counts unless two grams collide (~k²/2⁶⁵ per doc).
+    * Short docs (< n tokens) report n_grams = 0 and 0.0 fractions;
+    * the division is guarded because ANSI mode throws on x/0.
     */
   def repetitionStats(df: DataFrame, n: Int = 2,
       text: Column = col("text")): DataFrame = {
-    val sorted = array_sort(shingles(text, n))
-    // fold sorted grams into (current run length, max run, duplicated
-    // instances): a run reaching 2 contributes both instances, each
-    // further repeat contributes itself
-    val folded = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("maxrun"), lit(0L).as("dup")),
-      (a, g) => {
-        val run = when(a.getField("prev") === g, a.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(a.getField("maxrun"), run).as("maxrun"),
-          (a.getField("dup") +
-            when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L)).as("dup"))
-      })
-    df.select(col("doc_id"), size(sorted).cast("long").as("n_grams"),
-        folded.getField("maxrun").as("__mx"), folded.getField("dup").as("__dup"))
+    val st = graft.functions.texthash.repetition_stats(text, n)
+    df.select(col("doc_id"), st.as("__st"))
+      .select(col("doc_id"), col("__st.n_grams").as("n_grams"),
+        col("__st.max_cnt").as("__mx"), col("__st.dup").as("__dup"))
       .select(col("doc_id"), col("n_grams"),
         when(col("n_grams") === 0L, lit(0.0))
           .otherwise(round(col("__mx").cast("double") / col("n_grams"), 4))

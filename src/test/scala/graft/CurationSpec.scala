@@ -11,7 +11,7 @@ import graft.ops.{Curation, GraphOps}
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
-  private def lcg(x: Long): Long = (x * 1103515245L + 12345L) % 2147483648L
+  private def lcg(x: Long): Long = ((x % 2147483648L) * 1103515245L + 12345L) % 2147483648L
 
   test("assignSplits matches the arithmetic oracle and is ~80/10/10") {
     val df = spark.range(10000).select(col("id").as("doc_id"))
@@ -183,7 +183,7 @@ class CurationSpec extends SparkSpec {
     def copiesOf(id: Long, g: String): Long = {
       val p = math.pow(n(g).toDouble, alpha) / wsum * target / n(g)
       val thr = math.floor((p - math.floor(p)) * (1L << 31)).toLong
-      val h = (id * 1103515245L + 12345L) % (1L << 31)
+      val h = ((id % (1L << 31)) * 1103515245L + 12345L) % (1L << 31)
       math.floor(p).toLong + (if (h < thr) 1L else 0L)
     }
     val exp = (for {

@@ -713,6 +713,35 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(3L) && got.size == 3)
   }
 
+  test("RepetitionStats kernel ≡ the sort+run-fold Column formulation") {
+    // reference formulation: sort gram strings, fold run lengths
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 20).map(j => s"w${(i * 7 + j * j) % 9}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sorted = array_sort(TextOps.shingles(col("text"), 2))
+    val folded = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("maxrun"), lit(0L).as("dup")),
+      (a, g) => {
+        val run = when(a.getField("prev") === g, a.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(a.getField("maxrun"), run).as("maxrun"),
+          (a.getField("dup") +
+            when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L)).as("dup"))
+      })
+    val ref = docs.select(col("doc_id"), size(sorted).cast("long"),
+        folded.getField("maxrun"), folded.getField("dup"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val got = docs.select(col("doc_id"),
+        graft.functions.texthash.repetition_stats(col("text"), 2).as("st"))
+      .select(col("doc_id"), col("st.n_grams"), col("st.max_cnt"), col("st.dup"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got == ref)
+  }
+
   test("repetitionStats is a shuffle-free per-row plan") {
     val df = spark.range(50).select(col("id").as("doc_id"),
       concat_ws(" ", lit("a"), col("id").cast("string"), lit("a b a b")).as("text"))
