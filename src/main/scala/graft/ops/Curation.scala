@@ -285,8 +285,9 @@ object Curation {
     val posLimit = 1L << 20
     val paras = docs.select(col("doc_id"),
       posexplode(split(text, delimRegex)).as(Seq("pos", "para")))
-    val enc = when(col("pos") >= posLimit, raise_error(
-        lit(s"dropDupParagraphs: more than $posLimit paragraphs in one document")))
+    val enc = when(col("pos") >= posLimit || col("doc_id") >= (1L << 43),
+        raise_error(lit("dropDupParagraphs: doc_id/pos outside the 43+20-bit " +
+          "packed-key domain")))
       .otherwise(col("doc_id") * posLimit + col("pos"))
     val winners = paras
       .select(xxhash64(col("para")).as("h"), enc.as("enc"))
