@@ -263,16 +263,19 @@ object Bench {
       16 -> scala.collection.mutable.ArrayBuffer.empty[Double],
       32 -> scala.collection.mutable.ArrayBuffer.empty[Double])
     val mapRuns = Map(4 -> scala.collection.mutable.ArrayBuffer.empty[Double],
-      16 -> scala.collection.mutable.ArrayBuffer.empty[Double])
+      8 -> scala.collection.mutable.ArrayBuffer.empty[Double],
+      16 -> scala.collection.mutable.ArrayBuffer.empty[Double],
+      32 -> scala.collection.mutable.ArrayBuffer.empty[Double])
     if (sections("throughput")) {
       timedSession(16, 2)
       // finer interleave (3 passes × 2 runs) than round 1 (2 × 3): every
-      // level samples every noise window; best-of-6 per level. The 4/16
-      // sessions also time the map-only control inside the SAME session
-      // (same corpus, same noise windows) for the normalized efficiency.
+      // level samples every noise window; best-of-6 per level. EVERY
+      // session also times the map-only control inside the SAME session
+      // (same corpus, same noise windows), so both N→4N pairs get a
+      // normalized efficiency against the perfectly-parallel ceiling.
       (1 to 3).foreach { _ =>
         Seq(4, 16, 8, 32).foreach { c =>
-          val (m, mo) = timedSession(c, 2, if (c == 4 || c == 16) 2 else 0)
+          val (m, mo) = timedSession(c, 2, 2)
           runs(c) ++= m
           if (mo.nonEmpty) mapRuns(c) ++= mo
         }
@@ -291,6 +294,9 @@ object Bench {
     val mapEff416 =
       if (mapRuns(4).nonEmpty) (mapRuns(16).max / mapRuns(4).max) / 4.0 else 0.0
     val effNorm = if (mapEff416 > 0) eff416 / mapEff416 else 0.0
+    val mapEff832 =
+      if (mapRuns(8).nonEmpty) (mapRuns(32).max / mapRuns(8).max) / 4.0 else 0.0
+    val effNorm832 = if (mapEff832 > 0) eff832 / mapEff832 else 0.0
 
     // ---- engine micro-batch wall time at a ≥1M-row pending frontier
     //      (the sharded-frontier criterion: per-batch cost must track
@@ -378,6 +384,6 @@ object Bench {
         f"""{"pending":$p,"sec":$sec%.2f,"edges":$e,"sched_rows":$sr}""" }
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)}}""")
+      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"map_only_efficiency_8_32":$mapEff832%.3f,"scaling_efficiency_8_32_normalized":$effNorm832%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local8":${arr(mapRuns(8).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)},"map_runs_local32":${arr(mapRuns(32).toSeq)}}""")
   }
 }

@@ -10,7 +10,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** SQL surface for the custom Catalyst expressions: `spark.sql` users
   * get the same codegen'd kernels the Column API exposes —
   * `shingle_hash64`, `nfc_normalize`, `repetition_stats`,
-  * `dot_product`, `clean_name`, `canonical_url`, `host_of`.
+  * `min_md5_shingle`, `dot_product`, `clean_name`, `canonical_url`,
+  * `host_of`.
   * Non-column parameters (gram size, site bases/prefixes) must be
   * foldable literals, exactly like Spark's own parameterized builtins.
   *
@@ -59,6 +60,11 @@ object SqlFunctions {
       "repetition_stats(text, n) - struct(n_grams, max_cnt, dup) of the n-gram multiset") { args =>
       arity("repetition_stats", 2, args)
       RepetitionStats(args.head, intLit(args(1), "repetition_stats", "n"))
+    },
+    fn("min_md5_shingle",
+      "min_md5_shingle(text, n) - min-wise MD5 word n-gram fingerprint") { args =>
+      arity("min_md5_shingle", 2, args)
+      MinMd5Shingle(args.head, intLit(args(1), "min_md5_shingle", "n"))
     },
     fn("dot_product",
       "dot_product(a, b) - dot product of two float/double array embeddings") { args =>

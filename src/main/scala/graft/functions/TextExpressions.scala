@@ -118,6 +118,72 @@ object TextKernel {
     }
     new GenericInternalRow(Array[Any](m.toLong, mx, dup))
   }
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** Min-wise MD5 content fingerprint: min over md5(word-n-gram),
+    * value-identical to `array_min(transform(shingles(text, n), md5))`
+    * (and to ANSI `min(md5(gram))`, which keeps it foreign-oracle-
+    * checkable) — but computed in one pass: grams build in a reused
+    * byte buffer, digests compare as raw bytes (hex encoding is
+    * nibble-order-preserving, so byte order ≡ hex-string order), and
+    * only the winning digest hex-encodes. The Column form materialized
+    * a token array, k gram strings, k 32-char hex strings and an
+    * array_min scan per row. NULL for docs shorter than n tokens,
+    * exactly like array_min over an empty array.
+    */
+  def minMd5Shingle(text: UTF8String, n: Int): UTF8String = {
+    val toks = text.toString.split("\\s+", -1)
+    if (toks.length < n) return null
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = md5Local.get()
+    var buf = new Array[Byte](128)
+    var best: Array[Byte] = null
+    i = 0
+    while (i <= toks.length - n) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val t = tb(i + j)
+        val need = len + t.length + 1
+        if (need > buf.length) buf = java.util.Arrays.copyOf(buf, need << 1)
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length)
+        len += t.length
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, len)
+      val d = md.digest()
+      if (best == null || {
+        var k = 0
+        var cmp = 0
+        while (cmp == 0 && k < 16) {
+          cmp = (d(k) & 0xff) - (best(k) & 0xff)
+          k += 1
+        }
+        cmp < 0
+      }) best = d
+      i += 1
+    }
+    val hex = new Array[Byte](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = hexDigits((best(i) & 0xf0) >>> 4)
+      hex(2 * i + 1) = hexDigits(best(i) & 0x0f)
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
 }
 
 /** `shingle_hash64(text, n)` → ARRAY<BIGINT> of hashed n-gram
@@ -162,9 +228,27 @@ case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `min_md5_shingle(text, n)` → STRING: the min-wise MD5 n-gram
+  * fingerprint in one codegen'd pass; NULL for docs under n tokens.
+  */
+case class MinMd5Shingle(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.minMd5Shingle(v.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextKernel.minMd5Shingle($c, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): MinMd5Shingle =
+    copy(child = c)
+}
+
 object texthash {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def shingle_hash64(c: Column, n: Int): Column = column(ShingleHash64(expression(c), n))
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def repetition_stats(c: Column, n: Int): Column = column(RepetitionStats(expression(c), n))
+  def min_md5_shingle(c: Column, n: Int): Column = column(MinMd5Shingle(expression(c), n))
 }

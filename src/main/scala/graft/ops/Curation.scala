@@ -143,8 +143,18 @@ object Curation {
     * final 8-byte-key count per doc_id with map-side partial
     * aggregation. With `broadcastBench = false` (a benchmark too big
     * for executor memory) the probe becomes an ordinary shuffled equi
-    * join on the gram string — same result, one extra exchange of the
+    * join on the gram key — same result, one extra exchange of the
     * gram column only.
+    *
+    * By default the gram key is the codegen'd 64-bit shingle hash
+    * (`ShingleHash64`), not the gram string: the corpus-side explode
+    * never allocates gram strings, the broadcast ships 8 bytes per
+    * eval gram instead of the text, and the probe hashes longs. Two
+    * DIFFERENT grams colliding would add a phantom shared gram; with
+    * B eval grams a given doc gram collides with probability B/2^64
+    * (~5e-14 even for a 10^6-gram eval suite), negligible against the
+    * false-match rate of n-gram overlap itself. `hashedGrams = false`
+    * restores exact string membership.
     *
     * Returns one row per CONTAMINATED document: (doc_id, n_shared =
     * number of distinct shared grams). Clean documents are absent —
@@ -152,11 +162,14 @@ object Curation {
     * contamination, not the corpus.
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
-      broadcastBench: Boolean = true): DataFrame = {
+      broadcastBench: Boolean = true, hashedGrams: Boolean = true): DataFrame = {
+    def grams(text: Column): Column =
+      if (hashedGrams) texthash.shingle_hash64(text, n)
+      else TextOps.shingles(text, n)
     val docGrams = docs.select(col("doc_id"),
-      explode(array_distinct(TextOps.shingles(col("text"), n))).as("gram"))
+      explode(array_distinct(grams(col("text")))).as("gram"))
     val benchGrams = benchmark
-      .select(explode(TextOps.shingles(col("text"), n)).as("gram"))
+      .select(explode(grams(col("text"))).as("gram"))
       .distinct()
     val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
     docGrams.join(probe, "gram")

@@ -31,6 +31,27 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Streaming exact dedup: drop documents whose content digest was
+    * already admitted within the watermark horizon — the
+    * ingestion-time twin of [[dropExactDups]] for a live document
+    * feed (readStream → this → writeStream), built on
+    * `dropDuplicatesWithinWatermark` so the state store holds one
+    * 8-byte xxhash64 digest per distinct content INSIDE the horizon
+    * and evicts older keys: state tracks ingest rate × horizon, never
+    * corpus size. Semantics differ from the batch op exactly where
+    * streaming must: the FIRST arrival wins (not min doc_id), and a
+    * duplicate whose twin aged past the watermark is re-admitted —
+    * run the batch op over the accumulated corpus for the global
+    * guarantee.
+    */
+  def dropExactDupsStream(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_key", xxhash64(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+      .drop("content_key")
+
   /** normalization used before near-dup comparison */
   def normText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")

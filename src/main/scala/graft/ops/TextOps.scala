@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.texthash
+
 /** Text-analysis operators for a large-scale training-data pipeline,
   * all expressed as per-row Column algebra (whole-stage codegen, zero
   * shuffle) so they stream over a 100 TB corpus at scan speed.
@@ -88,10 +90,13 @@ object TextOps {
   /** Min-wise content fingerprint: min over md5(word-3-gram). Two docs
     * sharing their lowest shingle hash collide — a cheap locality-
     * sensitive fingerprint (1-hash MinHash), and md5 keeps it
-    * oracle-checkable in ANSI SQL.
+    * oracle-checkable in ANSI SQL. Computed by the codegen'd
+    * `MinMd5Shingle` kernel (single pass, raw-digest min, one hex
+    * encode per row) — value-identical to the Column algebra
+    * `array_min(transform(shingles(text, n), md5))` (OpsSpec-pinned).
     */
   def fingerprintMinShingle(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => md5(s)))
+    texthash.min_md5_shingle(text, n)
 
   /** 64-bit SimHash over whitespace tokens, pure Column algebra:
     * per-token xxhash64 → per-bit ±1 votes folded with aggregate()/

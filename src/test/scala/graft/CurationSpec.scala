@@ -145,6 +145,18 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 2L -> 2L, 3L -> 1L)) // doc 1 absent (clean)
   }
 
+  test("decontaminate: hashed-gram probe ≡ exact string membership") {
+    val docs = (0L until 60L)
+      .map(i => (i, s"tok$i tok${i % 9} tok${(i + 1) % 9} tok${(i + 2) % 9} end"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 12 === 0)
+    val hashed = Curation.decontaminate(docs, bench, hashedGrams = true)
+      .as[(Long, Long)].collect().toMap
+    val exact = Curation.decontaminate(docs, bench, hashedGrams = false)
+      .as[(Long, Long)].collect().toMap
+    assert(hashed == exact && hashed.nonEmpty)
+  }
+
   test("decontaminate: same result with and without the broadcast hint") {
     val docs = (0L until 40L)
       .map(i => (i, s"w$i w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w$i"))

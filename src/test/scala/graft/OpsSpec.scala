@@ -681,6 +681,25 @@ class OpsSpec extends SparkSpec {
     (0 until 3).foreach(i => assert(fpMap(i.toLong) === fpMap(200L + i)))
   }
 
+  test("MinMd5Shingle kernel ≡ array_min(transform(shingles, md5)) Column algebra") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a  b\tc\nd e"),          // mixed whitespace runs
+      (2L, "ﬁé naïve Ωmega über tokens here"), // non-ASCII grams
+      (3L, "one two"),               // < 3 tokens → NULL
+      (4L, ""),                      // empty → NULL (split gives [""])
+      (5L, "x x x x x x")            // identical grams
+    ).toDF("doc_id", "text")
+    val kernel = df.select(col("doc_id"),
+        TextOps.fingerprintMinShingle(col("text")).as("fp"))
+      .as[(Long, Option[String])].collect().toMap
+    val algebra = df.select(col("doc_id"),
+        array_min(transform(TextOps.shingles(col("text"), 3), s => md5(s))).as("fp"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(kernel == algebra)
+    assert(kernel(3L).isEmpty && kernel(0L).nonEmpty)
+  }
+
   test("repetitionStats: run-fold counts = hand oracle, short docs guarded") {
     val df = Seq(
       (0L, "a b a b a b"),   // bigrams: [a b]x3, [b a]x2 → top 3/5, dup 5/5

@@ -71,6 +71,7 @@ class SqlFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(SqlFunctions.all.map(_._1.funcName).sorted == Seq(
       "canonical_url", "clean_name", "dot_product", "host_of",
-      "nfc_normalize", "repetition_stats", "shingle_hash64"))
+      "min_md5_shingle", "nfc_normalize", "repetition_stats",
+      "shingle_hash64"))
   }
 }

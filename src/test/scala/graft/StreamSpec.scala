@@ -112,4 +112,31 @@ class StreamSpec extends SparkSpec {
     assert(rows.contains((0L, "fetch", 2L))) // late arrival NOT counted
     assert(rows.contains((0L, "parse", 1L)))
   }
+
+  test("streaming exact dedup: first arrival wins within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = graft.ops.Dedup.dropExactDupsStream(
+      input.toDF().toDF("ts", "doc_id", "text"), watermark = "30 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    def ts(min: Int) = new Timestamp(86400000L + min * 60000L)
+    // batch 1: A twice (within-batch dup) + B
+    input.addData((ts(0), 0L, "alpha text"), (ts(1), 1L, "alpha text"),
+      (ts(2), 2L, "beta text"))
+    q.processAllAvailable()
+    // batch 2: A again inside the horizon (dropped) + new C (kept)
+    input.addData((ts(5), 3L, "alpha text"), (ts(6), 4L, "gamma text"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_dedup")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((0L, "alpha text"), (2L, "beta text"),
+      (4L, "gamma text")), got)
+    // no content_key plumbing column leaks into the output schema
+    assert(spark.table("stream_dedup").columns.toSeq == Seq("ts", "doc_id", "text"))
+  }
 }
