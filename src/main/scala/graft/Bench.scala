@@ -308,8 +308,13 @@ object Bench {
         // the BUCKETED corpus table: the fetch join shuffles only the
         // (small) selected side; the html column never moves
         val pages = s.table(registerCorpus(s, corpusDir))
+        // staggered compaction (8 of 64 shards per compacting batch):
+        // the full-base fold showed up as a one-batch ~145 s LSM
+        // write-stall in earlier runs — exactly the pause the rotation
+        // bounds. This is also the config a real deployment would run.
         val cfg = graft.model.CrawlConfig(site = "web", batchSize = 20000,
-          numShards = 64, bloomItemsPerShard = 1L << 17, salt = 16)
+          numShards = 64, bloomItemsPerShard = 1L << 17, salt = 16,
+          compactShardsPerBatch = 8)
         val store = new graft.state.Store(
           s"/dev/shm/graft-bench-engine-${System.nanoTime()}", s)
         val eng = new graft.engine.CrawlEngine(s, store, Sites.web, cfg, pages)

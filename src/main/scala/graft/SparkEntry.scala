@@ -371,6 +371,35 @@ object SparkEntry {
             .getField("links")).cast("long").as("n_links"))
     }),
 
+    // CDX capture index (the other half of the Common-Crawl IO story:
+    // the index names the bytes, the WARC reader decodes them).
+    // Foreign-verified like q_warc_ingest: Spark parses REAL CDXJ text
+    // (SURT key, 14-digit timestamp, JSON blob, string→numeric casts)
+    // and picks the newest capture per url via a map-side-combinable
+    // max_by; DuckDB recomputes every field arithmetically from
+    // range(), so a mis-parse or a wrong latest pick breaks the hash
+    "q_cdx_latest" -> ((s, _) => {
+      val dir = "/tmp/graft_cdx_synth_4x50"
+      if (!new java.io.File(dir, "cdx-00000.txt").exists())
+        graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 4, perFile = 50)
+      graft.sources.Cdx.latestCaptures(graft.sources.Cdx.readCaptures(s, dir))
+        .select(col("url"), col("surt_key"), col("capture_ts"),
+          col("http_status"), col("length").as("rec_bytes"),
+          col("offset").as("rec_offset"), col("filename"))
+    }),
+
+    // ranged-GET fetch plan: HTTP-200 captures coalesced into per-file
+    // byte spans (adjacent records merge — the scan-pruning artifact a
+    // 100 TB ingest hands its fetcher). DuckDB rebuilds the same spans
+    // with its own window island detection over the arithmetic index
+    "q_cdx_plan" -> ((s, _) => {
+      val dir = "/tmp/graft_cdx_synth_4x50"
+      if (!new java.io.File(dir, "cdx-00000.txt").exists())
+        graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 4, perFile = 50)
+      val caps = graft.sources.Cdx.readCaptures(s, dir)
+      graft.sources.Cdx.fetchPlan(caps.filter(col("http_status") === 200))
+    }),
+
     // LSH/minhash/simhash: not ANSI-SQL-expressible — rows-only here,
     // recall-vs-exact oracles live in DedupSpec
     "q_minhash_pairs" -> ((s, dir) =>
@@ -774,6 +803,45 @@ object SparkEntry {
         "TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS warc_ts, " +
         "CAST(CASE WHEN i % 10 = 9 THEN 404 ELSE 200 END AS BIGINT) AS http_status, " +
         "1 + i % 5 AS n_links FROM range(200) t(i)"),
+
+    // the synthetic index holds N=200 captures of U=100 urls (each url
+    // captured at i=u and i=u+100 ⇒ the latest is always i=u+100);
+    // offsets are running length sums within each 50-record file
+    "q_cdx_latest" ->
+      ("""WITH c AS (SELECT i, i % 100 AS u, i // 50 AS g,
+        |    500 + 3 * (i % 100) AS len,
+        |    CASE WHEN i % 10 = 9 THEN 404 ELSE 200 END AS status
+        |  FROM range(200) t(i)),
+        | o AS (SELECT *, COALESCE(SUM(len) OVER (PARTITION BY g ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c)
+        |SELECT 'https://h' || CAST(u % 7 AS VARCHAR) || '.test/p' || CAST(u AS VARCHAR) AS url,
+        |  'test,h' || CAST(u % 7 AS VARCHAR) || ')/p' || CAST(u AS VARCHAR) AS surt_key,
+        |  TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS capture_ts,
+        |  CAST(status AS BIGINT) AS http_status,
+        |  CAST(len AS BIGINT) AS rec_bytes,
+        |  CAST(off AS BIGINT) AS rec_offset,
+        |  'crawl-data/part-' || CAST(g AS VARCHAR) || '.warc.gz' AS filename
+        |FROM o WHERE i >= 100"""
+        .stripMargin),
+
+    "q_cdx_plan" ->
+      ("""WITH c AS (SELECT i, i // 50 AS g, 500 + 3 * (i % 100) AS len,
+        |    CASE WHEN i % 10 = 9 THEN 404 ELSE 200 END AS status
+        |  FROM range(200) t(i)),
+        | o AS (SELECT *, COALESCE(SUM(len) OVER (PARTITION BY g ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c),
+        | sel AS (SELECT g, off, len FROM o WHERE status = 200),
+        | m AS (SELECT g, off, len, CASE WHEN LAG(off + len) OVER
+        |    (PARTITION BY g ORDER BY off) = off THEN 0 ELSE 1 END AS nw FROM sel),
+        | sp AS (SELECT g, off, len, SUM(nw) OVER (PARTITION BY g ORDER BY off
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM m)
+        |SELECT 'crawl-data/part-' || CAST(g AS VARCHAR) || '.warc.gz' AS filename,
+        |  CAST(span_id AS BIGINT) AS span_id,
+        |  CAST(MIN(off) AS BIGINT) AS span_start,
+        |  CAST(MAX(off + len) - MIN(off) AS BIGINT) AS span_bytes,
+        |  count(*) AS n_records
+        |FROM sp GROUP BY g, span_id"""
+        .stripMargin),
 
     "q_unigram_ll" ->
       ("""WITH toks AS (SELECT doc_id, t.token AS token

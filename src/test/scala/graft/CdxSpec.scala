@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Cdx
+
+/** CDX capture-index source: CDXJ line parse, SURT key, newest-capture
+  * pick, ranged-GET span coalescing, malformed-line tolerance.
+  */
+class CdxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpIndex(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-cdx").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "cdx-00000.txt")
+    Files.write(f.toPath, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    f.deleteOnExit()
+    dir.toString
+  }
+
+  test("readCaptures: golden CDXJ line — every field lands typed") {
+    val line = """com,example)/path 20240305102030 {"url": "https://www.example.com/path", """ +
+      """"mime": "text/html", "status": "200", "digest": "sha1:ABCDEF", """ +
+      """"length": "2526", "offset": "887592", "filename": "crawl-data/CC-MAIN/seg/warcs/x.warc.gz"}"""
+    val r = Cdx.readCaptures(spark, tmpIndex(Seq(line))).collect().head
+    assert(r.getAs[String]("url") == "https://www.example.com/path")
+    assert(r.getAs[String]("surt_key") == "com,example)/path")
+    assert(r.getAs[java.sql.Timestamp]("capture_ts").toInstant.toString ==
+      "2024-03-05T10:20:30Z")
+    assert(r.getAs[String]("mime") == "text/html")
+    assert(r.getAs[Long]("http_status") == 200L)
+    assert(r.getAs[String]("digest") == "sha1:ABCDEF")
+    assert(r.getAs[Long]("length") == 2526L)
+    assert(r.getAs[Long]("offset") == 887592L)
+    assert(r.getAs[String]("filename") == "crawl-data/CC-MAIN/seg/warcs/x.warc.gz")
+  }
+
+  test("readCaptures: malformed lines degrade, never fail the read") {
+    val good = """test,h0)/p0 20240101000000 {"url": "https://h0.test/p0", """ +
+      """"mime": "text/html", "status": "200", "digest": "sha1:G", """ +
+      """"length": "10", "offset": "0", "filename": "f.warc.gz"}"""
+    val out = Cdx.readCaptures(spark, tmpIndex(Seq(
+      good,
+      "garbage-no-spaces",
+      """k)/x 2024 {"status": "200"}""", // no url → dropped
+      // bad numerics + bad ts on a parseable line → NULLs, row kept
+      """k)/y NOTATS {"url": "https://h.test/y", "status": "abc", "length": "x", "offset": "y"}"""
+    )))
+    val rows = out.orderBy("url").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("url") == "https://h.test/y")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("capture_ts")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("http_status")))
+    assert(rows(1).getAs[String]("url") == "https://h0.test/p0")
+    assert(rows(1).getAs[Long]("length") == 10L)
+  }
+
+  test("surtKey: goldens (reversed host, www-strip, lowercase, query kept)") {
+    val cases = Seq(
+      "https://www.Example.COM/A/b?Q=1" -> "com,example)/a/b?q=1",
+      "https://h3.test/p17" -> "test,h3)/p17",
+      "http://sub.dom.example.org/" -> "org,example,dom,sub)/",
+      "https://example.com" -> "com,example)/",
+      "https://example.com/x#frag" -> "com,example)/x")
+    val got = cases.map(_._1).toDF("url")
+      .select(Cdx.surtKey(col("url")).as("k")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("latestCaptures: newest ts wins; ties break by (offset, filename)") {
+    val cdx = Seq(
+      // url A: three captures, newest ts = 30
+      ("https://a.test/1", "2024-01-01 00:00:10", 200L, 5L, 100L, "f1"),
+      ("https://a.test/1", "2024-01-01 00:00:30", 404L, 6L, 200L, "f2"),
+      ("https://a.test/1", "2024-01-01 00:00:20", 200L, 7L, 300L, "f1"),
+      // url B: ts tie → larger offset wins
+      ("https://b.test/2", "2024-01-01 00:01:00", 200L, 8L, 10L, "f1"),
+      ("https://b.test/2", "2024-01-01 00:01:00", 200L, 9L, 50L, "f1"))
+      .toDF("url", "ts", "http_status", "length", "offset", "filename")
+      .withColumn("capture_ts", to_timestamp(col("ts"))).drop("ts")
+      .withColumn("surt_key", lit("k"))
+      .withColumn("mime", lit("text/html"))
+      .withColumn("digest", lit("d"))
+    val got = Cdx.latestCaptures(cdx).orderBy("url").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("http_status") == 404L)
+    assert(got(0).getAs[Long]("offset") == 200L)
+    assert(got(1).getAs[Long]("offset") == 50L)
+  }
+
+  test("fetchPlan: adjacent records coalesce; gaps and file boundaries split") {
+    val caps = Seq(
+      // f1: [0,100) [100,50) adjacent → one span [0,150);
+      //     [200,10) gap → own span
+      ("f1", 0L, 100L), ("f1", 100L, 50L), ("f1", 200L, 10L),
+      // f2: same offsets as f1's head but a different file → separate span
+      ("f2", 0L, 20L))
+      .toDF("filename", "offset", "length")
+    val got = Cdx.fetchPlan(caps)
+      .orderBy("filename", "span_start")
+      .select("filename", "span_start", "span_bytes", "n_records")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("f1", 0L, 150L, 2L), ("f1", 200L, 10L, 1L), ("f2", 0L, 20L, 1L)))
+  }
+
+  test("synthetic index round-trip: parse-side arithmetic matches the generator") {
+    val dir = Files.createTempDirectory("graft-cdx-synth").toString
+    Cdx.writeSyntheticIndex(dir, nFiles = 2, perFile = 20) // N=40, U=20
+    val caps = Cdx.readCaptures(spark, dir)
+    assert(caps.count() == 40L)
+    // every url captured exactly twice; latest pick = capture i = u+20
+    val latest = Cdx.latestCaptures(caps)
+    assert(latest.count() == 20L)
+    val r = latest.filter(col("url") === "https://h0.test/p7").collect().head
+    // i = 27 → file g=1 (records 20..39), ts = +27 min, len = 500+3*27
+    assert(r.getAs[Long]("length") == 581L)
+    assert(r.getAs[String]("filename") == "crawl-data/part-1.warc.gz")
+    assert(r.getAs[java.sql.Timestamp]("capture_ts").toInstant.toString ==
+      "2024-01-01T00:27:00Z")
+    // offset = sum of len(i') for i' in [20, 27) = Σ 500+3*(i'%100)
+    val expOff = (20 until 27).map(i => 500L + 3L * (i % 100)).sum
+    assert(r.getAs[Long]("offset") == expOff)
+    // surt key parses back to the url's own
+    assert(r.getAs[String]("surt_key") ==
+      Seq("https://h0.test/p7").toDF("u")
+        .select(Cdx.surtKey(col("u"))).as[String].head())
+  }
+}

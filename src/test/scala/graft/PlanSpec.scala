@@ -156,4 +156,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(p.contains("hashpartitioning(host"), p)
   }
+
+  test("cdx latestCaptures: map-side-combinable max_by, no per-url window sort") {
+    val dir = "/tmp/graft_cdx_plan_spec"
+    if (!new java.io.File(dir, "cdx-00000.txt").exists())
+      graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 2, perFile = 20)
+    val latest = graft.sources.Cdx.latestCaptures(
+      graft.sources.Cdx.readCaptures(spark, dir))
+    val p = plan(latest)
+    // partial aggregation before the url shuffle (the combiner is what
+    // keeps this viable at 10^10 captures), and no window anywhere
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      (p.contains("max_by") && p.contains("HashAggregate")), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(url"), p)
+  }
+
+  test("cdx fetchPlan: one filename shuffle reused by the span window and agg") {
+    val dir = "/tmp/graft_cdx_plan_spec"
+    if (!new java.io.File(dir, "cdx-00000.txt").exists())
+      graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 2, perFile = 20)
+    val caps = graft.sources.Cdx.readCaptures(spark, dir)
+    val planOut = graft.sources.Cdx.fetchPlan(
+      caps.filter(col("http_status") === 200))
+    val p = plan(planOut)
+    // exactly one exchange: the window's (filename) partitioning also
+    // satisfies the groupBy(filename, span) aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(filename"), p)
+  }
 }
