@@ -115,8 +115,12 @@ object Main {
     val pages = SyntheticWeb.pages(spark, spec).toDF()
     val allowList = resolveAllowList(spark, profile, spec, env)
 
+    // COMPACT_SHARDS_PER_BATCH bounds the LSM fold pause (K shards per
+    // compacting batch, rotating); -1 = fold everything in one batch
     val cfg = CrawlConfig(site = verb, maxNodes = maxNodes,
-      hostBudget = hostBudget, numShards = 32, bloomItemsPerShard = 1 << 16)
+      hostBudget = hostBudget, numShards = 32, bloomItemsPerShard = 1 << 16,
+      compactShardsPerBatch =
+        envLong(env, "COMPACT_SHARDS_PER_BATCH", -1L).toInt)
     val store = new Store(storeRoot, spark)
     val engine = new CrawlEngine(spark, store, profile, cfg, pages, allowList)
 

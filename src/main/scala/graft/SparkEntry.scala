@@ -371,6 +371,26 @@ object SparkEntry {
             .getField("links")).cast("long").as("n_links"))
     }),
 
+    // the full index-then-ranged-fetch loop: a real member-gzip WARC
+    // archive is indexed at write time (CDXJ), the index is parsed
+    // back, HTTP-200 captures coalesce into byte spans, and ONLY those
+    // spans are seek-read and decoded — the 404 records' bytes are
+    // never touched. DuckDB recomputes the decoded fields (url, ts,
+    // status, link count) arithmetically, so a wrong span boundary, a
+    // broken member decode, or a mis-indexed offset breaks the hash
+    "q_warc_ranged" -> ((s, _) => {
+      val dir = "/tmp/graft_warc_cdx_synth_4x50"
+      if (!new java.io.File(dir, "part-000.warc.gz").exists())
+        graft.sources.Warc.writeSyntheticIndexedArchive(dir, nFiles = 4, perFile = 50)
+      val caps = graft.sources.Cdx.readCaptures(s, s"$dir/cdx")
+      val plan = graft.sources.Cdx.fetchPlan(caps.filter(col("http_status") === 200))
+      graft.sources.Warc.readRecordsRanged(s, dir, plan).toDF()
+        .select(col("url"), col("warc_ts"),
+          col("http_status").cast("long").as("http_status"),
+          size(Extract.extract_links(col("html"), lit("web"))
+            .getField("links")).cast("long").as("n_links"))
+    }),
+
     // CDX capture index (the other half of the Common-Crawl IO story:
     // the index names the bytes, the WARC reader decodes them).
     // Foreign-verified like q_warc_ingest: Spark parses REAL CDXJ text
@@ -803,6 +823,14 @@ object SparkEntry {
         "TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS warc_ts, " +
         "CAST(CASE WHEN i % 10 = 9 THEN 404 ELSE 200 END AS BIGINT) AS http_status, " +
         "1 + i % 5 AS n_links FROM range(200) t(i)"),
+
+    // ranged decode returns exactly the status-200 records of the
+    // 200-record indexed archive, every field arithmetic in i
+    "q_warc_ranged" ->
+      ("SELECT 'https://h' || CAST(i % 7 AS VARCHAR) || '.test/p' || CAST(i AS VARCHAR) AS url, " +
+        "TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS warc_ts, " +
+        "CAST(200 AS BIGINT) AS http_status, " +
+        "1 + i % 5 AS n_links FROM range(200) t(i) WHERE i % 10 <> 9"),
 
     // the synthetic index holds N=200 captures of U=100 urls (each url
     // captured at i=u and i=u+100 ⇒ the latest is always i=u+100);

@@ -126,6 +126,51 @@ object Cdx {
         count(lit(1)).as("n_records"))
   }
 
+  /** Scala-side mirror of [[surtKey]] for write-time indexing (the
+    * indexer runs where the archive writer runs, not in a plan).
+    * CdxSpec pins equality against the Column form on the goldens.
+    */
+  def surtOf(url: String): String = {
+    val afterScheme = url.indexOf("://") match {
+      case -1 => url
+      case i  => url.substring(i + 3)
+    }
+    val slash = afterScheme.indexOf('/')
+    val qmark = afterScheme.indexOf('?')
+    val cut = // host ends at the first of '/' or '?' (query-only urls)
+      if (slash < 0) qmark
+      else if (qmark >= 0 && qmark < slash) qmark
+      else slash
+    val hostPort = (if (cut < 0) afterScheme
+      else afterScheme.substring(0, cut)).toLowerCase
+    val host = hostPort.takeWhile(_ != ':').stripPrefix("www.")
+    val rest =
+      if (cut < 0) "/"
+      else {
+        val r = afterScheme.substring(cut)
+        if (r.startsWith("?")) "/" + r else r
+      }
+    val noFrag = rest.takeWhile(_ != '#') match { case "" => "/"; case p => p }
+    host.split('.').reverse.mkString(",") + ")" + noFrag.toLowerCase
+  }
+
+  /** CDXJ lines for one written WARC file (write-time indexing — how
+    * CC itself produces its index: the writer knows the offsets).
+    * `entries` come from [[Warc.writeWarcFileIndexed]]; dates are the
+    * records' ISO-8601 WARC-Dates.
+    */
+  def indexLines(entries: Seq[Warc.CaptureEntry],
+      filename: String): Seq[String] =
+    entries.map { e =>
+      val ts14 = e.date.filter(_.isDigit).take(14)
+      val status = e.status.takeWhile(_ != ' ')
+      val json = s"""{"url": "${e.url}", "mime": "text/html", """ +
+        s""""status": "$status", "digest": "sha1:W${e.offset}", """ +
+        s""""length": "${e.length}", "offset": "${e.offset}", """ +
+        s""""filename": "$filename"}"""
+      s"${surtOf(e.url)} $ts14 $json"
+    }
+
   // ---- deterministic synthetic index (tests / driver oracle) ----
 
   /** Write `nFiles` CDXJ text files of `perFile` capture lines under

@@ -188,11 +188,54 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame =
     toPages(readRecords(spark, path))
 
+  // ---- ranged decode (CDX-planned ingest) ----
+
+  /** Decode ONLY the byte spans a [[Cdx.fetchPlan]] names — the read
+    * side of the index-then-fetch loop: at 100 TB the executor seeks
+    * to each span and reads `span_bytes`, never the file (Hadoop
+    * FSDataInputStream seek — positioned reads on HDFS/S3A). Works on
+    * plain archives (spans start at a record head) and on
+    * record-per-member gzip archives (spans start at a member
+    * boundary; the parser's multi-member gunzip decodes the slice),
+    * the layout Common Crawl itself uses to make ranged GETs
+    * possible. `plan` columns: (filename, span_start, span_bytes).
+    */
+  def readRecordsRanged(spark: SparkSession, dir: String,
+      plan: DataFrame): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val spans = plan
+      .select(col("filename"), col("span_start"), col("span_bytes"))
+      .as[(String, Long, Long)]
+    spans.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { case (fname, start, len) =>
+        require(len <= Int.MaxValue, s"span too large: $len")
+        val p = new org.apache.hadoop.fs.Path(dir, fname)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.seek(start)
+          in.readFully(buf)
+          parseWarcBytes(buf)
+        } finally in.close()
+      }
+    }
+  }
+
   // ---- archive writing (tests / corpus fixtures) ----
 
   /** One response record to serialize into an archive. */
   final case class ResponseOut(url: String, date: String, status: String,
       body: String)
+
+  /** One write-time capture entry: where a response record landed in
+    * the file as written — the raw material of a CDX index. For
+    * member-gzip archives (offset, length) bound one independently
+    * decompressible gzip member.
+    */
+  final case class CaptureEntry(url: String, date: String, status: String,
+      offset: Long, length: Long)
 
   /** Serialize one WARC file (optionally gzipped) of response records
     * prefixed by a warcinfo record — the layout Common Crawl uses.
@@ -227,6 +270,53 @@ object Warc {
     }
   }
 
+  /** Serialize one WARC file and return where each response record
+    * landed (the raw material of a CDX index). `memberGzip = true`
+    * writes one gzip member per record — Common Crawl's layout, in
+    * which every (offset, length) slice is independently
+    * decompressible and therefore ranged-GET-able; `false` writes
+    * plain WARC with byte-exact record offsets. A warcinfo record
+    * heads the file either way and is not indexed.
+    */
+  def writeWarcFileIndexed(path: java.nio.file.Path, warcinfoBody: String,
+      records: Seq[ResponseOut], memberGzip: Boolean): Seq[CaptureEntry] = {
+    val out = new ByteArrayOutputStream()
+    def block(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+      val head = (Seq("WARC/1.0") ++
+        headers.map { case (k, v) => s"$k: $v" } ++
+        Seq(s"Content-Length: ${body.length}")).mkString("\r\n")
+      val b = new ByteArrayOutputStream()
+      b.write((head + "\r\n\r\n").getBytes(UTF_8))
+      b.write(body)
+      b.write("\r\n\r\n".getBytes(UTF_8))
+      b.toByteArray
+    }
+    def emit(raw: Array[Byte]): Long = {
+      if (!memberGzip) { out.write(raw); raw.length.toLong }
+      else {
+        val bo = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bo)
+        gz.write(raw); gz.close()
+        val member = bo.toByteArray
+        out.write(member); member.length.toLong
+      }
+    }
+    var offset = emit(block(Seq("WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2024-01-01T00:00:00Z"), warcinfoBody.getBytes(UTF_8)))
+    val entries = records.map { r =>
+      val http = s"HTTP/1.1 ${r.status}\r\nContent-Type: text/html\r\n\r\n${r.body}"
+      val len = emit(block(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> r.url,
+        "WARC-Date" -> r.date), http.getBytes(UTF_8)))
+      val e = CaptureEntry(r.url, r.date, r.status, offset, len)
+      offset += len
+      e
+    }
+    java.nio.file.Files.write(path, out.toByteArray)
+    entries
+  }
+
   // ---- deterministic synthetic archive (tests / driver oracle) ----
 
   /** Write `nFiles` WARC files (alternating plain / gzip) of
@@ -256,6 +346,43 @@ object Warc {
         f"part-$f%03d.warc" + (if (gzip) ".gz" else ""))
       writeWarcFile(path, s"software: graft-synthetic/$f", records, gzip)
       path.toFile.deleteOnExit()
+    }
+  }
+
+  /** Write `nFiles` member-gzip WARC files of `perFile` response
+    * records each under `dir`, PLUS the CDXJ index of every record
+    * under `dir`/cdx — the integrated fixture for the
+    * index-then-ranged-fetch loop. Record CONTENT is the same
+    * arithmetic-in-i scheme as [[writeSyntheticArchive]] (url, date,
+    * status, link count all recomputable by a foreign oracle);
+    * offsets/lengths are real member boundaries measured at write
+    * time, the way CC's own indexer records them.
+    */
+  def writeSyntheticIndexedArchive(dir: String, nFiles: Int,
+      perFile: Int): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val cdxDir = new java.io.File(dir, "cdx")
+    cdxDir.mkdirs()
+    for (f <- 0 until nFiles) {
+      val records = (f * perFile until (f + 1) * perFile).map { i =>
+        val links = (0 until (1 + i % 5))
+          .map(j => s"""<a href="/p${i + 1 + j}">l$j</a>""").mkString(" ")
+        ResponseOut(
+          url = s"https://h${i % 7}.test/p$i",
+          date = f"2024-01-01T${i / 60}%02d:${i % 60}%02d:00Z",
+          status = if (i % 10 == 9) "404 Not Found" else "200 OK",
+          body = s"<html><body><p>doc $i</p>$links</body></html>")
+      }
+      val name = f"part-$f%03d.warc.gz"
+      val path = java.nio.file.Paths.get(dir, name)
+      val entries = writeWarcFileIndexed(path,
+        s"software: graft-synthetic/$f", records, memberGzip = true)
+      val cdxPath = java.nio.file.Paths.get(cdxDir.toString, f"cdx-$f%05d.txt")
+      java.nio.file.Files.write(cdxPath,
+        Cdx.indexLines(entries, name).mkString("", "\n", "\n").getBytes(UTF_8))
+      path.toFile.deleteOnExit()
+      cdxPath.toFile.deleteOnExit()
     }
   }
 }

@@ -108,6 +108,67 @@ class CdxSpec extends SparkSpec {
       ("f1", 0L, 150L, 2L), ("f1", 200L, 10L, 1L), ("f2", 0L, 20L, 1L)))
   }
 
+  test("surtOf (write-time scala mirror) ≡ surtKey (Column) on the goldens") {
+    val urls = Seq(
+      "https://www.Example.COM/A/b?Q=1",
+      "https://h3.test/p17",
+      "http://sub.dom.example.org/",
+      "https://example.com",
+      "https://example.com/x#frag",
+      "https://example.com?a=1", // query-only: host ends at '?'
+      "https://example.com:8080/y")
+    val viaColumn = urls.toDF("url")
+      .select(Cdx.surtKey(col("url"))).as[String].collect().toSeq
+    assert(urls.map(Cdx.surtOf) == viaColumn)
+  }
+
+  test("index-then-ranged-fetch loop: spans decode to exactly the selected records, reading a fraction of the bytes") {
+    val dir = Files.createTempDirectory("graft-warc-cdx").toString
+    graft.sources.Warc.writeSyntheticIndexedArchive(dir, nFiles = 2, perFile = 20)
+    val caps = Cdx.readCaptures(spark, s"$dir/cdx")
+    assert(caps.count() == 40L)
+    // write-time index locates what the full parse finds (urls agree)
+    val fullUrls = graft.sources.Warc.readRecords(spark, dir).toDF()
+      .filter(col("record_type") === "response")
+      .select("url").as[String].collect().toSet
+    assert(caps.select("url").as[String].collect().toSet == fullUrls)
+
+    val plan = Cdx.fetchPlan(caps.filter(col("http_status") === 200))
+    val ranged = graft.sources.Warc.readRecordsRanged(spark, dir, plan)
+      .toDF().select("url", "http_status").as[(String, Long)].collect().toSet
+    val expected = graft.sources.Warc.readRecords(spark, dir).toDF()
+      .filter(col("record_type") === "response" && col("http_status") === 200)
+      .select("url", "http_status").as[(String, Long)].collect().toSet
+    assert(ranged == expected)
+    assert(ranged.size == 36) // 40 records minus the 4 with i%10==9
+
+    // the pruning is real: planned bytes < archive bytes (404 members
+    // and warcinfo heads are never read)
+    val plannedBytes = plan.agg(sum("span_bytes")).as[Long].head()
+    val archiveBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+    assert(plannedBytes < archiveBytes, s"$plannedBytes vs $archiveBytes")
+  }
+
+  test("ranged decode works on PLAIN archives too (byte-exact record offsets)") {
+    val dir = Files.createTempDirectory("graft-warc-plain").toString
+    val recs = (0 until 5).map { i =>
+      graft.sources.Warc.ResponseOut(s"https://p.test/$i",
+        "2024-02-02T00:00:00Z", "200 OK", s"<html>doc $i</html>")
+    }
+    val entries = graft.sources.Warc.writeWarcFileIndexed(
+      java.nio.file.Paths.get(dir, "a.warc"), "software: t", recs,
+      memberGzip = false)
+    // fetch just records 1 and 3 via their write-time offsets
+    val plan = Seq(
+      ("a.warc", entries(1).offset, entries(1).length),
+      ("a.warc", entries(3).offset, entries(3).length))
+      .toDF("filename", "span_start", "span_bytes")
+    val got = graft.sources.Warc.readRecordsRanged(spark, dir, plan)
+      .toDF().select("url").as[String].collect().toSet
+    assert(got == Set("https://p.test/1", "https://p.test/3"))
+  }
+
   test("synthetic index round-trip: parse-side arithmetic matches the generator") {
     val dir = Files.createTempDirectory("graft-cdx-synth").toString
     Cdx.writeSyntheticIndex(dir, nFiles = 2, perFile = 20) // N=40, U=20
