@@ -391,6 +391,17 @@ object SparkEntry {
             .getField("links")).cast("long").as("n_links"))
     }),
 
+    // sitemap seed channel: Spark parses REAL urlset XML (optional
+    // fields, spec's 0.5 priority default, date-only lastmod) while
+    // DuckDB recomputes every field arithmetically from range()
+    "q_sitemap" -> ((s, _) => {
+      val dir = "/tmp/graft_sitemap_synth_4x50"
+      if (!new java.io.File(dir, "sitemap-000.xml").exists())
+        graft.sources.Sitemaps.writeSyntheticSitemaps(dir, nFiles = 4, perFile = 50)
+      val docs = s.read.option("wholetext", true).text(s"$dir/sitemap-*.xml")
+      graft.sources.Sitemaps.parseUrlset(docs, col("value"))
+    }),
+
     // CDX capture index (the other half of the Common-Crawl IO story:
     // the index names the bytes, the WARC reader decodes them).
     // Foreign-verified like q_warc_ingest: Spark parses REAL CDXJ text
@@ -399,7 +410,7 @@ object SparkEntry {
     // max_by; DuckDB recomputes every field arithmetically from
     // range(), so a mis-parse or a wrong latest pick breaks the hash
     "q_cdx_latest" -> ((s, _) => {
-      val dir = "/tmp/graft_cdx_synth_4x50"
+      val dir = "/tmp/graft_cdx_synth_4x50_v2"
       if (!new java.io.File(dir, "cdx-00000.txt").exists())
         graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 4, perFile = 50)
       graft.sources.Cdx.latestCaptures(graft.sources.Cdx.readCaptures(s, dir))
@@ -408,12 +419,23 @@ object SparkEntry {
           col("offset").as("rec_offset"), col("filename"))
     }),
 
+    // adaptive-recrawl signal: per-url change rate from consecutive
+    // captures' digest diffs (the synthetic index gives every url two
+    // captures, content stable iff u%3==0). DuckDB recomputes the
+    // stats arithmetically, so a wrong lag/gap/rate breaks the hash
+    "q_cdx_change_rate" -> ((s, _) => {
+      val dir = "/tmp/graft_cdx_synth_4x50_v2"
+      if (!new java.io.File(dir, "cdx-00000.txt").exists())
+        graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 4, perFile = 50)
+      graft.sources.Cdx.changeStats(graft.sources.Cdx.readCaptures(s, dir))
+    }),
+
     // ranged-GET fetch plan: HTTP-200 captures coalesced into per-file
     // byte spans (adjacent records merge — the scan-pruning artifact a
     // 100 TB ingest hands its fetcher). DuckDB rebuilds the same spans
     // with its own window island detection over the arithmetic index
     "q_cdx_plan" -> ((s, _) => {
-      val dir = "/tmp/graft_cdx_synth_4x50"
+      val dir = "/tmp/graft_cdx_synth_4x50_v2"
       if (!new java.io.File(dir, "cdx-00000.txt").exists())
         graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 4, perFile = 50)
       val caps = graft.sources.Cdx.readCaptures(s, dir)
@@ -832,6 +854,14 @@ object SparkEntry {
         "CAST(200 AS BIGINT) AS http_status, " +
         "1 + i % 5 AS n_links FROM range(200) t(i) WHERE i % 10 <> 9"),
 
+    "q_sitemap" ->
+      ("""SELECT 'https://h' || CAST(i % 7 AS VARCHAR) || '.test/p' || CAST(i AS VARCHAR) AS loc,
+        |  TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS lastmod,
+        |  CASE i % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' WHEN 2 THEN 'monthly' ELSE NULL END AS changefreq,
+        |  CASE WHEN i % 10 = 7 THEN 0.5 ELSE (i % 11) / 10.0 END AS priority
+        |FROM range(200) t(i)"""
+        .stripMargin),
+
     // the synthetic index holds N=200 captures of U=100 urls (each url
     // captured at i=u and i=u+100 ⇒ the latest is always i=u+100);
     // offsets are running length sums within each 50-record file
@@ -850,6 +880,15 @@ object SparkEntry {
         |  CAST(off AS BIGINT) AS rec_offset,
         |  'crawl-data/part-' || CAST(g AS VARCHAR) || '.warc.gz' AS filename
         |FROM o WHERE i >= 100"""
+        .stripMargin),
+
+    "q_cdx_change_rate" ->
+      ("""SELECT 'https://h' || CAST(u % 7 AS VARCHAR) || '.test/p' || CAST(u AS VARCHAR) AS url,
+        |  CAST(2 AS BIGINT) AS n_captures,
+        |  CAST(CASE WHEN u % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_changes,
+        |  CAST(CASE WHEN u % 3 = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS change_rate,
+        |  CAST(100.0 AS DOUBLE) AS avg_gap_min
+        |FROM range(100) t(u)"""
         .stripMargin),
 
     "q_cdx_plan" ->

@@ -38,6 +38,32 @@ object Robots {
 
   private val parseUdf = udf(parse _)
 
+  /** Sitemap locations advertised by robots.txt (`Sitemap:` lines are
+    * user-agent-independent per the protocol) — the discovery half of
+    * the [[graft.sources.Sitemaps]] seed channel.
+    */
+  def parseSitemapUrls(content: String): Seq[String] = {
+    if (content == null) return Seq.empty
+    content.linesIterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase("sitemap"))
+        Some(line.substring(colon + 1).trim).filter(_.nonEmpty)
+      else None
+    }.toSeq.distinct
+  }
+
+  private val parseSitemapUdf = udf(parseSitemapUrls _)
+
+  /** (host, sitemap_url) pairs from the robots.txt pages in the corpus. */
+  def sitemapsFromPages(pages: DataFrame): DataFrame = {
+    import graft.functions.canon
+    pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(canon.host_of(col("url")).as("host"),
+        explode(parseSitemapUdf(decode(col("html"), "UTF-8"))).as("sitemap_url"))
+  }
+
   /** Build the rules table from robots.txt pages present in the
     * corpus (url == scheme://host/robots.txt). Output (host, disallow).
     */

@@ -61,9 +61,17 @@ object Cdx {
     * parse (wrong arity, bad JSON) yield NULL url and are dropped —
     * same malformed-tail tolerance as the WARC reader.
     */
-  def readCaptures(spark: SparkSession, path: String): DataFrame = {
+  def readCaptures(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** Parse CDXJ lines from any DataFrame with a `value` STRING column —
+    * works unchanged on a STREAMING frame (`spark.readStream.text`):
+    * a live index feed parses into typed captures per micro-batch,
+    * since every step is stateless Column algebra.
+    */
+  def parseLines(lines: DataFrame): DataFrame = {
     val parts = split(col("value"), " ", 3)
-    spark.read.text(path)
+    lines
       .filter(octet_length(col("value")) > 0)
       .select(
         // try_element_at: a line with fewer than 3 tokens yields NULLs
@@ -126,6 +134,56 @@ object Cdx {
         count(lit(1)).as("n_records"))
   }
 
+  /** Per-url change statistics from consecutive captures: how often
+    * the content digest differed between visits, and the mean gap
+    * between visits — the signal an adaptive recrawl scheduler feeds
+    * on (change-rate-driven revisit policies are classic crawl
+    * science; the reference recrawls nothing, a 10^10-frontier
+    * production crawler must choose). One url shuffle; per-url window
+    * partitions are bounded by captures-per-url (a handful per dump),
+    * never the corpus.
+    *
+    * Output: (url, n_captures, n_changes, change_rate ∈ [0,1] NULL for
+    * single-capture urls, avg_gap_min).
+    */
+  def changeStats(cdx: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("capture_ts"), col("offset"), col("filename"))
+    cdx
+      .select(col("url"), col("capture_ts"), col("offset"),
+        col("filename"), col("digest"))
+      .withColumn("__prev_digest", lag(col("digest"), 1).over(w))
+      .withColumn("__prev_ts", lag(col("capture_ts"), 1).over(w))
+      .withColumn("__changed",
+        when(col("__prev_digest").isNull, lit(null))
+          .otherwise((col("__prev_digest") =!= col("digest")).cast("long")))
+      .withColumn("__gap_min",
+        when(col("__prev_ts").isNull, lit(null)).otherwise(
+          (col("capture_ts").cast("long") - col("__prev_ts").cast("long"))
+            / 60.0))
+      .groupBy(col("url"))
+      .agg(
+        count(lit(1)).as("n_captures"),
+        coalesce(sum(col("__changed")), lit(0L)).as("n_changes"),
+        // intervals = n_captures - 1; guarded for single-capture urls
+        when(count(col("__changed")) > 0,
+          round(sum(col("__changed")) / count(col("__changed")), 4))
+          .as("change_rate"),
+        round(avg(col("__gap_min")), 4).as("avg_gap_min"))
+  }
+
+  /** Revisit seeds from [[changeStats]]: urls seen at least twice,
+    * fast-changing content landing in the hottest frontier tiers
+    * (0 = rescheduled first) — same tier convention as
+    * [[Sitemaps.toSeeds]].
+    */
+  def toRecrawlSeeds(stats: DataFrame): DataFrame =
+    stats
+      .filter(col("n_captures") >= 2)
+      .select(col("url"),
+        round((lit(1.0) - col("change_rate")) * 10).cast("long")
+          .as("priority"))
+
   /** Scala-side mirror of [[surtKey]] for write-time indexing (the
     * indexer runs where the archive writer runs, not in a plan).
     * CdxSpec pins equality against the Column form on the goldens.
@@ -181,6 +239,9 @@ object Cdx {
     *     latest-capture selection does real work;
     *   - ts: 2024-01-01T00:00Z + i minutes; status 404 when i%10==9
     *     else 200; length 500 + 3·(i%100);
+    *   - digest: stable across both captures when u%3==0 (content
+    *     never changed), distinct otherwise — so change-rate stats do
+    *     real work;
     *   - offset: running sum of lengths within the named WARC file
     *     (records are physically adjacent, so status-filtered spans
     *     exercise real coalescing);
@@ -202,8 +263,9 @@ object Cdx {
         val ts = f"202401${1 + i / 1440}%02d${(i / 60) % 24}%02d${i % 60}%02d00"
         val status = if (i % 10 == 9) "404" else "200"
         val len = 500L + 3L * (i % 100)
+        val digest = if (u % 3 == 0) s"sha1:C$u" else s"sha1:C$u-$i"
         val json = s"""{"url": "$url", "mime": "text/html", """ +
-          s""""status": "$status", "digest": "sha1:G$i", """ +
+          s""""status": "$status", "digest": "$digest", """ +
           s""""length": "$len", "offset": "$offset", """ +
           s""""filename": "crawl-data/part-$g.warc.gz"}"""
         sb.append(s"$surt $ts $json\n")

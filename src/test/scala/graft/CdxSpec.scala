@@ -108,6 +108,35 @@ class CdxSpec extends SparkSpec {
       ("f1", 0L, 150L, 2L), ("f1", 200L, 10L, 1L), ("f2", 0L, 20L, 1L)))
   }
 
+  test("changeStats + toRecrawlSeeds: digest diffs over capture history") {
+    val cdx = Seq(
+      // url A: 3 captures — d1, d1 (+10 min), d2 (+30 min): 1 change
+      // over 2 intervals, gaps 10 and 20 → rate 0.5, avg gap 15
+      ("https://a.test/1", "2024-01-01 00:00:00", 0L, "f1", "d1"),
+      ("https://a.test/1", "2024-01-01 00:10:00", 10L, "f1", "d1"),
+      ("https://a.test/1", "2024-01-01 00:30:00", 20L, "f1", "d2"),
+      // url B: single capture → rate/gap NULL
+      ("https://b.test/2", "2024-01-01 00:00:00", 0L, "f1", "d9"))
+      .toDF("url", "ts", "offset", "filename", "digest")
+      .withColumn("capture_ts", to_timestamp(col("ts"))).drop("ts")
+    val stats = Cdx.changeStats(cdx).orderBy("url").collect()
+    assert(stats.length == 2)
+    val a = stats(0)
+    assert(a.getAs[Long]("n_captures") == 3L)
+    assert(a.getAs[Long]("n_changes") == 1L)
+    assert(a.getAs[Double]("change_rate") == 0.5)
+    assert(a.getAs[Double]("avg_gap_min") == 15.0)
+    val b = stats(1)
+    assert(b.getAs[Long]("n_captures") == 1L)
+    assert(b.getAs[Long]("n_changes") == 0L)
+    assert(b.isNullAt(b.fieldIndex("change_rate")))
+    assert(b.isNullAt(b.fieldIndex("avg_gap_min")))
+    // recrawl seeds: B (never revisited) excluded; A lands mid-tier
+    val seeds = Cdx.toRecrawlSeeds(Cdx.changeStats(cdx))
+      .as[(String, Long)].collect().toSeq
+    assert(seeds == Seq(("https://a.test/1", 5L)))
+  }
+
   test("surtOf (write-time scala mirror) ≡ surtKey (Column) on the goldens") {
     val urls = Seq(
       "https://www.Example.COM/A/b?Q=1",
