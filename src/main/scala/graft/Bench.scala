@@ -357,6 +357,7 @@ object Bench {
       "q_split", "q_sample_stratified", "q_normalize", "q_pii_redact",
       "q_corpus_stats", "q_vocab", "q_triangles",
       "q_contamination", "q_unigram_ll", "q_repetition",
+      "q_pagerank", "q_cc", "q_dedup_clusters",
       "q_bm25", "q_para_dedup", "q_sessions", "q_dup_windows",
       "q_source_mix", "q_packing")
     // 3 interleaved passes, best-of per query: single-shot per-query

@@ -530,6 +530,14 @@ object SparkEntry {
     // bytes here while the DuckDB oracle recomputes the expectation
     // from the id, so a mis-parse (width, height, channels) breaks
     // the hash
+    // image near-dup pairs over REAL decoded pixels: aHash per image,
+    // banded hamming join (not SQL-expressible → rows-only; OpsSpec
+    // pins the exact pair set on the constructed corpus)
+    "q_image_neardup" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.imageNearDups(Multimodal.syntheticNearDupImages(s, 200L))
+    }),
+
     "q_image_meta" -> ((s, _) => {
       import s.implicits._
       Multimodal.decodeMeta(Multimodal.syntheticImages(s, 200L),

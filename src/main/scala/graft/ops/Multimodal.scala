@@ -491,6 +491,75 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual image hashing (near-dup over REAL pixels) ----
+
+  /** 64-bit average perceptual hash (aHash — the cheapest member of
+    * the public perceptual-hash family) from decoded pixels:
+    * box-average luminance onto an 8×8 grid, set bit r·8+c where the
+    * cell mean exceeds the global mean. Stable under re-encoding and
+    * resizing — the standard first pass of image near-dup detection.
+    */
+  def averageHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val r = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val c = math.min(7, x * 8 / w)
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        sums(r * 8 + c) += lum
+        counts(r * 8 + c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val global = means.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (means(i) > global) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** (media_id, ahash) for every decodable image payload — per-row,
+    * shuffle-free; undecodable payloads are DROPPED (hashing undecoded
+    * bytes would poison the near-dup buckets with byte-level noise).
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None else Some(ImageHash(m.media_id, averageHash64(img)))
+    })
+  }
+
+  /** Image near-dup pairs (media_a, media_b, dist ≤ maxDist): aHash
+    * per image, then the SAME banded 16-bit-chunk hamming join the
+    * text simhash uses (identical-hash pre-collapse, capped buckets,
+    * 8-byte-key shuffles) — one candidate machinery for every 64-bit
+    * locality hash in the library.
+    */
+  def imageNearDups(media: Dataset[MediaRow], maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    graft.ops.Dedup.simhashNearDupsFromFps(
+      imageHashes(media).toDF()
+        .select(col("media_id").as("doc_id"), col("ahash").as("fp")),
+      maxDist, maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("dist"))
+
   /** Decode metadata for a media table — partition-parallel, batch
     * shape one-row-per-media; only (media_id, payload) are read, so
     * Parquet column pruning skips everything else. `decoder` overrides
@@ -655,6 +724,40 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Synthetic near-dup image corpus: media 2g and 2g+1 render the
+    * same per-group 8×8 block pattern (32×32 real PNGs), the odd
+    * member with a one-pixel brightness nudge — far too small to flip
+    * any aHash cell, so each pair collapses to one perceptual hash
+    * while the PNG bytes (and any exact digest) differ. Distinct
+    * groups use independent random patterns (expected hamming ≈ 32,
+    * never candidate pairs at maxDist ≤ 3).
+    */
+  def syntheticNearDupImages(spark: SparkSession, n: Long,
+      seed: Long = 7L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n).map { i =>
+      val g = i / 2
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val cell = (y / 4) * 8 + (x / 4)
+          val on = (graft.sites.SyntheticWeb.mix(seed, g, cell.toLong) & 1L) == 1L
+          val v = if (on) 230 else 20
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      if (i % 2 == 1) img.setRGB(0, 0, (23 << 16) | (23 << 8) | 23)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      MediaRow(i, "png", out.toByteArray)
+    }
   }
 
   /** synthetic image corpus: real PNG containers (deterministic) */

@@ -394,6 +394,39 @@ class OpsSpec extends SparkSpec {
     assert(stubMeta.map(_.format).toSet.subsetOf(Set("png", "jpeg", "mp4")))
   }
 
+  test("averageHash64: checkerboard golden, scale invariance, perceptual near-dup pairs") {
+    import java.awt.image.BufferedImage
+    def checker(size: Int, invert: Boolean): BufferedImage = {
+      val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+      val cellPx = size / 8
+      for (y <- 0 until size; x <- 0 until size) {
+        val on = ((y / cellPx + x / cellPx) % 2 == 0) != invert
+        img.setRGB(x, y, if (on) 0xFFFFFF else 0x000000)
+      }
+      img
+    }
+    // golden: bit r*8+c set exactly where (r+c) even
+    val expected = (0 until 64)
+      .filter(i => (i / 8 + i % 8) % 2 == 0)
+      .foldLeft(0L)((acc, i) => acc | (1L << i))
+    assert(Multimodal.averageHash64(checker(32, invert = false)) == expected)
+    // box averaging makes the hash resolution-invariant
+    assert(Multimodal.averageHash64(checker(64, invert = false)) == expected)
+    // inverted pattern is the bitwise complement (hamming 64)
+    assert(Multimodal.averageHash64(checker(32, invert = true)) == ~expected)
+
+    import spark.implicits._
+    // constructed corpus: 5 pairs + one undecodable payload (dropped)
+    val media = Multimodal.syntheticNearDupImages(spark, 10L).collect().toSeq :+
+      Multimodal.MediaRow(99L, "png", Array[Byte](1, 2, 3))
+    val hashes = Multimodal.imageHashes(media.toDS()).collect()
+    assert(hashes.length == 10) // garbage payload dropped
+    assert(hashes.groupBy(_.ahash).size == 5) // pairs collapse
+    val pairs = Multimodal.imageNearDups(media.toDS())
+      .orderBy("media_a").as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == (0 until 5).map(g => (2L * g, 2L * g + 1, 0)))
+  }
+
   test("ImageIoDecoder decodes real PNG dimensions and pixel features via the JDK codec") {
     import java.awt.image.BufferedImage
     // a real 37×21 PNG, all-black except one white row

@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(url"), p)
   }
 
+  test("sitemap urlset parse is per-row: no exchange anywhere in the plan") {
+    import spark.implicits._
+    val docs = Seq("<urlset><url><loc>https://a.test/x</loc></url></urlset>")
+      .toDF("xml")
+    val p = plan(graft.sources.Sitemaps.parseUrlset(docs, col("xml")))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("cdx fetchPlan: one filename shuffle reused by the span window and agg") {
     val dir = "/tmp/graft_cdx_plan_spec"
     if (!new java.io.File(dir, "cdx-00000.txt").exists())
