@@ -486,24 +486,34 @@ final class CrawlEngine(
     * to discovered links — a disallowed URL is never fetched no matter
     * how it arrived (reference enforces at fetch time).
     */
-  def seed(urls: Seq[String]): Unit = {
+  def seed(urls: Seq[String]): Unit = seedPrioritized(urls.map((_, 0L)))
+
+  /** [[seed]] with a per-url frontier priority (lower tier = scheduled
+    * first) — the entry point for sitemap-derived seeds
+    * ([[graft.sources.Sitemaps.toSeeds]]) and change-rate recrawl
+    * seeds ([[graft.sources.Cdx.toRecrawlSeeds]]).
+    */
+  def seedPrioritized(seeds: Seq[(String, Long)]): Unit = {
     // fresh store: batchId starts at -1 → first batch 0. On a re-seed
     // the id keeps advancing so staged segment dirs (b{batch}-{n})
     // never collide with live segments of the previous crawl.
     val batchId = store.batchId + 1
     val seedDf = applyRobots(
-      urls.zipWithIndex.toDF("url", "i")
+      seeds.zipWithIndex.map { case ((u, p), i) => (u, p, i) }
+        .toDF("url", "pri", "i")
         .withColumn("canon", canon.canonical_url(col("url")))
         .withColumn("host", canon.host_of(col("url")))
         .withColumn("depth", lit(0))
         .withColumn("seq", col("i").cast("long"))
-        .withColumn("priority", lit(0L))
+        .withColumn("priority", col("pri").cast("long"))
         .withColumn("batch_id", lit(batchId))
-        .drop("i"))
+        .drop("i", "pri"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = seedDf
-      .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val trips = seedDf
+      .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"),
+        tierCol(col("priority")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val pairs = trips.map(p => (p._1, p._2))
     val frontier0 = seedDf.select(frontierCols: _*)
       .withColumn("__tier", tierCol(col("priority")))
       .withColumn("__shard", shardCol(col("canon")))
@@ -540,7 +550,7 @@ final class CrawlEngine(
         dropUnsharded = true)
     }
     staged.publish()
-    pendingByTier = if (pairs.isEmpty) Map.empty else Map(0 -> pairs.length.toLong)
+    pendingByTier = trips.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
     consumedCount = 0L
     logRowCount = 0L
     consumedBytes = 0L
@@ -562,19 +572,32 @@ final class CrawlEngine(
     * confirm + delta anti-join exactly as in step(). A streaming
     * micro-batch no longer scans the full frontier or dictionary.
     */
-  def enqueue(urls: Seq[String]): Unit = {
-    if (!store.exists("frontier")) { seed(urls); return }
+  def enqueue(urls: Seq[String]): Unit =
+    enqueuePrioritized(urls.map((_, 0L)))
+
+  /** [[enqueue]] with per-url frontier priorities — sitemap/recrawl
+    * seeds flow into a LIVE crawl's tiered frontier. Duplicate urls
+    * keep their first position and their hottest (lowest) tier.
+    */
+  def enqueuePrioritized(seeds0: Seq[(String, Long)]): Unit = {
+    if (!store.exists("frontier")) { seedPrioritized(seeds0); return }
+    val dedup = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    seeds0.foreach { case (u, p) =>
+      dedup.update(u, math.min(p, dedup.getOrElse(u, Long.MaxValue)))
+    }
+    val seeds = dedup.toSeq
     val log = store.readOr("frontier_log", emptyLog)
     val batchId = store.batchId + 1
     val seedDf = applyRobots(
-      urls.distinct.zipWithIndex.toDF("url", "i")
+      seeds.zipWithIndex.map { case ((u, p), i) => (u, p, i) }
+        .toDF("url", "pri", "i")
         .withColumn("canon", canon.canonical_url(col("url")))
         .withColumn("host", canon.host_of(col("url")))
         .withColumn("depth", lit(0))
         .withColumn("seq", col("i").cast("long") + lit(seqBase(batchId)))
-        .withColumn("priority", lit(0L))
+        .withColumn("priority", col("pri").cast("long"))
         .withColumn("batch_id", lit(batchId))
-        .drop("i"))
+        .drop("i", "pri"))
       .withColumn("name", profile.cleanName(col("url")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -663,14 +686,25 @@ final class CrawlEngine(
     // driver (to fold into the resident filters); shuffle mode needs
     // just the COUNT — collecting up to millions of boxed tuples per
     // streaming micro-batch for `length` alone is pure driver pressure
-    val pairs: Array[(Int, Long)] =
+    // driver mode: ONE collect carries (shard, hash) for the resident
+    // filters AND the tier for the pending ledger; shuffle mode
+    // collects only the per-tier counts (≤ #tiers rows — never the
+    // canons themselves)
+    val trips: Array[(Int, Long, Int)] =
       if (driverSeenMode)
         fresh
-          .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
+          .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"),
+            tierCol(col("priority")).as("t"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
       else Array.empty
-    val freshCount: Long =
-      if (driverSeenMode) pairs.length.toLong else fresh.count()
+    val pairs: Array[(Int, Long)] = trips.map(p => (p._1, p._2))
+    val tierCounts: Seq[(Int, Long)] =
+      if (driverSeenMode)
+        trips.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }.toSeq
+      else
+        fresh.groupBy(tierCol(col("priority")).as("t")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val freshCount: Long = tierCounts.map(_._2).sum
     if (freshCount == 0L) {
       Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
       probeBc.foreach(_.destroy())
@@ -694,7 +728,7 @@ final class CrawlEngine(
       fresh.select(col("canon"), lit(1).as("kind")))
     if (driverSeenMode) urlSeen.absorb(pairs)
     staged.publish()
-    pendingByTier = tierAdd(pendingByTier, Seq(0 -> freshCount), 1L)
+    pendingByTier = tierAdd(pendingByTier, tierCounts, 1L)
     logRowCount += freshCount
     Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
     probeBc.foreach(_.destroy())

@@ -110,6 +110,56 @@ class SitemapSpec extends SparkSpec {
     assert(got == Seq(("a.test", "https://a.test/s.xml")))
   }
 
+  test("sitemap seeds drive the engine's tiered frontier: hot tiers fetch first") {
+    import graft.engine.CrawlEngine
+    import graft.model.CrawlConfig
+    import graft.sites.{Sites, SyntheticWeb}
+    import graft.state.Store
+
+    val spec = SyntheticWeb.Spec("wikipedia", numPages = 30L, seed = 42L)
+    val pages = SyntheticWeb.pages(spark, spec).toDF()
+    val u = (i: Long) => SyntheticWeb.pageUrl(spec, i)
+    // a real sitemap over three corpus urls: two hot (priority 1.0 →
+    // tier 0), one cold (0.5 → tier 5)
+    val xml =
+      s"""<urlset>
+         |<url><loc>${u(0)}</loc><priority>0.5</priority></url>
+         |<url><loc>${u(1)}</loc><priority>1.0</priority></url>
+         |<url><loc>${u(2)}</loc><priority>1.0</priority></url>
+         |</urlset>""".stripMargin
+    val seeds = Sitemaps.toSeeds(
+      Sitemaps.parseUrlset(Seq(xml).toDF("xml"), col("xml")))
+      .as[(String, Long)].collect().toSeq
+    assert(seeds.map(_._2).sorted == Seq(0L, 0L, 5L))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sm-eng").toString
+    // append-path config (no compaction) so the consumed log records
+    // exactly what the scheduler took
+    val cfg = CrawlConfig(site = "wikipedia", batchSize = 2, numShards = 8,
+      bloomItemsPerShard = 1 << 14, compactLogThreshold = 1L << 40)
+    val eng = new CrawlEngine(spark, new Store(root, spark),
+      Sites.wikipedia, cfg, pages)
+    eng.seedPrioritized(seeds)
+    eng.step()
+    // batch 1 (size 2) must take the two tier-0 urls, not the cold one
+    val consumed = eng.store.read("frontier_log").get
+      .filter(col("kind") === 0).select("canon").as[String].collect().toSet
+    val canonsHot = Seq(u(1), u(2)).toDF("url")
+      .select(graft.functions.canon.canonical_url(col("url")))
+      .as[String].collect().toSet
+    assert(consumed == canonsHot)
+
+    // live enqueue with priorities: dup url keeps its hottest tier
+    eng.enqueuePrioritized(Seq((u(5), 7L), (u(5), 1L), (u(6), 3L)))
+    val canon5 = Seq(u(5)).toDF("url")
+      .select(graft.functions.canon.canonical_url(col("url")))
+      .as[String].head()
+    val row5 = eng.store.read("frontier").get
+      .filter(col("canon") === canon5).select("priority")
+      .as[Long].collect().toSeq
+    assert(row5 == Seq(1L))
+  }
+
   test("CDX parse works unchanged on a STREAMING lines frame") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
