@@ -196,7 +196,7 @@ object Bench {
     // placeholders so the JSON shape is stable.
     val sections = sys.env.get("GRAFT_BENCH_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("throughput", "engine", "queries"))
+      .getOrElse(Set("throughput", "engine", "queries", "sources"))
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.1)
     val nPages = corpusPages(sf)
@@ -347,6 +347,64 @@ object Bench {
     val engineBatchSec1m =
       if (bigBatchSecs.isEmpty) -1.0 else bigBatchSecs(bigBatchSecs.size / 2)
 
+    // ---- source-ingest throughput: WARC decode + CDX parse MB/s, and
+    //      the ranged-vs-full read the index exists to enable ----
+    val sourceStats: Seq[(String, Double)] =
+      if (!sections("sources")) Seq.empty
+      else {
+        val s = session(32)
+        try {
+          import org.apache.spark.sql.functions.{col, sum => sqlSum}
+          // member-gzip archive + write-time CDX index, 128k records /
+          // ~0.5 GB with low-compressibility padded bodies (one-time,
+          // parallel-generated, cached across runs)
+          val dir = "/tmp/graft_bench_warc_32x4000_p6000"
+          if (!new java.io.File(dir, "part-000.warc.gz").exists())
+            graft.sources.Warc.writeSyntheticIndexedArchive(
+              dir, nFiles = 32, perFile = 4000, bodyPad = 6000)
+          val archiveMb = new java.io.File(dir).listFiles()
+            .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum / 1e6
+          def best(rounds: Int)(f: => Unit): Double =
+            (1 to rounds).map { _ =>
+              val t0 = System.nanoTime()
+              f
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          // full decode to the pages projection (gunzip every member,
+          // HTTP split, text extraction, lang id)
+          val warcSec = best(3) {
+            require(graft.sources.Warc.read(s, dir).count() > 0)
+          }
+          val cdxMb = new java.io.File(dir, "cdx").listFiles()
+            .map(_.length()).sum / 1e6
+          val caps = graft.sources.Cdx.readCaptures(s, s"$dir/cdx")
+          val cdxSec = best(3) { require(caps.count() > 0) }
+          // ranged decode of one host's HTTP-200 captures (~1/8 of the
+          // bytes): seek-read only the planned spans. The plan is
+          // materialized OUTSIDE the timed region — it is the index
+          // query's output, not part of the ranged read being measured
+          val plan = graft.sources.Cdx.fetchPlan(caps.filter(
+            col("http_status") === 200 &&
+              col("url").startsWith("https://h3."))).persist()
+          val plannedMb =
+            plan.agg(sqlSum("span_bytes")).head().getLong(0) / 1e6
+          val nSpans = plan.count().toDouble
+          val rangedSec = best(3) {
+            require(graft.sources.Warc.readRecordsRanged(s, dir, plan)
+              .count() > 0)
+          }
+          plan.unpersist()
+          Seq(
+            "warc_archive_mb" -> archiveMb,
+            "warc_parse_mb_s" -> archiveMb / warcSec,
+            "cdx_parse_mb_s" -> cdxMb / cdxSec,
+            "warc_full_sec" -> warcSec,
+            "warc_ranged_sec" -> rangedSec,
+            "warc_ranged_mb" -> plannedMb,
+            "warc_ranged_spans" -> nSpans)
+        } finally s.stop()
+      }
+
     // ---- per-query timings at local[32] on the sf tables ----
     val headline = Seq("q_metrics_agg", "q_fetch_join", "q_edge_dedup",
       "q_politeness_cap", "q_frontier_order", "q_token_count", "q_quality",
@@ -389,7 +447,10 @@ object Bench {
       .map { case (p, sec, e, sr) =>
         f"""{"pending":$p,"sec":$sec%.2f,"edges":$e,"sched_rows":$sr}""" }
       .mkString("[", ",", "]")
+    val srcJson = sourceStats
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     println(
-      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"map_only_efficiency_8_32":$mapEff832%.3f,"scaling_efficiency_8_32_normalized":$effNorm832%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local8":${arr(mapRuns(8).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)},"map_runs_local32":${arr(mapRuns(32).toSeq)}}""")
+      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"map_only_efficiency_8_32":$mapEff832%.3f,"scaling_efficiency_8_32_normalized":$effNorm832%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"sources":$srcJson,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local8":${arr(mapRuns(8).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)},"map_runs_local32":${arr(mapRuns(32).toSeq)}}""")
   }
 }

@@ -113,17 +113,25 @@ object Cdx {
     * (one HTTP range request / one seek instead of per-record reads).
     * Emits (filename, span_start, span_bytes, n_records).
     *
+    * `gapTolerance` > 0 enables READ-THROUGH merging (standard object-
+    * store range practice): spans separated by at most that many bytes
+    * fuse into one request — fewer, larger reads at the price of
+    * fetching the gap bytes; the decoder will then also yield the
+    * gap's records, so selective callers re-apply their filter after
+    * the ranged decode.
+    *
     * The window partitions by filename — bounded by construction: a
     * ~1 GB .warc.gz holds tens of thousands of records, never the
     * corpus; no global sort anywhere.
     */
-  def fetchPlan(captures: DataFrame): DataFrame = {
+  def fetchPlan(captures: DataFrame, gapTolerance: Long = 0L): DataFrame = {
     val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
     captures
       .select(col("filename"), col("offset"), col("length"))
       .withColumn("__prev_end", lag(col("offset") + col("length"), 1).over(w))
       .withColumn("__new", when(col("__prev_end").isNull ||
-        col("__prev_end") =!= col("offset"), 1L).otherwise(0L))
+        col("offset") > col("__prev_end") + lit(gapTolerance), 1L)
+        .otherwise(0L))
       .withColumn("__span", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("filename"), col("__span").as("span_id"))

@@ -75,9 +75,13 @@ object Warc {
   }
 
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](1 << 16)
+    // buffers sized to the member: a ranged read decodes thousands of
+    // KB-scale slices per task — fixed 64 KB buffers would be pure
+    // allocation churn there, while whole-file reads still get 64 KB
+    val bufSize = math.max(512, math.min(bytes.length, 1 << 16))
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), bufSize)
+    val out = new ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 22))
+    val buf = new Array[Byte](bufSize)
     try {
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -203,22 +207,46 @@ object Warc {
   def readRecordsRanged(spark: SparkSession, dir: String,
       plan: DataFrame): Dataset[WarcRecord] = {
     import spark.implicits._
+    // cluster + sort spans by file so a task opens each archive ONCE
+    // and walks its spans in offset order (one handle, forward seeks —
+    // the shape a ranged-GET fetcher batches requests in; thousands of
+    // per-span opens would drown the read in connection setup)
     val spans = plan
       .select(col("filename"), col("span_start"), col("span_bytes"))
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("span_start"))
       .as[(String, Long, Long)]
     spans.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.flatMap { case (fname, start, len) =>
+      var curName: String = null
+      var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+      val records = it.flatMap { case (fname, start, len) =>
         require(len <= Int.MaxValue, s"span too large: $len")
-        val p = new org.apache.hadoop.fs.Path(dir, fname)
-        val fs = p.getFileSystem(conf)
-        val in = fs.open(p)
-        try {
-          val buf = new Array[Byte](len.toInt)
-          in.seek(start)
-          in.readFully(buf)
-          parseWarcBytes(buf)
-        } finally in.close()
+        if (fname != curName) {
+          if (curIn != null) curIn.close()
+          val p = new org.apache.hadoop.fs.Path(dir, fname)
+          // local files: skip the checksum wrapper — a ranged read
+          // issues thousands of seeks and CRC re-sync makes each one
+          // a read-amplified stutter (HDFS/S3A paths are unaffected)
+          val fs = p.getFileSystem(conf) match {
+            case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+            case f => f
+          }
+          curIn = fs.open(p)
+          curName = fname
+        }
+        val buf = new Array[Byte](len.toInt)
+        curIn.seek(start)
+        curIn.readFully(buf)
+        parseWarcBytes(buf)
+      }
+      new Iterator[WarcRecord] { // close the last handle at exhaustion
+        def hasNext: Boolean = {
+          val h = records.hasNext
+          if (!h && curIn != null) { curIn.close(); curIn = null }
+          h
+        }
+        def next(): WarcRecord = records.next()
       }
     }
   }
@@ -337,7 +365,7 @@ object Warc {
           .map(j => s"""<a href="/p${i + 1 + j}">l$j</a>""").mkString(" ")
         ResponseOut(
           url = s"https://h${i % 7}.test/p$i",
-          date = f"2024-01-01T${i / 60}%02d:${i % 60}%02d:00Z",
+          date = f"2024-01-${1 + i / 1440}%02dT${(i / 60) % 24}%02d:${i % 60}%02d:00Z",
           status = if (i % 10 == 9) "404 Not Found" else "200 OK",
           body = s"<html><body><p>doc $i</p>$links</body></html>")
       }
@@ -358,21 +386,40 @@ object Warc {
     * offsets/lengths are real member boundaries measured at write
     * time, the way CC's own indexer records them.
     */
+  /** deterministic low-compressibility filler (hex of a mixed hash —
+    * gzip keeps most of it, so padded archives measure real decode
+    * throughput instead of deflating to nothing)
+    */
+  private def fillerText(i: Long, n: Int): String = {
+    val sb = new StringBuilder(n + 16)
+    var h = graft.sites.SyntheticWeb.mix(0xC0FFEEL, i, 0L)
+    while (sb.length < n) {
+      sb.append(java.lang.Long.toHexString(h))
+      h = graft.sites.SyntheticWeb.mix(h, i, sb.length.toLong)
+    }
+    sb.setLength(n)
+    sb.toString
+  }
+
   def writeSyntheticIndexedArchive(dir: String, nFiles: Int,
-      perFile: Int): Unit = {
+      perFile: Int, bodyPad: Int = 0): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
     val cdxDir = new java.io.File(dir, "cdx")
     cdxDir.mkdirs()
-    for (f <- 0 until nFiles) {
+    // files are independent — write them in parallel (bench-scale
+    // fixtures gzip ~100k members; single-threaded that is minutes)
+    java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
       val records = (f * perFile until (f + 1) * perFile).map { i =>
         val links = (0 until (1 + i % 5))
           .map(j => s"""<a href="/p${i + 1 + j}">l$j</a>""").mkString(" ")
+        val pad =
+          if (bodyPad <= 0) "" else s"<p>${fillerText(i.toLong, bodyPad)}</p>"
         ResponseOut(
           url = s"https://h${i % 7}.test/p$i",
-          date = f"2024-01-01T${i / 60}%02d:${i % 60}%02d:00Z",
+          date = f"2024-01-${1 + i / 1440}%02dT${(i / 60) % 24}%02d:${i % 60}%02d:00Z",
           status = if (i % 10 == 9) "404 Not Found" else "200 OK",
-          body = s"<html><body><p>doc $i</p>$links</body></html>")
+          body = s"<html><body><p>doc $i</p>$links$pad</body></html>")
       }
       val name = f"part-$f%03d.warc.gz"
       val path = java.nio.file.Paths.get(dir, name)

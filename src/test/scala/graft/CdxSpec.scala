@@ -108,6 +108,20 @@ class CdxSpec extends SparkSpec {
       ("f1", 0L, 150L, 2L), ("f1", 200L, 10L, 1L), ("f2", 0L, 20L, 1L)))
   }
 
+  test("fetchPlan read-through: gapTolerance fuses nearby spans, gap bytes included") {
+    val caps = Seq(("f1", 0L, 100L), ("f1", 150L, 50L), ("f1", 1000L, 10L))
+      .toDF("filename", "offset", "length")
+    val strict = Cdx.fetchPlan(caps)
+      .select("span_start", "span_bytes", "n_records")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strict == Set((0L, 100L, 1L), (150L, 50L, 1L), (1000L, 10L, 1L)))
+    val loose = Cdx.fetchPlan(caps, gapTolerance = 64L)
+      .select("span_start", "span_bytes", "n_records")
+      .as[(Long, Long, Long)].collect().toSet
+    // the 50-byte gap fuses (span covers it); the 800-byte gap doesn't
+    assert(loose == Set((0L, 200L, 2L), (1000L, 10L, 1L)))
+  }
+
   test("changeStats + toRecrawlSeeds: digest diffs over capture history") {
     val cdx = Seq(
       // url A: 3 captures — d1, d1 (+10 min), d2 (+30 min): 1 change
