@@ -319,21 +319,42 @@ object Bench {
           s"/dev/shm/graft-bench-engine-${System.nanoTime()}", s)
         val eng = new graft.engine.CrawlEngine(s, store, Sites.web, cfg, pages)
         eng.seed(Seq(SyntheticWeb.pageUrl(spec, 0L)))
-        // (pending, batch sec, cumulative edge-table rows): the last
-        // column is the read-side O(batch) criterion — per-batch wall
-        // time must stay flat while the EDGE table grows 10×+ (the
-        // two-phase bloom + shard-restricted confirm at work; a full
-        // edge scan per batch would show sec growing with edges)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, Long)]
+        // steal probe: a FIXED single-threaded CPU workload (100M LCG
+        // steps, ~0.1-0.3 s unloaded) timed right before each batch.
+        // The hypervisor's bursty per-thread slowdowns hit this probe
+        // and the batch alike, so an inflated batch row carrying an
+        // inflated probe_ms is RECORDED steal, not post-hoc inference —
+        // while a genuine engine stall (e.g. a compaction fold) would
+        // inflate the batch with the probe flat.
+        def cpuProbeMs(): Double = {
+          val t0 = System.nanoTime()
+          var h = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 100000000) {
+            h = h * 6364136223846793005L + 1442695040888963407L
+            i += 1
+          }
+          if (h == 42L) print("")
+          (System.nanoTime() - t0) / 1e6
+        }
+        // (pending, batch sec, cumulative edge-table rows, sched rows,
+        // probe ms): edges is the read-side O(batch) criterion —
+        // per-batch wall time must stay flat while the EDGE table
+        // grows 10×+ (the two-phase bloom + shard-restricted confirm
+        // at work; a full edge scan per batch would show sec growing
+        // with edges)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Long, Long, Double)]
         var cumEdges = 0L
         var go = true
         while (go && out.length < 12) {
+          val probe = cpuProbeMs()
           val t0 = System.nanoTime()
           eng.step() match {
             case Some(r) =>
               cumEdges += r.edgesAdded
               out += ((r.frontierPending, (System.nanoTime() - t0) / 1e9,
-                cumEdges, r.scheduleRowsRead))
+                cumEdges, r.scheduleRowsRead, probe))
               go = r.frontierPending > 0 && r.frontierPending < 3000000L
             case None => go = false
           }
@@ -444,8 +465,8 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val engArr = engineBatches
-      .map { case (p, sec, e, sr) =>
-        f"""{"pending":$p,"sec":$sec%.2f,"edges":$e,"sched_rows":$sr}""" }
+      .map { case (p, sec, e, sr, pr) =>
+        f"""{"pending":$p,"sec":$sec%.2f,"edges":$e,"sched_rows":$sr,"probe_ms":$pr%.1f}""" }
       .mkString("[", ",", "]")
     val srcJson = sourceStats
       .map { case (k, v) => f""""$k":$v%.3f""" }
