@@ -201,12 +201,10 @@ object Cdx {
       case -1 => url
       case i  => url.substring(i + 3)
     }
-    val slash = afterScheme.indexOf('/')
-    val qmark = afterScheme.indexOf('?')
-    val cut = // host ends at the first of '/' or '?' (query-only urls)
-      if (slash < 0) qmark
-      else if (qmark >= 0 && qmark < slash) qmark
-      else slash
+    // host ends at the first of '/', '?', '#' (query- or fragment-only
+    // urls have no path) — a property test caught '#' being missed
+    val cut = Seq(afterScheme.indexOf('/'), afterScheme.indexOf('?'),
+      afterScheme.indexOf('#')).filter(_ >= 0).minOption.getOrElse(-1)
     val hostPort = (if (cut < 0) afterScheme
       else afterScheme.substring(0, cut)).toLowerCase
     val host = hostPort.takeWhile(_ != ':').stripPrefix("www.")
@@ -214,7 +212,7 @@ object Cdx {
       if (cut < 0) "/"
       else {
         val r = afterScheme.substring(cut)
-        if (r.startsWith("?")) "/" + r else r
+        if (r.startsWith("/")) r else "/" + r
       }
     val noFrag = rest.takeWhile(_ != '#') match { case "" => "/"; case p => p }
     host.split('.').reverse.mkString(",") + ")" + noFrag.toLowerCase

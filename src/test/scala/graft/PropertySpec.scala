@@ -211,6 +211,63 @@ class PropertySpec extends SparkSpec {
     }, cases = 12)
   }
 
+  test("prop: surtOf (write-time scala) ≡ surtKey (Column) over generated URLs") {
+    val label = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https")
+      www <- Gen.oneOf(true, false)
+      labels <- Gen.nonEmptyListOf(label).map(_.take(4))
+      hostCase <- Gen.oneOf(identity[String] _, (s: String) => s.toUpperCase)
+      path <- Gen.listOf(label).map(_.take(3))
+      query <- Gen.option(for (k <- label; v <- label) yield s"$k=$v")
+      frag <- Gen.option(label)
+    } yield {
+      val host = (if (www) "www." else "") + hostCase(labels.mkString("."))
+      scheme + "://" + host +
+        (if (path.isEmpty) "" else path.mkString("/", "/", "")) +
+        query.map("?" + _).getOrElse("") +
+        frag.map("#" + _).getOrElse("")
+    }
+    check("surt-parity", Prop.forAll(Gen.listOfN(24, urlGen)) { urls =>
+      val viaColumn = urls.toDF("url")
+        .select(graft.sources.Cdx.surtKey(col("url"))).as[String]
+        .collect().toSeq
+      viaColumn == urls.map(graft.sources.Cdx.surtOf)
+    }, cases = 12)
+  }
+
+  test("prop: fetchPlan spans partition adjacency runs exactly (disjoint, complete, byte-exact)") {
+    // random non-overlapping ranges per file: lengths > 0, random gaps
+    // (gap 0 = adjacent → must fuse)
+    val rangesGen = Gen.nonEmptyListOf(
+      for (gap <- Gen.oneOf(0L, 0L, 7L, 1000L); len <- Gen.choose(1L, 50L))
+        yield (gap, len)).map(_.take(40))
+    check("fetch-plan", Prop.forAll(rangesGen, Gen.choose(1, 3)) { (rl, nf) =>
+      val rows = (0 until nf).flatMap { f =>
+        var off = 0L
+        rl.map { case (gap, len) =>
+          val start = off + gap
+          off = start + len
+          (s"f$f", start, len)
+        }
+      }
+      val got = graft.sources.Cdx.fetchPlan(rows.toDF("filename", "offset", "length"))
+        .select("filename", "span_start", "span_bytes", "n_records")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      // oracle: fold adjacency runs per file in scala
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (fn, rs) =>
+        rs.sortBy(_._2).foldLeft(List.empty[(String, Long, Long, Long)]) {
+          case ((f, st, by, n) :: tail, (_, o, l)) if st + by == o =>
+            (f, st, by + l, n + 1) :: tail
+          case (acc, (_, o, l)) => (fn, o, l, 1L) :: acc
+        }
+      }.toSet
+      got.toSet == expected &&
+        got.map(_._4).sum == rows.size && // every record in exactly one span
+        got.map(_._3).sum >= rows.map(_._3).sum // spans cover all bytes
+    }, cases = 12)
+  }
+
   test("prop: LCG split assignment is total, in-range, and ~deterministic") {
     val ids = Gen.nonEmptyListOf(Gen.choose(0L, 1L << 40))
     check("splits", Prop.forAll(ids) { xs =>
