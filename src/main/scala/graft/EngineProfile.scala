@@ -56,7 +56,8 @@ object EngineProfile {
 
     val pages = s.table(Bench.registerCorpus(s, corpusDir))
     val cfg = graft.model.CrawlConfig(site = "web", batchSize = 20000,
-      numShards = 64, bloomItemsPerShard = 1L << 17, salt = 16)
+      numShards = 64, bloomItemsPerShard = 1L << 17, salt = 16,
+      compactShardsPerBatch = 8)
     val store = new graft.state.Store(
       s"/dev/shm/graft-engineprof-${System.nanoTime()}", s)
     val eng = new graft.engine.CrawlEngine(s, store, Sites.web, cfg, pages)
@@ -72,8 +73,12 @@ object EngineProfile {
       val wall = (System.nanoTime() - t0) / 1e9
       r match {
         case Some(res) =>
+          val segCounts = Seq("frontier", "frontier_log", "nodes", "edges",
+            "seen_shards", "nodes_bloom", "edges_bloom")
+            .map(t => s"$t=${store.segmentDirs(t).size}").mkString(" ")
           println(f"== batch $b: ${wall}%.2fs pending=${res.frontierPending} " +
             f"sel=${res.pagesFetched} edges+=${res.edgesAdded}")
+          println(s"   segs: $segCounts")
           jobs.synchronized {
             jobs.values.toSeq.sortBy(_.id).foreach { j =>
               println(f"  job ${j.id}%3d ${(j.t1 - j.t0) / 1e3}%6.2fs run=${j.runMs / 1e3}%7.1fs " +

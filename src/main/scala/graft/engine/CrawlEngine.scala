@@ -270,12 +270,16 @@ final class CrawlEngine(
   private val blobBytes: Long =
     Bloom.serialize(BloomFilter.create(cfg.bloomItemsPerShard, cfg.bloomFpp)).length.toLong
 
-  /** filters have FIXED size (bits allocated from itemsPerShard/fpp at
-    * creation), so the mode is static for a given config; ×2 because
-    * the driver holds TWO filter families (url seen + edge presence)
+  private val presenceBlobBytes: Long =
+    Bloom.serialize(BloomFilter.create(cfg.bloomItemsPerShard, cfg.presenceFpp)).length.toLong
+
+  /** filters are SIZED from itemsPerShard/fpp at creation (folds can
+    * grow them later, but the mode pick needs only the configured
+    * floor); the driver holds THREE filter families — url seen at
+    * `bloomFpp`, edge + node presence at the denser `presenceFpp`
     */
   private val driverSeenMode: Boolean =
-    2L * cfg.numShards * blobBytes <= cfg.seenDriverStateLimit
+    cfg.numShards * (blobBytes + 2L * presenceBlobBytes) <= cfg.seenDriverStateLimit
 
   /** Driver-resident sharded Bloom set (small-state mode): live
     * filters plus lazily-serialized blobs. Serialization happens only
@@ -404,14 +408,53 @@ final class CrawlEngine(
       case (a, b) => a.orElse(b)
     }
     keys.foreach { k =>
-      val delta = Bloom.buildShardsFromHashes(k,
-        cfg.numShards, cfg.bloomItemsPerShard, cfg.bloomFpp)
-      val merged = Bloom.mergeShards(
-        store.readOr(fam.table, emptySeen), delta,
-        cfg.bloomItemsPerShard, cfg.bloomFpp)
-        .withColumn("__shard", col("shard"))
-      staged.replaceShards(fam.table, merged, 0 until cfg.numShards,
-        dropUnsharded = true)
+      // insertion fold (capacity-agnostic — blobs of any size accept
+      // keys), flagging shards whose load passed their filter's design
+      // capacity: without growth the FP rate decays toward 1 and the
+      // maybe-side exact confirm degenerates into a full scan of an
+      // UNBOUNDEDLY GROWING base table — the one failure mode a fixed
+      // bloomItemsPerShard bakes in at 10^10 edges.
+      val folded = Bloom.foldShardsInto(k,
+        store.readOr(fam.table, emptySeen), cfg.numShards,
+        cfg.bloomItemsPerShard, cfg.presenceFpp)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val overflow = described(s"blob-overflow:$base") {
+        folded.filter(col("overflow")).select("shard", "count").collect()
+      }
+      val merged =
+        if (overflow.isEmpty) folded.drop("overflow")
+        else {
+          // grow: rebuild the overloaded shards from their FULL key
+          // set (shard-restricted base read + this batch's staged
+          // delta) at the next power-of-two capacity seating 2x the
+          // observed load — amortized O(1) rebuilds per key, the same
+          // doubling argument as a hash table. Only these families can
+          // grow (their raw keys live in the base table); the url-seen
+          // family has no retained key set, and saturation there only
+          // widens its exact confirm (bounded by PENDING, not by a
+          // growing table), so it degrades gracefully by construction.
+          val oShards = overflow.map(_.getInt(0)).toSet
+          val maxLoad = overflow.map(_.getLong(1)).max
+          val target = math.max(cfg.bloomItemsPerShard,
+            java.lang.Long.highestOneBit(math.max(1L, 2L * maxLoad - 1L)) * 2L)
+          val inO = Bloom.shardOfHash(col("h"), cfg.numShards)
+            .isin(oShards.toSeq: _*)
+          val baseKeys = store.readShards(base, oShards).map(keyOf)
+          val rebuildKeys = (baseKeys, extraKeys) match {
+            case (Some(a), Some(b)) => Some(a.unionByName(b))
+            case (a, b) => a.orElse(b)
+          }
+          val rebuilt = rebuildKeys.map { rk =>
+            Bloom.buildShardsFromHashes(rk.filter(inO),
+              cfg.numShards, target, cfg.presenceFpp)
+          }.getOrElse(folded.sparkSession.emptyDataFrame)
+          folded.filter(!col("overflow")).drop("overflow")
+            .unionByName(rebuilt)
+        }
+      staged.replaceShards(fam.table,
+        merged.withColumn("__shard", col("shard")),
+        0 until cfg.numShards, dropUnsharded = true)
+      folded.unpersist()
       fam.upto = batchId
     }
   }
@@ -768,6 +811,8 @@ final class CrawlEngine(
     // fold un-covered edge/node segments into the frozen blob families
     stageBlobFold(staged, edgeBlobs, "edges", edgeKeys, None, batchId)
     stageBlobFold(staged, nodeBlobs, "nodes", nameKeys, None, batchId)
+    staged.consolidateSegments("edges", store.consolidationPlan("edges"))
+    staged.consolidateSegments("nodes", store.consolidationPlan("nodes"))
     staged.publish()
     edgeBlobs.invalidate()
     nodeBlobs.invalidate()
@@ -1165,6 +1210,15 @@ final class CrawlEngine(
         Some(edgeKeys(newEdges.select("src", "dst"))), batchId)
       stageBlobFold(staged, nodeBlobs, "nodes", nameKeys,
         Some(nameKeys(newNodes.select("name"))), batchId)
+      // size-tiered segment consolidation rides the fold (the blob
+      // watermarks advance to this batch in the same commit, so the
+      // rewritten rows never reappear in the readNewerThan delta):
+      // without it these append-only tables gain one dir per shard per
+      // batch FOREVER, and every maybe-shard confirm / delta read pays
+      // the growing listing + parquet-footer tax — the measured
+      // per-batch creep at a flat steal probe.
+      staged.consolidateSegments("edges", store.consolidationPlan("edges"))
+      staged.consolidateSegments("nodes", store.consolidationPlan("nodes"))
     }
     // nodes land hash-sharded (like edges) so future exact confirms
     // can read only the shards their maybes hash to

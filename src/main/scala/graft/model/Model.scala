@@ -64,6 +64,16 @@ final case class CrawlConfig(
     numShards: Int = 64, // bloom shards
     bloomItemsPerShard: Long = 1L << 20,
     bloomFpp: Double = 0.01,
+    // FP budget for the PRESENCE families (edges_bloom / nodes_bloom),
+    // priced separately from the url-seen family because their FP
+    // costs differ by orders of magnitude: a url-seen FP widens an
+    // exact confirm bounded by the PENDING frontier, while a presence
+    // FP triggers an exact-confirm scan of the key's whole hash shard
+    // of an UNBOUNDEDLY GROWING base table. At 1e-6 the expected
+    // FP-triggered shard reads per batch stay < 1 even at
+    // 10^6-candidate batches (≈28.8 bits/key vs 9.6 at 1%), so the
+    // confirm's read volume tracks TRUE duplicates, not filter noise.
+    presenceFpp: Double = 1e-6,
     maxBatches: Int = 1000,
     salt: Int = 8, // salting factor for the per-host cap
     // id width for the collision guard: 64 = real xxhash64 ids; tests
@@ -71,8 +81,12 @@ final case class CrawlConfig(
     idHashBits: Int = 64,
     // total-filter-state ceiling for the driver-resident seen mode;
     // above it the engine switches to the shard-shuffle probe +
-    // distributed delta merge
-    seenDriverStateLimit: Long = 256L << 20,
+    // distributed delta merge. Sized so the default config's three
+    // families (url seen at bloomFpp + two presence families at the
+    // denser presenceFpp ≈ 0.7 GiB total) stay broadcastable on the
+    // multi-GiB executors that config models; deployments with small
+    // executors lower it and get the shuffle probe.
+    seenDriverStateLimit: Long = 1L << 30,
     // LSM compaction trigger: fold the frontier/seen log into the
     // sharded base tables once the log holds this many rows.
     // -1 = auto (max(4 × batchSize, pending/4)); a large value keeps

@@ -87,6 +87,58 @@ object Bloom {
   def deserialize(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
+  /** The key count a filter of `bitSize` bits was sized for at `fpp`
+    * (inverse of spark's optimalNumOfBits(n, p) = -n·ln p/(ln 2)²).
+    * Loading a filter past this is how bloom FP rates silently decay
+    * toward 1 — the overflow test for [[foldShardsInto]].
+    */
+  def designCapacity(bitSize: Long, fpp: Double): Long = {
+    val ln2sq = math.log(2) * math.log(2)
+    math.max(1L, (bitSize * ln2sq / -math.log(fpp)).toLong)
+  }
+
+  /** Fold already-hashed keys (column `h`) INTO the existing per-shard
+    * blobs — insertion is capacity-agnostic (works on blobs of ANY
+    * size, unlike OR-merge, which requires bit-compatible filters), so
+    * this is the fold that lets shards GROW: output rows carry an
+    * `overflow` flag (inserted count exceeds the blob's design
+    * capacity at `fpp`) and the caller rebuilds flagged shards from
+    * their base table at a larger capacity.
+    *
+    * Scale shape: keys shuffle once by shard (8 bytes each) and
+    * collapse to one row per shard; each blob moves once; a task holds
+    * one shard's keys + one filter. Shards with no delta keys pass
+    * through without a deserialize/serialize round-trip.
+    */
+  def foldShardsInto(hashes: DataFrame, old: DataFrame, numShards: Int,
+      itemsPerShard: Long, fpp: Double): DataFrame = {
+    val foldUdf = udf { (blob: Array[Byte], cnt: java.lang.Long, hs: Seq[Long]) =>
+      val prev = if (cnt == null) 0L else cnt.longValue()
+      if (hs == null || hs.isEmpty) {
+        // untouched shard: blob passes through byte-identical
+        val f = deserialize(blob)
+        (blob, prev, prev > designCapacity(f.bitSize(), fpp))
+      } else {
+        val f = if (blob == null) BloomFilter.create(itemsPerShard, fpp)
+                else deserialize(blob)
+        hs.foreach(f.putLong)
+        val n = prev + hs.size
+        (serialize(f), n, n > designCapacity(f.bitSize(), fpp))
+      }
+    }
+    val grouped = hashes
+      .select(shardOfHash(col("h"), numShards).as("shard"), col("h"))
+      .repartition(numShards, col("shard"))
+      .groupBy(col("shard"))
+      .agg(collect_list(col("h")).as("hs"))
+    old.select(col("shard"), col("bloom"), col("count"))
+      .join(grouped, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        foldUdf(col("bloom"), col("count"), col("hs")).as("r"))
+      .select(col("shard"), col("r._1").as("bloom"),
+        col("r._2").as("count"), col("r._3").as("overflow"))
+  }
+
   /** shard key column for a canonical-url column */
   def shardOf(canonUrl: Column, numShards: Int): Column =
     pmod(xxhash64(canonUrl), lit(numShards)).cast("int")

@@ -119,6 +119,38 @@ final class Store(val root: String, spark: SparkSession) {
       .filter(_.nonEmpty)
       .map(dirs => spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
 
+  /** Size-tiered segment-consolidation plan for a hash-sharded append
+    * table: groups of ≥ `minRun` published segment dirs sharing BOTH
+    * the leaf partition path (same `__shard=K`, and `__tier=T` when
+    * present) and a geometric size tier (⌊log₄ bytes⌋). Merging only
+    * same-sized runs is the classic size-tiered LSM policy: write
+    * amplification stays O(log n) per row — vs rewriting whole shards
+    * on a rotation, which re-pays the full (growing) table every
+    * cycle — while a shard's segment count stays O(log size) instead
+    * of one-dir-per-batch forever (whose listing + parquet-footer
+    * overhead grows every read).
+    */
+  def consolidationPlan(table: String, minRun: Int = 4): Seq[Seq[String]] = {
+    def dirBytes(rel: String): Long = {
+      val p = Paths.get(root, rel)
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+        finally walk.close()
+      }
+    }
+    def leafKey(rel: String): String = rel.split('/').drop(2).mkString("/")
+    tables.getOrElse(table, Vector.empty)
+      .filter(d => Store.shardOfDir(d).isDefined)
+      .groupBy { d =>
+        val b = dirBytes(d)
+        (leafKey(d), if (b <= 0L) 0 else (math.log(b.toDouble) / math.log(4.0)).toInt)
+      }
+      .values.filter(_.size >= minRun).map(_.toSeq).toSeq
+  }
+
   /** A staged batch: segments are written eagerly as each call runs
     * (so the caller can interleave driver work — e.g. reading
     * `Observation` metrics off a completed write — between them), and
@@ -170,6 +202,48 @@ final class Store(val root: String, spark: SparkSession) {
       }
       val written = Store.leafSegmentDirs(Paths.get(root, rel), rel)
       next = next.updated(table, next.getOrElse(table, Vector.empty) ++ written)
+    }
+
+    /** Fold groups of same-leaf segment dirs (a [[consolidationPlan]])
+      * into ONE new segment per leaf, written in a single Spark job.
+      * Each group's rows are re-read, tagged with their leaf's
+      * partition values, and land under `{table}/b{batch}-{n}/…` — so
+      * [[readNewerThan]] orders the rewritten rows WITH this batch.
+      * Caller contract: consolidate only in a commit whose derived
+      * snapshots (frozen blob watermarks) advance to this batch id,
+      * otherwise previously-covered rows would reappear in the
+      * watermark delta. The dropped dirs stay on disk until the next
+      * [[sweepOrphans]]; a crash before publish leaves the previous
+      * manifest (and every old dir) intact.
+      */
+    def consolidateSegments(table: String, groups: Seq[Seq[String]]): Unit = {
+      if (groups.isEmpty) return
+      val rel = s"$table/b$newBatchId-$appendIdx"
+      appendIdx += 1
+      def leafOf(d: String): String = d.split('/').drop(2).mkString("/")
+      val parts = groups.map { dirs =>
+        require(dirs.nonEmpty, s"consolidateSegments($table): empty group")
+        val leaf = leafOf(dirs.head)
+        require(dirs.forall(leafOf(_) == leaf),
+          s"consolidateSegments($table): mixed leaf paths in $dirs")
+        leaf -> spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      }
+      val dims = parts.head._1.split('/').map(_.split('=')(0)).toSeq
+      require(parts.forall(_._1.split('/').map(_.split('=')(0)).toSeq == dims),
+        s"consolidateSegments($table): mixed partition dims across groups")
+      val all = parts.map { case (leaf, df) =>
+        leaf.split('/').foldLeft(df) { (d, comp) =>
+          val Array(k, v) = comp.split('=')
+          d.withColumn(k, org.apache.spark.sql.functions.lit(v.toInt))
+        }
+      }.reduce(_ unionByName _)
+      described(all, s"consolidate:$table") {
+        all.write.mode("overwrite").partitionBy(dims: _*).parquet(s"$root/$rel")
+      }
+      val written = Store.leafSegmentDirs(Paths.get(root, rel), rel)
+      val dropped = groups.flatten.toSet
+      next = next.updated(table,
+        next.getOrElse(table, Vector.empty).filterNot(dropped) ++ written)
     }
 
     def replace(table: String, df: DataFrame): Unit = {

@@ -69,4 +69,64 @@ class BloomSpec extends SparkSpec {
     assert(df.select("shard").collect().map(_.getInt(0)).toSeq ===
       again.collect().map(_.getInt(0)).toSeq)
   }
+
+  test("foldShardsInto: inserts are capacity-agnostic, untouched shards byte-identical, overflow flagged") {
+    val fpp = 0.01
+    val itemsPerShard = 64L
+    def hashesOf(ks: Seq[Long]) = ks.toDF("h")
+    val initial = hashesOf(1L to 5000L)
+    val old = Bloom.buildShardsFromHashes(initial, numShards, itemsPerShard, fpp)
+      .cache()
+
+    // fold a delta touching ONLY the shards of keys 10_001..10_004
+    val deltaKeys = (10001L to 10004L)
+    val deltaShards = hashesOf(deltaKeys)
+      .select(Bloom.shardOfHash(col("h"), numShards))
+      .collect().map(_.getInt(0)).toSet
+    val folded = Bloom.foldShardsInto(hashesOf(deltaKeys), old, numShards,
+      itemsPerShard, fpp).cache()
+
+    // no false negatives across old ∪ delta, probing the folded blobs
+    // (shard arithmetic mirrors shardOfHash: pmod(h, numShards))
+    def shardOf(h: Long): Int = (((h % numShards) + numShards) % numShards).toInt
+    val all = (1L to 5000L) ++ deltaKeys
+    val blobs = folded.select("shard", "bloom").collect()
+      .map(r => r.getInt(0) -> Bloom.deserialize(r.getAs[Array[Byte]](1))).toMap
+    all.foreach { h =>
+      assert(blobs(shardOf(h)).mightContainLong(h), s"false negative for $h")
+    }
+
+    // untouched shards pass through BYTE-IDENTICAL (no deserialize/
+    // serialize round-trip, no bit churn)
+    val oldBlobs = old.select("shard", "bloom").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val newBlobs = folded.select("shard", "bloom").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    oldBlobs.keys.filterNot(deltaShards.contains).foreach { s =>
+      assert(java.util.Arrays.equals(oldBlobs(s), newBlobs(s)),
+        s"untouched shard $s blob changed")
+    }
+
+    // counts accumulate and overflow flags exactly the shards whose
+    // load passed the design capacity of their CURRENT filter
+    folded.collect().foreach { r =>
+      val cnt = r.getAs[Long]("count")
+      val cap = Bloom.designCapacity(
+        Bloom.deserialize(r.getAs[Array[Byte]]("bloom")).bitSize(), fpp)
+      assert(r.getAs[Boolean]("overflow") === (cnt > cap),
+        s"shard ${r.getAs[Int]("shard")}: count=$cnt cap=$cap")
+    }
+    // 500 keys over 16 shards at 64 items/shard: some shards MUST
+    // overflow — the flag actually fires
+    assert(folded.filter(col("overflow")).count() > 0)
+  }
+
+  test("designCapacity inverts the filter sizing (create(n).bitSize -> ~n)") {
+    for (n <- Seq(100L, 4096L, 1L << 17); fpp <- Seq(0.01, 0.001)) {
+      val f = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      val cap = Bloom.designCapacity(f.bitSize(), fpp)
+      assert(cap >= n * 95 / 100 && cap <= n * 105 / 100,
+        s"designCapacity(${f.bitSize()}, $fpp) = $cap, want ~$n")
+    }
+  }
 }

@@ -510,6 +510,55 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(nameEdges(engB.store) === oracleEdges)
   }
 
+  test("frozen blob families GROW past their configured capacity (fold rebuild), crawl stays oracle-exact") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-grow").toString
+    // capacity 2 keys/shard over 4 shards = 8 keys total, vs hundreds
+    // of edges: without rebuild-on-overflow the blobs saturate (FP→1)
+    // and, worse, STAY saturated forever; every-batch compaction
+    // exercises the fold's overflow path constantly
+    val pages = SyntheticWeb.pages(spark, spec).toDF()
+    val cfg = CrawlConfig(site = "wikipedia", batchSize = 6,
+      numShards = 4, bloomItemsPerShard = 2L, compactLogThreshold = 0L)
+    val eng = new CrawlEngine(spark, new Store(root, spark), profile, cfg, pages)
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    assert(eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+
+    // every published blob now seats its load: count ≤ design capacity
+    // (the invariant a fixed-size merge loses the moment load > cap),
+    // and the grown filters are strictly larger than the configured one
+    val configuredBits = org.apache.spark.util.sketch.BloomFilter
+      .create(cfg.bloomItemsPerShard, cfg.presenceFpp).bitSize()
+    var sawGrowth = false
+    for (fam <- Seq("edges_bloom", "nodes_bloom")) {
+      val rows = eng.store.read(fam).get
+        .select("shard", "bloom", "count").collect()
+      assert(rows.nonEmpty, s"$fam missing")
+      rows.foreach { r =>
+        val f = graft.state.Bloom.deserialize(r.getAs[Array[Byte]]("bloom"))
+        val cnt = r.getAs[Long]("count")
+        val cap = graft.state.Bloom.designCapacity(f.bitSize(), cfg.presenceFpp)
+        assert(cnt <= cap,
+          s"$fam shard ${r.getAs[Int]("shard")}: load $cnt exceeds design cap $cap")
+        if (f.bitSize() > configuredBits) sawGrowth = true
+      }
+    }
+    assert(sawGrowth, "no blob ever grew past the configured capacity")
+
+    // segment consolidation rode the folds: edge/node segment dir
+    // counts stay far below one-dir-per-shard-per-batch
+    val batches = eng.store.batchId + 1
+    for (t <- Seq("edges", "nodes")) {
+      val dirs = eng.store.segmentDirs(t).size
+      assert(dirs < batches * cfg.numShards / 2,
+        s"$t holds $dirs segment dirs after $batches batches — consolidation never fired")
+    }
+  }
+
   test("steady-state batch runs a bounded number of Spark jobs") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val root = Files.createTempDirectory("graft-jobs").toString

@@ -163,4 +163,60 @@ class StoreSpec extends SparkSpec {
     val allDelta = store.readNewerThan("edges", -1L).get.count()
     assert(allDelta === 4L)
   }
+
+  test("size-tiered consolidation folds same-leaf same-tier runs into one segment, rows intact") {
+    val store = freshStore()
+    // 6 append batches of similar-size per-shard segments → every
+    // shard accumulates 6 same-tier dirs (one per batch)
+    val rows = (1L to 300L).map(i => (i, i + 1L))
+    (0L until 6L).foreach { b =>
+      val st = store.stage(b)
+      st.appendSharded("edges",
+        sharded(rows.filter(_._1 % 6 == b), 4))
+      st.publish()
+    }
+    val before = store.segmentDirs("edges")
+    val expected = store.read("edges").get
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val plan = store.consolidationPlan("edges", minRun = 4)
+    assert(plan.nonEmpty, "same-tier runs must be planned")
+    // every planned group shares one leaf path
+    plan.foreach { g =>
+      assert(g.map(_.split('/').drop(2).mkString("/")).distinct.size === 1)
+      assert(g.size >= 4)
+    }
+
+    val st = store.stage(6L)
+    st.consolidateSegments("edges", plan)
+    st.publish()
+
+    val after = store.segmentDirs("edges")
+    assert(after.size < before.size,
+      s"consolidation must shrink the dir count (${before.size} -> ${after.size})")
+    // rewritten rows land under THIS batch's segment id (watermark
+    // ordering: a blob fold advancing to 6 covers them)
+    plan.flatten.foreach(d => assert(!after.contains(d)))
+    after.filterNot(before.contains).foreach { d =>
+      assert(Store.batchOfDir(d) === 6L)
+      assert(Store.shardOfDir(d).isDefined)
+    }
+    val got = store.read("edges").get
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // shard-restricted reads still partition the table
+    val byShard = (0 until 4).map { s =>
+      store.readShards("edges", Set(s))
+        .map(_.select("src", "dst").as[(Long, Long)].collect().toSet)
+        .getOrElse(Set.empty)
+    }
+    assert(byShard.map(_.size).sum === expected.size)
+    // superseded dirs die at the next sweep
+    store.sweepOrphans()
+    plan.flatten.foreach { d =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store.root, d)), s"$d must be swept")
+    }
+    val afterSweep = store.read("edges").get.count()
+    assert(afterSweep === expected.size)
+  }
 }
