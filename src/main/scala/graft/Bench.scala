@@ -438,7 +438,9 @@ object Bench {
       "q_contamination", "q_unigram_ll", "q_repetition",
       "q_pagerank", "q_cc", "q_dedup_clusters",
       "q_bm25", "q_para_dedup", "q_sessions", "q_dup_windows",
-      "q_source_mix", "q_packing")
+      "q_source_mix", "q_packing", "q_drop_dup_spans", "q_main_content",
+      "q_bpe_merges", "q_dedup_incremental", "q_dedup_incr_near",
+      "q_politeness_delay")
     // 3 interleaved passes, best-of per query: single-shot per-query
     // numbers sat right in hypervisor steal windows in round 2 (4-9×
     // inflation on per-row queries whose code hadn't changed) — the

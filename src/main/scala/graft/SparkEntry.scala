@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.CrawlEngine
 import graft.functions.{canon, Extract}
 import graft.model.CrawlConfig
-import graft.ops.{Curation, Dedup, Events, Multimodal, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Curation, Dedup, Events, Multimodal, Search, Similarity, TextOps}
 import graft.sites.{Sites, SyntheticWeb}
 import graft.state.Store
 
@@ -180,6 +180,24 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts"), col("rn"))
     }),
 
+    // A4 variable: per-host budgets from robots Crawl-delay — the
+    // exact salted cap with a per-host budget join, DuckDB-verified
+    // (budgets are arithmetic in user_id so the oracle recomputes
+    // them; the windowSec/delay clamp runs through budgetsFromDelays)
+    "q_politeness_delay" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("host"), col("event_id").as("url"),
+          col("ts"), col("event_id"))
+      val delays = ev.select(col("host")).distinct()
+        .withColumn("crawl_delay", lit(1.0) + pmod(col("host"), lit(4)))
+      val budgets = graft.engine.Politeness
+        .budgetsFromDelays(delays, windowSec = 6.0, maxBudget = 3)
+      graft.engine.Politeness
+        .capPerHostBudgets(ev, budgets, defaultBudget = 3, salt = 4,
+          ordering = Seq(col("ts").asc, col("event_id").asc))
+        .select(col("host").as("user_id"), col("event_id"), col("ts"))
+    }),
+
     // J3/S5: only-new-edges anti-join dedup (db/db_test.go:259-287)
     "q_edge_dedup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -343,6 +361,41 @@ object SparkEntry {
     "q_dup_windows" -> ((s, dir) =>
       Dedup.duplicatedWindowStats(t(s, dir, "documents"), n = 5)),
 
+    // the removal side of exact-substring dedup: keep-first window
+    // semantics, hash-verified — DuckDB recomputes keeper/removal
+    // over gram STRINGS while Spark works over ShingleHash64 longs,
+    // so the packed-key keeper pick, span merge, and token rebuild
+    // are all pinned by a foreign implementation
+    "q_drop_dup_spans" -> ((s, dir) =>
+      Dedup.dropDuplicatedSpans(t(s, dir, "documents"), n = 5)),
+
+    // boilerplate removal over REAL HTML, foreign-verified like the
+    // WARC/media queries: the pages carry nav/footer link bars and a
+    // short block around content paragraphs whose text is arithmetic
+    // in the id, so DuckDB recomputes the expected extraction from
+    // range() while Spark runs the actual DOM parse + jusText-style
+    // paragraph classifier — a mis-parse, wrong block boundary, or
+    // density misclassification breaks the hash
+    "q_main_content" -> ((s, _) => {
+      def para(j: Int) = concat(
+        lit("<p>the quick brown fox of document "),
+        col("id").cast("string"),
+        lit(s" jumps over the lazy dog in section $j and the words" +
+          " keep it prose</p>"))
+      val pages = s.range(200).select(col("id").as("doc_id"),
+        concat(
+          lit("<html><head><title>t</title></head><body>" +
+            "<nav><a href='/'>home</a> <a href='/about'>about us</a> " +
+            "<a href='/contact'>contact page</a></nav>"),
+          para(0),
+          when(pmod(col("id"), lit(3)) >= 1, para(1)).otherwise(lit("")),
+          when(pmod(col("id"), lit(3)) >= 2, para(2)).otherwise(lit("")),
+          lit("<div>tiny</div><footer><a href='/terms'>terms</a> " +
+            "<a href='/privacy'>privacy</a></footer></body></html>"))
+          .as("html"))
+      graft.ops.Boilerplate.mainContent(pages)
+    }),
+
     // temperature rebalance over the naturally-skewed lang column
     "q_source_mix" -> ((s, dir) =>
       Curation.mixSources(t(s, dir, "documents"), group = col("lang"),
@@ -440,6 +493,39 @@ object SparkEntry {
         graft.sources.Cdx.writeSyntheticIndex(dir, nFiles = 4, perFile = 50)
       val caps = graft.sources.Cdx.readCaptures(s, dir)
       graft.sources.Cdx.fetchPlan(caps.filter(col("http_status") === 200))
+    }),
+
+    // incremental (cross-snapshot) dedup: the odd-doc_id half of the
+    // corpus plays the "new dump", the even half the accumulated
+    // corpus. Exact pass is hash-verified (plain SQL anti-join on
+    // text); the near pass is LSH → rows-only (OpsSpec pins the
+    // cross-pair semantics and the keep-pass)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dropExactDupsAgainst(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          d.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("doc_id"))
+    }),
+    "q_dedup_incr_near" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashNearDupsAgainst(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+    }),
+
+    // BPE tokenizer training + encoding: iterative argmax over the
+    // word-type table — not ANSI-SQL-expressible (rows-only here;
+    // BpeSpec pins merge-for-merge parity with an independent serial
+    // implementation of Sennrich's algorithm)
+    "q_bpe_merges" -> ((s, dir) =>
+      Bpe.trainMergesDF(t(s, dir, "documents"), nMerges = 30)),
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Bpe.encode(d, Bpe.trainMerges(d, nMerges = 20))
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens"))
     }),
 
     // LSH/minhash/simhash: not ANSI-SQL-expressible — rows-only here,
@@ -736,6 +822,17 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
         "FROM events) WHERE rn <= 3"),
 
+    "q_politeness_delay" ->
+      ("""WITH b AS (SELECT user_id,
+        |   greatest(1, least(3, CAST(floor(6.0 / (1.0 + user_id % 4)) AS INT))) AS budget
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        | r AS (SELECT user_id, event_id, ts,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT r.user_id, r.event_id, r.ts
+        |FROM r JOIN b USING (user_id) WHERE rn <= budget"""
+        .stripMargin),
+
     "q_edge_dedup" ->
       ("SELECT DISTINCT c.l_orderkey AS src, c.l_partkey AS dst FROM lineitem c " +
         "WHERE NOT EXISTS (SELECT 1 FROM lineitem e WHERE e.l_linenumber = 1 " +
@@ -775,6 +872,10 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+
+    "q_dedup_incremental" ->
+      ("SELECT doc_id FROM documents n WHERE doc_id % 2 = 1 AND NOT EXISTS " +
+        "(SELECT 1 FROM documents o WHERE o.doc_id % 2 = 0 AND o.text = n.text)"),
 
     "q_token_count" ->
       ("SELECT doc_id, len(string_split_regex(text, '\\s+')) AS ws_tokens, " +
@@ -976,6 +1077,43 @@ object SparkEntry {
         |       FROM g JOIN c USING (gram) GROUP BY doc_id)
         |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows, CAST(dup AS BIGINT) AS dup_windows,
         |  round(CAST(dup AS DOUBLE) / nw, 4) AS dup_frac FROM s"""
+        .stripMargin),
+
+    "q_drop_dup_spans" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | g AS (SELECT doc_id, i.i - 1 AS pos, array_to_string(t[i.i:i.i+4], ' ') AS gram
+        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 4),
+        | c AS (SELECT gram, count(*) AS cnt, min(doc_id * 1048576 + pos) AS keeper
+        |       FROM g GROUP BY gram),
+        | r AS (SELECT doc_id, pos FROM g JOIN c USING (gram)
+        |       WHERE cnt >= 2 AND doc_id * 1048576 + pos <> keeper),
+        | tk AS (SELECT doc_id, i.i - 1 AS ti, t[i.i] AS tok
+        |        FROM toks, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t)),
+        | kept AS (SELECT tk.doc_id, tk.ti, any_value(tk.tok) AS tok,
+        |          count(r.pos) > 0 AS rm
+        |          FROM tk LEFT JOIN r ON r.doc_id = tk.doc_id
+        |            AND r.pos <= tk.ti AND tk.ti < r.pos + 5
+        |          GROUP BY tk.doc_id, tk.ti)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY ti), '') AS text,
+        |  CAST(coalesce(sum(CASE WHEN rm THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+        |FROM kept GROUP BY doc_id"""
+        .stripMargin),
+
+    "q_main_content" ->
+      ("""WITH p AS (SELECT i.i AS doc_id,
+        |  'the quick brown fox of document ' || i.i ||
+        |  ' jumps over the lazy dog in section ' AS stem
+        | FROM range(0, 200) i(i))
+        |SELECT doc_id,
+        |  stem || '0 and the words keep it prose' ||
+        |  CASE WHEN doc_id % 3 >= 1
+        |    THEN chr(10) || stem || '1 and the words keep it prose' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 >= 2
+        |    THEN chr(10) || stem || '2 and the words keep it prose' ELSE '' END AS main_text,
+        |  CAST(doc_id % 3 + 4 AS INT) AS n_blocks,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_content_blocks
+        |FROM p"""
         .stripMargin),
 
     "q_source_mix" ->

@@ -116,7 +116,11 @@ final class CrawlEngine(
     cfg: CrawlConfig,
     pages: DataFrame,
     allowList: Option[DataFrame] = None,
-    robots: Option[DataFrame] = None) {
+    robots: Option[DataFrame] = None,
+    // per-host politeness budgets (host, budget) — e.g. derived from
+    // robots Crawl-delay via Politeness.budgetsFromDelays; hosts not
+    // listed fall back to cfg.hostBudget
+    hostBudgets: Option[DataFrame] = None) {
 
   import spark.implicits._
 
@@ -778,10 +782,15 @@ final class CrawlEngine(
   }
 
   /** A4: per-host politeness cap, salt-first to defuse hot-host skew
-    * (north_rule).
+    * (north_rule). With `hostBudgets` (robots Crawl-delay) the cap is
+    * per-host-variable; unlisted hosts keep cfg.hostBudget.
     */
-  private def politenessCap(frontier: DataFrame): DataFrame =
-    Politeness.capPerHost(frontier, cfg.hostBudget, cfg.salt, ordering)
+  private def politenessCap(frontier: DataFrame): DataFrame = hostBudgets match {
+    case Some(b) =>
+      Politeness.capPerHostBudgets(frontier, b, cfg.hostBudget, cfg.salt, ordering)
+    case None =>
+      Politeness.capPerHost(frontier, cfg.hostBudget, cfg.salt, ordering)
+  }
 
   /** Compact-only commit (no selection): fold the residual log into
     * the sharded bases and truncate it. Runs when the crawl drains.

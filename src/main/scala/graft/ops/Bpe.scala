@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and encoding (Sennrich et
+  * al. 2016, public) — the step that turns a curated corpus into the
+  * merge table every LLM tokenizer ships with.
+  *
+  * Scale shape: training never iterates over the corpus. One corpus
+  * pass folds documents into the distinct WORD-TYPE table (Heap's law
+  * puts that at ~10^7-10^8 rows for a 100 TB corpus — executor-sized,
+  * not corpus-sized), and every merge iteration is one map-side-
+  * combinable pair count over word types + a TakeOrdered(1) argmax.
+  * The driver holds exactly one row per iteration (the chosen pair —
+  * which IS a driver decision in BPE, the algorithm is sequential in
+  * the merge rank), and the evolving symbol table is localCheckpointed
+  * every few rounds so the plan doesn't deepen with the merge count.
+  * The per-row merge application is a single Column fold (codegen'd,
+  * no UDF in the distributed hot path).
+  */
+object Bpe {
+
+  /** end-of-word marker (Sennrich's `</w>`) — makes merges word-
+    * boundary-aware so "est" inside and at the end of words stay
+    * distinct tokens
+    */
+  val Eow = "</w>"
+
+  /** distinct word types with multiplicities — the unit all training
+    * passes work over
+    */
+  def wordCounts(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.select(explode(TextOps.wsTokens(text)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** chars + end-of-word marker */
+  private def initSyms(word: Column): Column =
+    concat(split(word, ""), array(lit(Eow)))
+
+  /** per-row adjacent symbol pairs as structs; fully-merged words
+    * (one symbol) yield an empty array — the guard is explicit
+    * because sequence(1, 0) is a DESCENDING sequence in Spark, not
+    * empty (same gotcha as TextOps.shingles)
+    */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1), i =>
+        struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+
+  /** left-to-right non-overlapping replacement of (a,b) with a+b —
+    * the textbook merge step, as one codegen'd array fold
+    */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** one learned merge */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, pairCount: Long)
+
+  /** Train `nMerges` BPE merges over the corpus. Stops early when no
+    * pair occurs at least `minCount` times. Ties break
+    * deterministically by (count desc, left asc, right asc).
+    */
+  def trainMerges(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
+      text: Column = col("text")): Seq[Merge] = {
+    var words = wordCounts(docs, text)
+      .select(initSyms(col("word")).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val best = words
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("cnt"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("a").asc, col("b").asc)
+        .limit(1) // TakeOrderedAndProject — no global sort
+        .collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) exhausted = true
+      else {
+        val (a, b, n) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        out += Merge(rank, a, b, a + b, n)
+        words = words
+          .select(applyMerge(col("syms"), a, b).as("syms"), col("cnt"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** the merge table as a DataFrame (rank, left, right, merged, pair_count) */
+  def trainMergesDF(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
+      text: Column = col("text")): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, nMerges, minCount, text)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Greedy BPE encode of one word given merge ranks — always merges
+    * the LOWEST-rank adjacent pair first (the GPT-2 encoder loop).
+    * Genuinely imperative per-word work, so this is the one place the
+    * op family uses a Scala UDF; the ranks ride a broadcast.
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.map(_.toString).toVector :+ Eow
+    var done = false
+    while (syms.length > 1 && !done) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+        syms.drop(bestAt + 2)
+    }
+    syms
+  }
+
+  /** Tokenize the corpus with a learned merge list:
+    * (doc_id, tokens ARRAY<STRING>, n_tokens). Per-row, shuffle-free —
+    * the merge table broadcasts as a plain Scala map inside the UDF
+    * closure (it is tokenizer-sized: 10⁴-10⁵ rows, never data-sized).
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge],
+      text: Column = col("text")): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val enc = udf((t: String) =>
+      if (t == null) Seq.empty[String]
+      else t.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => encodeWord(w, ranks)))
+    docs.select(col("doc_id"), enc(text).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+}

@@ -113,23 +113,29 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
-  /** (band, bucket, ids): the raw LSH buckets behind lshCandidates. */
-  private def lshBuckets(docs: DataFrame, k: Int, bands: Int,
-      shingleN: Int): DataFrame = {
+  /** (doc_id, band, bucket) LSH band keys — the per-snapshot signature
+    * state incremental dedup persists and joins against (8+4+8 bytes
+    * per doc per band; a reusable artifact, recomputed never).
+    */
+  def lshBandKeys(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
-    val sigs = docs
+    docs
       .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("sh"))
       .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
-        .as(Seq("band", "bucket")))
-    banded
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** (band, bucket, ids): the raw LSH buckets behind lshCandidates. */
+  private def lshBuckets(docs: DataFrame, k: Int, bands: Int,
+      shingleN: Int): DataFrame =
+    lshBandKeys(docs, k, bands, shingleN)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
-  }
 
   /** The cap's blast radius, surfaced: one row
     * (n_buckets, n_capped_buckets, n_docs_in_capped, max_bucket) for
@@ -323,6 +329,87 @@ object Dedup {
         .filter(col("is_canonical")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  // ---- incremental (cross-snapshot) dedup -------------------------
+  // A rolling crawl never re-dedups the accumulated corpus: each new
+  // dump is checked AGAINST it. These variants compare new × corpus
+  // only — never corpus × corpus — so a dump's dedup cost tracks the
+  // dump, and the corpus side is a reusable 8-byte-key artifact
+  // (content digests / lshBandKeys) that a deployment persists once
+  // per snapshot.
+
+  /** Exact incremental dedup: new docs whose content digest already
+    * exists in the corpus are dropped. One anti-join on 8-byte
+    * digests; document text never shuffles.
+    */
+  def dropExactDupsAgainst(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs.join(
+      corpus.select(xxhash64(col("text")).as("__k")).distinct(),
+      xxhash64(newDocs("text")) === col("__k"), "left_anti")
+
+  /** Near-dup pairs BETWEEN a new snapshot and the existing corpus:
+    * (new_id, corpus_id, jaccard ≥ threshold). Candidates come from
+    * joining the two sides' LSH band keys on (band, bucket) — the
+    * corpus side pre-grouped per bucket and capped at `maxBucket`
+    * (the cross twin of lshCandidates' cap; [[lshBucketStats]] over
+    * the corpus surfaces what a cap drops) — then verified with the
+    * same inverted-index exact-Jaccard restricted to candidate docs.
+    * Shuffles move 8-byte keys throughout.
+    */
+  def minhashNearDupsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val corpusBuckets = lshBandKeys(corpus, k, bands, shingleN)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val cands = lshBandKeys(newDocs, k, bands, shingleN)
+      .join(corpusBuckets, Seq("band", "bucket"))
+      .select(col("doc_id").as("new_id"), explode(col("ids")).as("corpus_id"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def gramsOf(docs: DataFrame, idName: String, side: DataFrame) =
+      docs.join(side.select(col(idName).as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(shingleHashes(col("text"), shingleN)))
+            .as("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val gramsNew = gramsOf(newDocs, "new_id", cands)
+    val gramsCorp = gramsOf(corpus, "corpus_id", cands)
+    val sizesNew = gramsNew.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val sizesCorp = gramsCorp.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val inter = cands
+      .join(gramsNew.withColumnRenamed("doc_id", "new_id"), Seq("new_id"))
+      .join(gramsCorp.select(col("doc_id").as("corpus_id"), col("gram")),
+        Seq("corpus_id", "gram"), "left_semi")
+      .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("c"))
+    val pairs = inter
+      .join(sizesNew.select(col("doc_id").as("new_id"), col("na")), "new_id")
+      .join(sizesCorp.select(col("doc_id").as("corpus_id"), col("nb")), "corpus_id")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    finalized(pairs, Seq(cands, gramsNew, gramsCorp))
+  }
+
+  /** The incremental keep-pass: the new snapshot minus exact corpus
+    * dups minus near-dups of corpus docs. Within-snapshot duplicates
+    * are NOT touched — run [[dropNearDups]] on the (much smaller) new
+    * snapshot for that, or fold the survivors into the corpus and let
+    * the next dump see them.
+    */
+  def dropDupsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
+    val nearIds = minhashNearDupsAgainst(newDocs, corpus, k, bands,
+        shingleN, threshold, maxBucket)
+      .select(col("new_id").as("doc_id")).distinct()
+    dropExactDupsAgainst(newDocs, corpus)
+      .join(nearIds, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints joined on 16-bit
     * chunks (any doc pair within Hamming distance 3 shares at least
     * one of 4 chunks — pigeonhole), verified by exact Hamming ≤ maxDist.
@@ -441,5 +528,82 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("dup_windows"),
         round(col("dup_windows").cast("double") / col("n_windows"), 4)
           .as("dup_frac"))
+  }
+
+  /** The REMOVAL side of exact-substring dedup (Lee et al. 2021's
+    * dedup step, token-window approximation): every n-token window
+    * that occurs at least twice anywhere in the corpus keeps exactly
+    * its FIRST occurrence (minimal (doc_id, pos)); the tokens covered
+    * by every other occurrence are cut from their documents.
+    * Overlapping duplicated windows merge into one removed span, so a
+    * long repeated passage disappears as a block rather than
+    * window-by-window. Returns every input document as
+    * (doc_id, text, n_removed) with the kept tokens re-joined by a
+    * single space (whitespace is normalized as a consequence of
+    * tokenization — same contract as [[Curation.dropDupParagraphs]]'s
+    * delimiter rebuild).
+    *
+    * Scale shape (mirrors [[duplicatedWindowStats]]): windows reduce
+    * per-row to 64-bit ShingleHash64 values, so the corpus-wide pass
+    * shuffles (hash → packed(doc,pos)) pairs with map-side combine on
+    * the 8-byte hash; the keeper decision is one min() per hash; only
+    * the REMOVABLE instances (output ∝ duplication, not corpus size)
+    * flow back, collapse to per-doc sorted span lists, and meet the
+    * text in a single doc_id join — document text moves exactly once,
+    * and not at all under a doc_id-bucketed layout. The per-row
+    * rebuild merges spans with one fold and filters tokens against
+    * the merged (disjoint, ≤ dup-windows-per-doc) span list. Like the
+    * stats op this trusts 64-bit hashes in place of string compares;
+    * a cross-window collision (~n²/2⁶⁵) is the accepted error.
+    *
+    * The packed (doc_id, pos) key reuses dropDupParagraphs' 43+20-bit
+    * domain and raises in-plan on overflow rather than corrupting the
+    * keep-first decision.
+    */
+  def dropDuplicatedSpans(docs: DataFrame, n: Int = 8,
+      text: Column = col("text")): DataFrame = {
+    val posLimit = 1L << 20
+    val inst = docs.select(col("doc_id"),
+      posexplode(shingleHashes(text, n)).as(Seq("pos", "h")))
+    val enc = when(col("pos") >= posLimit || col("doc_id") >= (1L << 43),
+        raise_error(lit("dropDuplicatedSpans: doc_id/pos outside the " +
+          "43+20-bit packed-key domain")))
+      .otherwise(col("doc_id") * posLimit + col("pos"))
+    val keyed = inst.select(col("h"), enc.as("enc"))
+    val perHash = keyed.groupBy(col("h"))
+      .agg(min(col("enc")).as("keeper"), count(lit(1)).as("cnt"))
+    // removable instances only — everything past this line is ∝ the
+    // corpus's duplication, not its size
+    val removable = keyed.join(perHash, "h")
+      .filter(col("cnt") >= 2 && col("enc") =!= col("keeper"))
+      .select(shiftright(col("enc"), 20).as("doc_id"),
+        col("enc").bitwiseAND(lit(posLimit - 1)).cast("int").as("pos"))
+    val spansOf = removable.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      // merge sorted window starts into disjoint [start, end) spans
+      .select(col("doc_id"),
+        aggregate(col("ps"),
+          array().cast("array<struct<s:int,e:int>>"),
+          (acc, p) => when(size(acc) > 0 &&
+              element_at(acc, -1).getField("e") >= p,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(struct(element_at(acc, -1).getField("s").as("s"),
+                  (p + n).as("e")))))
+            .otherwise(concat(acc,
+              array(struct(p.as("s"), (p + n).as("e"))))))
+          .as("spans"))
+    val toks = TextOps.wsTokens(text)
+    docs.join(spansOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, array_join(toks, " "))
+          .otherwise(array_join(
+            filter(toks, (_, i) =>
+              !exists(col("spans"),
+                s => s.getField("s") <= i && i < s.getField("e"))),
+            " ")).as("text"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise(aggregate(col("spans"), lit(0L),
+            (acc, s) => acc + (s.getField("e") - s.getField("s"))
+              .cast("long"))).as("n_removed"))
   }
 }

@@ -75,6 +75,46 @@ object Robots {
         explode(parseUdf(decode(col("html"), "UTF-8"))).as("disallow"))
   }
 
+  /** Crawl-delay (seconds) under `User-agent: *` — the de-facto
+    * extension honored by Bing/Yandex crawlers. First valid value
+    * wins; non-positive / non-numeric values are ignored.
+    */
+  def parseCrawlDelay(content: String): Option[Double] = {
+    if (content == null) return None
+    var inStar = false
+    var out: Option[Double] = None
+    content.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" => inStar = value == "*"
+          case "crawl-delay" if inStar && out.isEmpty =>
+            out = scala.util.Try(value.toDouble).toOption
+              .filter(d => d > 0 && !d.isInfinite && !d.isNaN)
+          case _ => ()
+        }
+      }
+    }
+    out
+  }
+
+  private val parseDelayUdf = udf(parseCrawlDelay _)
+
+  /** (host, crawl_delay) from the robots.txt pages in the corpus —
+    * the politeness-budget companion of [[rulesFromPages]]
+    */
+  def delaysFromPages(pages: DataFrame): DataFrame = {
+    import graft.functions.canon
+    pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(canon.host_of(col("url")).as("host"),
+        parseDelayUdf(decode(col("html"), "UTF-8")).as("crawl_delay"))
+      .filter(col("crawl_delay").isNotNull)
+  }
+
   /** url path component ("" when absent), for prefix matching */
   def pathOf(url: Column): Column =
     regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")

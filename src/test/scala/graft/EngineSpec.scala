@@ -768,4 +768,30 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     // crawl still completes: all reachable pages eventually fetched
     assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
   }
+
+  test("robots Crawl-delay budgets tighten the cap per host (A4 variable)") {
+    import spark.implicits._
+    val webSpec = SyntheticWeb.Spec("web", numPages = 40L, seed = 7L, numHosts = 4)
+    val pages = SyntheticWeb.pages(spark, webSpec).toDF()
+    // h0 asks for a 5s delay over a 10s batch window → budget 2;
+    // everyone else keeps the config default 3
+    val delays = Seq(("h0.web.test", 5.0)).toDF("host", "crawl_delay")
+    val budgets = graft.engine.Politeness
+      .budgetsFromDelays(delays, windowSec = 10.0, maxBudget = 100)
+    assert(budgets.as[(String, Int)].collect().toSeq == Seq(("h0.web.test", 2)))
+    val root = Files.createTempDirectory("graft-delay").toString
+    val cfg = testCfg(
+      CrawlConfig(site = "web", batchSize = 1000, hostBudget = 3, salt = 4))
+    val eng = new CrawlEngine(spark, new Store(root, spark), Sites.web, cfg,
+      pages, hostBudgets = Some(budgets))
+    eng.seed(Seq(SyntheticWeb.pageUrl(webSpec, 0L)))
+    var r = eng.step()
+    while (r.isDefined) {
+      // ≤ 2 for h0, ≤ 3 for the other three hosts
+      assert(r.get.pagesFetched <= 2L + 3L * (webSpec.numHosts - 1))
+      r = eng.step()
+    }
+    // tighter budget slows, never starves: the crawl still drains
+    assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
+  }
 }

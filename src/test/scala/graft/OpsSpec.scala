@@ -67,6 +67,42 @@ class OpsSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("incremental dedup: new snapshot vs corpus, never corpus × corpus") {
+    // corpus = base docs 0-39; new dump = exact copies (200-202),
+    // near-dup mutants (100-109), and genuinely novel docs
+    val corpus = docs.filter(col("doc_id") < 40)
+    val novel = Seq(
+      (400L, "completely fresh content about rivers and mountains nowhere else"),
+      (401L, "another unseen document with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    val newDump = docs.filter(col("doc_id") >= 100).union(novel)
+
+    // exact pass: only the 3 byte-identical copies drop
+    val afterExact = Dedup.dropExactDupsAgainst(newDump, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterExact == (100L to 109L).toSet + 400L + 401L)
+
+    // cross near-dup pairs ⊆ the union run's pairs, restricted to
+    // (new, corpus) — and every pair really crosses the snapshot line
+    val cross = Dedup.minhashNearDupsAgainst(newDump, corpus,
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(cross.forall { case (n, c) => n >= 100 && c < 40 })
+    val unionPairs = Dedup.minhashNearDups(corpus.union(newDump),
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cross.forall { case (n, c) => unionPairs.contains((c, n)) })
+    // the mutants pair with their corpus originals (j ≈ 0.8 ≥ 0.5)
+    for (i <- 0L until 10L)
+      assert(cross.contains((100L + i, i)), s"mutant ${100 + i}")
+
+    // keep-pass: exact copies and mutants go, novel docs stay
+    val kept = Dedup.dropDupsAgainst(newDump, corpus,
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(400L, 401L))
+  }
+
   test("ShingleHash64 expression ≡ the Column-algebra shingle hash") {
     // the custom expression must be value-identical to the declarative
     // form it replaces (split \s+ / space joins / xxhash64 seed 42),
@@ -763,6 +799,60 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) === ((1L, 2L, 1L, 0.5)))
     assert(got(2L) === ((2L, 2L, 2L, 1.0)))
     assert(!got.contains(3L) && got.size == 3)
+  }
+
+  test("dropDuplicatedSpans: keep-first window removal vs hand oracle") {
+    val docs = Seq(
+      (0L, "a b c d"),  // owns the first "a b" → untouched
+      (1L, "x a b y"),  // loses its "a b" instance → "x y"
+      (2L, "z z z z"),  // in-doc repeats: keeper (2,0), spans merge
+      (3L, "q"),        // no window → passes through
+      (4L, "a b c d")   // exact copy of doc 0 → fully removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicatedSpans(docs, n = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, "a b c d", 0L)))
+    assert(got(1L) === ((1L, "x y", 2L)))
+    // windows (2,1) and (2,2) removable → merged span [1,4)
+    assert(got(2L) === ((2L, "z", 3L)))
+    assert(got(3L) === ((3L, "q", 0L)))
+    assert(got(4L) === ((4L, "", 4L)))
+    assert(got.size == 5)
+  }
+
+  test("Boilerplate.paragraphs: block segmentation + density features") {
+    val html = "<html><head><title>skip me</title>" +
+      "<script>var x = 'skip';</script></head><body>" +
+      "<nav><a href='/'>home</a> <a href='/a'>about us</a></nav>" +
+      "<p>the quick brown fox of it and the dog in the field</p>" +
+      "<div>see <a href='/x'>this link</a> here</div>" +
+      "<footer>tiny</footer></body></html>"
+    val ps = graft.ops.Boilerplate.paragraphs(html)
+    assert(ps.map(_.text) == Seq("home about us",
+      "the quick brown fox of it and the dog in the field",
+      "see this link here", "tiny"))
+    val nav = ps(0)
+    assert(nav.linkDensity == 1.0) // every non-ws char is inside <a>
+    val prose = ps(1)
+    assert(prose.linkDensity == 0.0 && prose.words == 12)
+    assert(prose.stopWords == 7) // the×3, of, it, and, in
+    val mixed = ps(2)
+    // "thislink" linked (8 chars) of "seethislinkhere" (15)
+    assert(math.abs(mixed.linkDensity - 8.0 / 15.0) < 1e-9)
+  }
+
+  test("Boilerplate.mainContent keeps prose, drops nav/footer/link farms") {
+    val page = "<body><nav><a>home</a> <a>about</a> <a>contact</a></nav>" +
+      "<p>the quick brown fox of document one jumps over the lazy dog in " +
+      "section a and the words keep it prose</p>" +
+      "<div>tiny</div>" +
+      "<footer><a>terms</a> <a>privacy</a></footer></body>"
+    val df = Seq((1L, page)).toDF("doc_id", "html")
+    val got = graft.ops.Boilerplate.mainContent(df)
+      .as[(Long, String, Int, Int)].collect().head
+    assert(got._2.startsWith("the quick brown fox") && !got._2.contains("home")
+      && !got._2.contains("tiny") && !got._2.contains("terms"))
+    assert(got._3 == 4 && got._4 == 1) // 4 paragraphs, 1 content
   }
 
   test("RepetitionStats kernel ≡ the sort+run-fold Column formulation") {

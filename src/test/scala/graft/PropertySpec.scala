@@ -211,6 +211,33 @@ class PropertySpec extends SparkSpec {
     }, cases = 12)
   }
 
+  test("prop: variable-budget politeness cap = exact driver top-budget_h per host") {
+    val hostRows = Gen.nonEmptyListOf(for {
+      h <- Gen.oneOf("hot", "hot", "hot", "warm", "cold") // skewed
+      p <- Gen.choose(0L, 5L)
+    } yield (h, p))
+    // hot gets its own budget from the table; warm/cold fall back
+    check("politeness-budgets",
+      Prop.forAll(hostRows, Gen.choose(1, 3), Gen.choose(1, 4), Gen.choose(1, 5)) {
+        (rows, hotBudget, defBudget, salt) =>
+          val df = rows.zipWithIndex
+            .map { case ((h, p), i) => (h, s"u$i", p, i.toLong) }
+            .toDF("host", "url", "priority", "seq")
+          val budgets = Seq(("hot", hotBudget)).toDF("host", "budget")
+          val got = graft.engine.Politeness
+            .capPerHostBudgets(df, budgets, defBudget, salt,
+              Seq(col("priority"), col("seq")))
+            .select("host", "url").as[(String, String)].collect().toSet
+          val expected = rows.zipWithIndex
+            .map { case ((h, p), i) => (h, s"u$i", p, i.toLong) }
+            .groupBy(_._1).toSeq.flatMap { case (h, rs) =>
+              val b = if (h == "hot") hotBudget else defBudget
+              rs.sortBy(r => (r._3, r._4)).take(b).map(r => (r._1, r._2))
+            }.toSet
+          got == expected
+      }, cases = 12)
+  }
+
   test("prop: surtOf (write-time scala) ≡ surtKey (Column) over generated URLs") {
     val label = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
     val urlGen = for {

@@ -33,6 +33,31 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parse(null) === Seq.empty)
   }
 
+  test("Crawl-delay: * section only, first value wins, garbage ignored") {
+    val body =
+      """User-agent: special-bot
+        |Crawl-delay: 1
+        |
+        |User-agent: *
+        |Disallow: /x
+        |Crawl-delay: 2.5   # fractional allowed
+        |Crawl-delay: 9
+        |""".stripMargin
+    assert(Robots.parseCrawlDelay(body) === Some(2.5))
+    assert(Robots.parseCrawlDelay("User-agent: *\nCrawl-delay: -3") === None)
+    assert(Robots.parseCrawlDelay("User-agent: *\nCrawl-delay: soon") === None)
+    assert(Robots.parseCrawlDelay("User-agent: bot\nCrawl-delay: 4") === None)
+    assert(Robots.parseCrawlDelay(null) === None)
+    // delaysFromPages: robots pages only, null delays dropped
+    val pages = Seq(
+      ("https://a.test/robots.txt", "User-agent: *\nCrawl-delay: 4".getBytes("UTF-8")),
+      ("https://b.test/robots.txt", "User-agent: *\nDisallow: /p".getBytes("UTF-8")),
+      ("https://c.test/page", "User-agent: *\nCrawl-delay: 9".getBytes("UTF-8")))
+      .toDF("url", "html")
+    val got = Robots.delaysFromPages(pages).as[(String, Double)].collect().toMap
+    assert(got === Map("a.test" -> 4.0))
+  }
+
   test("filterAllowed drops disallowed (host, path-prefix) rows only") {
     val rows = Seq(
       ("https://a.test/private/x", "a.test"),
