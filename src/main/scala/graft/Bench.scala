@@ -415,6 +415,64 @@ object Bench {
               .count() > 0)
           }
           plan.unpersist()
+
+          // ---- engine fetch path: corpus-scan join vs CDX-planned
+          // ranged reads, at 1x and 4x corpus size, same ~20k-url
+          // batch. This times EXACTLY the per-batch fetch term (the
+          // engine's other per-batch costs are O(batch) already and
+          // identical across modes; EngineSpec pins ranged-mode
+          // crawl parity). The scan join's cost is O(corpus page
+          // bytes) — it must grow ~4× with the corpus; the ranged
+          // fetcher's is O(index scan) + O(batch page bytes) — it
+          // must stay near-flat. Both sides force the html bytes
+          // (sum of octet_length) so neither can win by pruning the
+          // payload column.
+          def fetchSpec(n: Long) = SyntheticWeb.Spec("web", numPages = n,
+            seed = 42L, minDeg = 15, maxDeg = 45, numHosts = 256,
+            fillerWords = 1500)
+          def fetchSec(n: Long, ranged: Boolean): Double = {
+            val sp = fetchSpec(n)
+            val pq = s"/tmp/graft_bench_fetch_pq_$n"
+            val wd = s"/tmp/graft_bench_fetch_warc_$n"
+            if (!new java.io.File(pq).exists()) {
+              SyntheticWeb.pages(s, sp).toDF()
+                .repartition(64, col("url"))
+                .write.mode("overwrite").bucketBy(64, "url").sortBy("url")
+                .option("path", pq)
+                .saveAsTable(s"graft_bench_fetch_build_$n")
+            }
+            if (!new java.io.File(wd, "cdx").exists())
+              graft.sources.Warc.writePagesArchive(
+                SyntheticWeb.pages(s, sp).toDF(), wd, nFiles = 32)
+            val corpus = s.table(registerCorpus(s, pq))
+            // deterministic ~20k-url batch (hash-sampled from the
+            // corpus), materialized OUTSIDE the timed region — it is
+            // the scheduler's output, not part of the fetch
+            val urls = corpus.select(col("url"))
+              .filter(pmod(xxhash64(col("url")), lit(n / 20000L)) === 0L)
+              .persist()
+            require(urls.count() > 0)
+            val sec =
+              if (!ranged) best(3) {
+                require(corpus.join(urls, Seq("url"), "inner")
+                  .agg(sqlSum(octet_length(col("html")))).head().getLong(0) > 0)
+              }
+              else {
+                val fetch = graft.sources.Warc.rangedFetcher(s, wd)
+                best(3) {
+                  require(fetch(urls)
+                    .agg(sqlSum(octet_length(col("html")))).head().getLong(0) > 0)
+                }
+              }
+            urls.unpersist()
+            sec
+          }
+          val fetchStats = Seq(
+            "fetch_scan_sec_1x" -> fetchSec(150000L, ranged = false),
+            "fetch_scan_sec_4x" -> fetchSec(600000L, ranged = false),
+            "fetch_ranged_sec_1x" -> fetchSec(150000L, ranged = true),
+            "fetch_ranged_sec_4x" -> fetchSec(600000L, ranged = true))
+
           Seq(
             "warc_archive_mb" -> archiveMb,
             "warc_parse_mb_s" -> archiveMb / warcSec,
@@ -422,7 +480,7 @@ object Bench {
             "warc_full_sec" -> warcSec,
             "warc_ranged_sec" -> rangedSec,
             "warc_ranged_mb" -> plannedMb,
-            "warc_ranged_spans" -> nSpans)
+            "warc_ranged_spans" -> nSpans) ++ fetchStats
         } finally s.stop()
       }
 

@@ -120,7 +120,14 @@ final class CrawlEngine(
     // per-host politeness budgets (host, budget) — e.g. derived from
     // robots Crawl-delay via Politeness.budgetsFromDelays; hosts not
     // listed fall back to cfg.hostBudget
-    hostBudgets: Option[DataFrame] = None) {
+    hostBudgets: Option[DataFrame] = None,
+    // per-batch page fetcher: given the batch's urls (one `url`
+    // column), return (url, html) for the urls that resolve — e.g.
+    // Warc.rangedFetcher's CDX-planned seek reads. When set, `pages`
+    // is never scanned by step(): per-batch fetch cost is O(index) +
+    // O(batch page bytes) instead of O(corpus page bytes). Urls the
+    // fetcher doesn't return still route to fetch_errors (F6).
+    fetcher: Option[DataFrame => DataFrame] = None) {
 
   import spark.implicits._
 
@@ -908,8 +915,17 @@ final class CrawlEngine(
     }
 
     // --- fetch: frontier ⋈ pages (S1); misses → fetch_errors (F6,
-    //     written below with its count observation attached) ---
-    val fetched = selected.join(pages, Seq("url"), "inner")
+    //     written below with its count observation attached). With a
+    //     `fetcher`, the batch's page rows are materialized by ranged
+    //     reads (O(batch)) and the static corpus never scans; both the
+    //     fetch join and the error anti-join run against the (tiny,
+    //     cached) per-batch result ---
+    val pageSource = fetcher match {
+      case Some(f) =>
+        f(selected.select(col("url"))).persist(StorageLevel.MEMORY_AND_DISK)
+      case None => pages
+    }
+    val fetched = selected.join(pageSource, Seq("url"), "inner")
 
     // --- parse + extract + validate (S4/G1/D1-D5/F1-F4) ---
     val extracted = fetched
@@ -1243,7 +1259,7 @@ final class CrawlEngine(
     val errorsObserved = selected
       .observe(obsDepth, coalesce(max(col("depth")), lit(0)).as("maxd"),
         coalesce(sum(octet_length(col("canon"))), lit(0L)).as("cbytes"))
-      .join(pages.select(col("url")), Seq("url"), "left_anti")
+      .join(pageSource.select(col("url")), Seq("url"), "left_anti")
       .select(col("url"), lit(batchId).as("batch_id"),
         lit("page not in corpus").as("reason"))
       .observe(obsErr, count(lit(1)).as("n"))
@@ -1390,6 +1406,7 @@ final class CrawlEngine(
 
     Seq(selected, extracted, named, batchNames, probedN, maybeN, newNodes,
       probedE, maybeE, newEdges, guarded, newFrontier).foreach(_.unpersist())
+    if (fetcher.isDefined) pageSource.unpersist()
     probeBc.foreach(_.destroy())
     // a compaction rewrote the edge blobs — the cached probe broadcast
     // is stale; the next batch re-reads + re-broadcasts the snapshot

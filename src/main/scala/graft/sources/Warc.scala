@@ -192,6 +192,46 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame =
     toPages(readRecords(spark, path))
 
+  /** Per-batch RANGED page fetcher over an indexed archive — the plug
+    * for [[graft.engine.CrawlEngine]]'s `fetcher` seam that makes the
+    * engine's per-batch fetch cost track the BATCH, not the corpus:
+    * the batch's urls semi-join the CDX index (index rows are ~100 B
+    * against ~50 KB pages — the scan that stays cheap at corpus
+    * scale, and the same join every cc-index consumer pays), the
+    * matching captures coalesce into per-file spans
+    * ([[Cdx.fetchPlan]]), and [[readRecordsRanged]] seek-reads ONLY
+    * those byte ranges. The plain-corpus fetch join reads O(corpus
+    * page bytes) per batch; this reads O(index) + O(batch page
+    * bytes) — at a 500× index:page size ratio that is the difference
+    * between re-scanning the web per batch and fetching the batch.
+    *
+    * `dir` must hold archives written with write-time indexing (the
+    * cdx/ subdir of [[writeWarcFileIndexed]] + [[Cdx.indexLines]],
+    * i.e. Common Crawl's own layout). The parsed index is cached
+    * across batches. Returns (url, html) rows for 200-status urls
+    * present in the index; multiple captures of a url resolve to the
+    * latest ([[Cdx.latestCaptures]]), read-through records that ride
+    * a fused span are dropped.
+    */
+  def rangedFetcher(spark: SparkSession, dir: String,
+      gapTolerance: Long = 0L): DataFrame => DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cdx = Cdx.latestCaptures(Cdx.readCaptures(spark, s"$dir/cdx")
+        .filter(col("http_status") === 200))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    urls => {
+      val batchUrls = urls.select(col("url")).distinct()
+      val caps = cdx.join(batchUrls, Seq("url"), "left_semi")
+      val plan = Cdx.fetchPlan(caps, gapTolerance)
+      readRecordsRanged(spark, dir, plan).toDF()
+        .filter(col("record_type") === "response" &&
+          col("http_status") === 200 && col("url").isNotNull)
+        .join(batchUrls, Seq("url"), "left_semi")
+        .dropDuplicates("url")
+        .select(col("url"), col("html"))
+    }
+  }
+
   // ---- ranged decode (CDX-planned ingest) ----
 
   /** Decode ONLY the byte spans a [[Cdx.fetchPlan]] names — the read
@@ -343,6 +383,36 @@ object Warc {
     }
     java.nio.file.Files.write(path, out.toByteArray)
     entries
+  }
+
+  /** Write a pages table (url, html) as a member-gzip WARC archive
+    * with write-time CDX indexing, one archive per partition, built
+    * ON THE EXECUTORS (each task buffers only its own file). The
+    * output is [[rangedFetcher]]'s input layout — used by tests and
+    * the bench to put a whole synthetic web behind the ranged-fetch
+    * loop.
+    */
+  def writePagesArchive(pages: DataFrame, dir: String, nFiles: Int): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    new java.io.File(dir, "cdx").mkdirs()
+    pages.select(col("url"), col("html")).repartition(nFiles)
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val recs = it.map { r =>
+          ResponseOut(r.getString(0), "2024-01-01T00:00:00Z", "200 OK",
+            new String(r.getAs[Array[Byte]](1), UTF_8))
+        }.toSeq
+        if (recs.nonEmpty) {
+          val name = f"part-$pid%05d.warc.gz"
+          val entries = writeWarcFileIndexed(
+            java.nio.file.Paths.get(dir, name), "software: graft-bench",
+            recs, memberGzip = true)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, "cdx", name + ".cdx"),
+            Cdx.indexLines(entries, name).mkString("\n").getBytes(UTF_8))
+        }
+        ()
+      }
   }
 
   // ---- deterministic synthetic archive (tests / driver oracle) ----

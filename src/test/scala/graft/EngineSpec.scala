@@ -146,6 +146,54 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(eng.store.read("fetch_errors").get.count() === 0L)
   }
 
+  test("engine with ranged WARC fetcher: per-batch seek reads, oracle parity") {
+    // same web as the WARC-ingest test, but the engine's per-batch
+    // fetch goes through Warc.rangedFetcher: urls → CDX semi-join →
+    // span plan → seek-read ONLY those byte ranges. The static corpus
+    // is never scanned; the crawl must still match the BFS oracle
+    // exactly, and nothing may route to fetch_errors.
+    val sp = SyntheticWeb.Spec("wikipedia", numPages = 24L, seed = 7L)
+    val dir = Files.createTempDirectory("graft-warc-ranged-eng")
+    val cdxDir = dir.resolve("cdx")
+    Files.createDirectories(cdxDir)
+    val recs = (0L until sp.numPages).map { i =>
+      graft.sources.Warc.ResponseOut(
+        url = SyntheticWeb.pageUrl(sp, i),
+        date = f"2024-01-01T00:${i}%02d:00Z",
+        status = "200 OK",
+        body = SyntheticWeb.htmlFor(sp, i))
+    }
+    // two archives, one plain and one member-gzip (the CC layout)
+    Seq(("a.warc", recs.take(12), false), ("b.warc.gz", recs.drop(12), true))
+      .foreach { case (name, rs, gz) =>
+        val entries = graft.sources.Warc.writeWarcFileIndexed(
+          dir.resolve(name), "software: graft-test", rs, memberGzip = gz)
+        Files.write(cdxDir.resolve(name + ".cdx"),
+          graft.sources.Cdx.indexLines(entries, name)
+            .mkString("\n").getBytes("UTF-8"))
+      }
+    val fetch = graft.sources.Warc.rangedFetcher(spark, dir.toString)
+
+    val seedUrl = SyntheticWeb.pageUrl(sp, 0L)
+    val (oracleNodes, oracleEdges) = oracleFor(sp, profile, seedUrl, None)
+    val root = Files.createTempDirectory("graft-engine-ranged").toString
+    // pages = empty placeholder: with a fetcher the corpus table must
+    // never be consulted, and an empty one proves it is not
+    val emptyPages = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      SyntheticWeb.pages(spark, sp).toDF().schema)
+    val eng = new CrawlEngine(spark, new Store(root, spark), profile,
+      testCfg(CrawlConfig(site = "wikipedia", batchSize = 7)), emptyPages,
+      fetcher = Some(fetch))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+    assert(eng.store.read("fetch_errors").get.count() === 0L)
+  }
+
   test("full crawl matches BFS oracle (nodes + edges sets)") {
     val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
     val (oracleNodes, oracleEdges) = oracle(seedUrl)
