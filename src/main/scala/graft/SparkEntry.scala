@@ -340,6 +340,23 @@ object SparkEntry {
     "q_unigram_ll" -> ((s, dir) =>
       Curation.unigramLogLik(t(s, dir, "documents"))),
 
+    // DSIR importance resampling: target = every 7th doc (a
+    // deterministic "domain" both engines can name), raw = the rest
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.importanceWeights(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), buckets = 1 << 16)
+    }),
+
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.selectByImportance(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), k = 50,
+        buckets = 1 << 16, gumbel = true)
+    }),
+
     "q_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(t(s, dir, "documents"))),
 
@@ -1028,6 +1045,22 @@ object SparkEntry {
         |FROM toks JOIN v USING (token) GROUP BY doc_id"""
         .stripMargin),
 
+    "q_dsir_weights" -> (dsirWeightsCte + "\n" +
+      """SELECT doc_id, round(sum(c * lr), 4) AS logw
+        |FROM dc JOIN model USING (bucket) GROUP BY doc_id"""
+        .stripMargin),
+
+    "q_dsir_select" -> (dsirWeightsCte + "\n" +
+      """, w AS (SELECT doc_id, round(sum(c * lr), 4) AS logw
+        |        FROM dc JOIN model USING (bucket) GROUP BY doc_id),
+        | s AS (SELECT doc_id, logw,
+        |   round(logw - ln(-ln((CAST(((doc_id % 2147483648) * 1103515245 + 12345)
+        |     % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0)), 4) AS score
+        |   FROM w)
+        |SELECT doc_id, logw, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 50"""
+        .stripMargin),
+
     "q_bm25" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
         | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(avg(len(t)) AS DOUBLE) AS avgdl FROM toks),
@@ -1248,6 +1281,50 @@ object SparkEntry {
 
     "q_crawl_edges_ar" -> crawlOracle("synonyms-ar", 40L)
   )
+
+  /** md5-hex digit i of `gram` as an integer — DuckDB spelling of
+    * Spark's conv(substring(md5(gram), 1, 5), 16, 10) one digit at a
+    * time (DuckDB has no base-conversion builtin)
+    */
+  private def hexDigit(i: Int): String =
+    s"(strpos('0123456789abcdef', substr(md5(gram), $i, 1)) - 1)"
+
+  /** Shared CTE for the DSIR oracles: hashed n-gram (unigram+bigram)
+    * models over the deterministic target/raw partition of
+    * `documents`; bucket = first 5 md5 hex digits mod 2^16 — the
+    * exact arithmetic of [[graft.ops.Curation.md5Bucket]], so DuckDB
+    * reproduces every bucket (including collisions) bit-identically.
+    */
+  private def dsirWeightsCte: String = {
+    val bucket = s"((${hexDigit(1)} * 65536 + ${hexDigit(2)} * 4096 + " +
+      s"${hexDigit(3)} * 256 + ${hexDigit(4)} * 16 + ${hexDigit(5)}) % 65536)"
+    s"""WITH rtok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+       |   FROM documents WHERE doc_id % 7 <> 0),
+       | ttok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+       |   FROM documents WHERE doc_id % 7 = 0),
+       | rg AS (SELECT doc_id, u.tok AS gram FROM rtok, unnest(t) u(tok)
+       |        UNION ALL
+       |        SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+       |        FROM rtok, unnest(range(1, len(t))) r(i)),
+       | tg AS (SELECT doc_id, u.tok AS gram FROM ttok, unnest(t) u(tok)
+       |        UNION ALL
+       |        SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+       |        FROM ttok, unnest(range(1, len(t))) r(i)),
+       | rb AS (SELECT doc_id, $bucket AS bucket FROM rg),
+       | tb AS (SELECT $bucket AS bucket FROM tg),
+       | tc AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY bucket),
+       | rc AS (SELECT bucket, count(*) AS cr FROM rb GROUP BY bucket),
+       | j AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+       |         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+       |       FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+       | tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+       |                CAST(sum(cr) AS DOUBLE) AS tr FROM j),
+       | model AS (SELECT bucket,
+       |     ln((ct + 1.0) / (tt + 65536.0)) - ln((cr + 1.0) / (tr + 65536.0)) AS lr
+       |   FROM j CROSS JOIN tot),
+       | dc AS (SELECT doc_id, bucket, count(*) AS c FROM rb GROUP BY doc_id, bucket)"""
+      .stripMargin
+  }
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")

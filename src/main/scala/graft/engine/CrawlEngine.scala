@@ -11,7 +11,7 @@ import org.apache.spark.util.sketch.BloomFilter
 import graft.functions.{canon, Extract}
 import graft.model._
 import graft.sites.{SiteProfile, Sites}
-import graft.state.{Bloom, Store}
+import graft.state.{Bloom, Cuckoo, Store}
 
 object CrawlEngine {
 
@@ -497,6 +497,16 @@ final class CrawlEngine(
   private def emptyEdges: DataFrame = spark.emptyDataset[EdgeRow].toDF()
   private def emptySeen: DataFrame = spark.emptyDataset[SeenShard].toDF()
   private def emptyLog: DataFrame = spark.emptyDataset[FrontierLogRow].toDF()
+  private def emptyRecrawl: DataFrame = spark.emptyDataset[CuckooShard].toDF()
+  private def emptyRecrawlKeys: DataFrame = spark.emptyDataset[RecrawlKey].toDF()
+
+  /** live tombstone count in the recrawl cuckoo — 0 means the recrawl
+    * path adds ZERO jobs to enqueue (a crawl that never marks pays
+    * nothing); recovered from the blob rows on resume
+    */
+  private var recrawlCount: Long =
+    store.read("recrawl_shards").map(
+      _.agg(coalesce(sum("count"), lit(0L))).as[Long].head()).getOrElse(0L)
 
   /** the live pending frontier: base segments minus the consumed side
     * of the log. The log is bounded by the compaction threshold, so
@@ -603,12 +613,89 @@ final class CrawlEngine(
       staged.replaceShards("seen_shards", seen0, 0 until cfg.numShards,
         dropUnsharded = true)
     }
+    // a re-seed defines a new crawl: tombstones against the previous
+    // crawl's seen set are meaningless
+    if (store.exists("recrawl_shards")) {
+      staged.replace("recrawl_shards", emptyRecrawl)
+      staged.replace("recrawl_keys", emptyRecrawlKeys)
+    }
     staged.publish()
     pendingByTier = trips.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
     consumedCount = 0L
     logRowCount = 0L
     consumedBytes = 0L
+    recrawlCount = 0L
     seedDf.unpersist()
+  }
+
+  /** Mark already-crawled URLs for refetch — the consumer side of the
+    * change-rate recrawl channel ([[graft.sources.Cdx.toRecrawlSeeds]]).
+    *
+    * The url-seen Bloom is monotone: once a canon is in the blobs it
+    * can never be un-seen, so a recrawl seed would be dropped by the
+    * enqueue dedup forever. Marked urls' hashes enter the sharded
+    * CUCKOO tombstone set instead (`recrawl_shards`,
+    * [[graft.state.Cuckoo]]) — the north_rule's second URL-seen
+    * structure, and the one that supports DELETION. enqueue* then
+    * re-admits tombstoned urls past the seen set and DELETES their
+    * fingerprints: each mark yields at most one re-admission
+    * (exactly-once recrawl, no permanent re-admit loop).
+    *
+    * Exact keys land in `recrawl_keys` (truth table, wave-bounded):
+    * re-admission and deletion confirm against it — a cuckoo FP never
+    * causes a spurious refetch, only really-inserted fingerprints are
+    * deleted (the safe cuckoo-deletion contract), and it is the
+    * rebuild base when a shard filter overflows (a cuckoo cannot grow
+    * in place: the stored fingerprint does not recover the key hash).
+    *
+    * Marks are consumed only by the enqueue path (discovered links
+    * never consult tombstones — recrawl is an ingestion decision);
+    * marking a never-crawled or robots-blocked url leaves a stale
+    * fingerprint, bounded by the wave and cleared on the next rebuild
+    * or [[seed]].
+    */
+  def markForRecrawl(urls: Seq[String]): Unit = {
+    if (urls.isEmpty) return
+    val batchId = store.batchId + 1
+    val oldKeys = store.readOr("recrawl_keys", emptyRecrawlKeys)
+    // only NEW tombstones reach the fold and the key table (re-marking
+    // an already-marked url is a no-op, not a double insert)
+    val keys = urls.distinct.toDF("url")
+      .select(xxhash64(canon.canonical_url(col("url"))).as("h")).distinct()
+      .join(oldKeys, Seq("h"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val folded = Cuckoo.foldShardsInto(keys,
+      store.readOr("recrawl_shards", emptyRecrawl), cfg.numShards,
+      cfg.recrawlItemsPerShard).persist(StorageLevel.MEMORY_AND_DISK)
+    val agg = folded.agg(
+      coalesce(sum("count"), lit(0L)),
+      coalesce(max(col("overflow").cast("int")), lit(0))).head()
+    val (liveTotal, overflowed) = (agg.getLong(0), agg.getInt(1) > 0)
+    val staged = store.stage(batchId)
+    staged.append("recrawl_keys", keys)
+    if (overflowed) {
+      // rebuild every shard from the exact keys at a capacity covering
+      // the whole live set
+      val allKeys = oldKeys.unionByName(keys)
+      val per = math.max(cfg.recrawlItemsPerShard,
+        2L * liveTotal / cfg.numShards)
+      staged.replace("recrawl_shards",
+        Cuckoo.buildShards(allKeys, cfg.numShards, per))
+    } else {
+      staged.replace("recrawl_shards", folded.drop("overflow"))
+    }
+    staged.publish()
+    recrawlCount = liveTotal
+    keys.unpersist()
+    folded.unpersist()
+  }
+
+  /** mark + enqueue in one call: the full recrawl ingestion flow for
+    * [[graft.sources.Cdx.toRecrawlSeeds]] output
+    */
+  def recrawl(seeds: Seq[(String, Long)]): Unit = {
+    markForRecrawl(seeds.map(_._1))
+    enqueuePrioritized(seeds)
   }
 
   /** Enqueue additional seed URLs into a live crawl (the streaming
@@ -736,6 +823,85 @@ final class CrawlEngine(
       case None => freshNamed0
     }).persist(StorageLevel.MEMORY_AND_DISK)
     val fresh = freshNamed.select(frontierCols: _*)
+
+    // ---- recrawl re-admission ([[markForRecrawl]]) ----
+    // Two-phase like every other membership here: the wave-bounded
+    // cuckoo prefilters (an inline broadcast column — ZERO extra jobs
+    // when no tombstones exist), the exact recrawl_keys table confirms.
+    // A tombstoned url is the complement of the fresh path's admission
+    // (it IS a dictionary member), so the two paths can never both
+    // admit one url. Every confirmed tombstone is CONSUMED this batch:
+    //   - url still pending            → its coming fetch satisfies the
+    //                                    mark (nothing to write)
+    //   - consumed-log window (crawled since the last compaction, base
+    //     row still present but masked) → RESURRECT: drop its kind-0
+    //                                    mask from the bounded log
+    //   - crawled + compacted + in nodes → RE-ADMIT: append a new
+    //                                    frontier row at the seed tier
+    //   - marked but never crawled     → not maybe_seen, so the fresh
+    //                                    path admits it (its stale
+    //                                    fingerprint stays, bounded —
+    //                                    see markForRecrawl's doc)
+    // and every CONFIRMED tombstone's fingerprint is deleted from the
+    // cuckoo — the exactly-once contract. Deletion is what a Bloom
+    // cannot express.
+    var tombBc: Option[Broadcast[Map[Int, Array[Byte]]]] = None
+    val tombstoned: Option[DataFrame] =
+      if (recrawlCount == 0L) None
+      else {
+        val blobs = store.readOr("recrawl_shards", emptyRecrawl)
+          .select(col("shard"), col("cuckoo")).collect()
+          .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        val bc = spark.sparkContext.broadcast(blobs)
+        tombBc = Some(bc)
+        val t = maybeU
+          .withColumn("__h", xxhash64(col("canon")))
+          .filter(Cuckoo.blobsColumnBcHash(bc, cfg.numShards, col("__h")))
+          .join(store.readOr("recrawl_keys", emptyRecrawlKeys)
+            .withColumnRenamed("h", "__h"), Seq("__h"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (t.isEmpty) { t.unpersist(); None } else Some(t)
+      }
+    val consumedCanons = log.filter(col("kind") === 0).select("canon")
+    val memberAll = deltaN match {
+      case Some(d) => memberNames.unionByName(d.select("name"))
+      case None => memberNames
+    }
+    val (tombResurrect, tombReadmit) = tombstoned match {
+      case None => (None, None)
+      case Some(t) =>
+        val notPending =
+          t.join(pendingMaybe.select("canon"), Seq("canon"), "left_anti")
+        val res = notPending
+          .join(consumedCanons, Seq("canon"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val adm = notPending
+          .join(consumedCanons, Seq("canon"), "left_anti")
+          .join(memberAll, Seq("name"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (Some(res), Some(adm))
+    }
+    // resurrect accounting: rows count + canon bytes (for the consumed-
+    // side broadcast gate) in one small agg
+    val (resCount, resBytes) = tombResurrect.map { r =>
+      val a = r.agg(count(lit(1)),
+        coalesce(sum(octet_length(col("canon"))), lit(0L))).head()
+      (a.getLong(0), a.getLong(1))
+    }.getOrElse((0L, 0L))
+    // resurrected rows keep their ORIGINAL priority (they come back as
+    // the base rows they are) — tier counts read from the raw shards
+    // already restricted to uShards
+    val resTierCounts: Seq[(Int, Long)] =
+      if (resCount == 0L) Nil
+      else store.readShards("frontier", uShards).getOrElse(emptyFrontier)
+        .join(tombResurrect.get.select("canon"), Seq("canon"), "left_semi")
+        .groupBy(tierCol(col("priority")).as("t")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val readmitTierCounts: Seq[(Int, Long)] = tombReadmit.map {
+      _.groupBy(tierCol(col("priority")).as("t")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    }.getOrElse(Nil)
+    val readmitCount = readmitTierCounts.map(_._2).sum
     // only driver-seen mode needs the actual (shard, hash) pairs on the
     // driver (to fold into the resident filters); shuffle mode needs
     // just the COUNT — collecting up to millions of boxed tuples per
@@ -759,9 +925,17 @@ final class CrawlEngine(
         fresh.groupBy(tierCol(col("priority")).as("t")).count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
     val freshCount: Long = tierCounts.map(_._2).sum
-    if (freshCount == 0L) {
+    val tombCount: Long = tombstoned.map(_.count()).getOrElse(0L)
+    def cleanup(): Unit = {
       Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
+      tombstoned.foreach(_.unpersist())
+      tombResurrect.foreach(_.unpersist())
+      tombReadmit.foreach(_.unpersist())
       probeBc.foreach(_.destroy())
+      tombBc.foreach(_.destroy())
+    }
+    if (freshCount == 0L && tombCount == 0L) {
+      cleanup()
       return
     }
     // freshNamed already excluded every existing dictionary name
@@ -775,17 +949,54 @@ final class CrawlEngine(
     val staged = store.stage(batchId)
     staged.appendSharded("nodes", shardPacked(
       newNodes.withColumn("__shard", nameShardOf(col("name")))))
+    val frontierRows = tombReadmit match {
+      case Some(r) => fresh.unionByName(r.select(frontierCols: _*))
+      case None => fresh
+    }
     staged.appendSharded("frontier", shardPacked(
-      fresh.withColumn("__tier", tierCol(col("priority")))
+      frontierRows.withColumn("__tier", tierCol(col("priority")))
         .withColumn("__shard", shardCol(col("canon")))))
-    staged.append("frontier_log",
-      fresh.select(col("canon"), lit(1).as("kind")))
+    val logNew = frontierRows.select(col("canon"), lit(1).as("kind"))
+    if (resCount > 0L) {
+      // resurrection = drop the resurrected canons' kind-0 masks from
+      // the (bounded) log; their kind-1 rows stay — the canons remain
+      // seen. One bounded rewrite, only on recrawl batches that hit
+      // the consumed window.
+      val resC = tombResurrect.get.select("canon").withColumn("__res", lit(true))
+      val keptLog = log.join(resC, Seq("canon"), "left")
+        .filter(!(coalesce(col("__res"), lit(false)) && col("kind") === 0))
+        .select("canon", "kind")
+      staged.replace("frontier_log", keptLog.unionByName(logNew))
+    } else {
+      staged.append("frontier_log", logNew)
+    }
+    // every confirmed tombstone was consumed above (pending / resurrect
+    // / re-admit / fresh-path) — delete the fingerprints and their
+    // exact keys; the set only shrinks until the next markForRecrawl
+    var doneCount = 0L
+    if (tombCount > 0L) {
+      val done = tombstoned.get.select(col("__h").as("h")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      doneCount = done.count()
+      val foldedT = Cuckoo.foldShardsInto(done,
+        store.readOr("recrawl_shards", emptyRecrawl), cfg.numShards,
+        cfg.recrawlItemsPerShard, delete = true)
+      staged.replace("recrawl_shards", foldedT.drop("overflow"))
+      staged.replace("recrawl_keys",
+        store.readOr("recrawl_keys", emptyRecrawlKeys)
+          .join(done, Seq("h"), "left_anti"))
+      done.unpersist()
+    }
     if (driverSeenMode) urlSeen.absorb(pairs)
     staged.publish()
+    recrawlCount = math.max(0L, recrawlCount - doneCount)
     pendingByTier = tierAdd(pendingByTier, tierCounts, 1L)
-    logRowCount += freshCount
-    Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
-    probeBc.foreach(_.destroy())
+    pendingByTier = tierAdd(pendingByTier, resTierCounts, 1L)
+    pendingByTier = tierAdd(pendingByTier, readmitTierCounts, 1L)
+    consumedCount = math.max(0L, consumedCount - resCount)
+    consumedBytes = math.max(0L, consumedBytes - resBytes)
+    logRowCount = logRowCount - resCount + freshCount + readmitCount
+    cleanup()
   }
 
   /** A4: per-host politeness cap, salt-first to defuse hot-host skew

@@ -55,6 +55,23 @@ final case class SeenShard(shard: Int, bloom: Array[Byte], count: Long)
   */
 final case class FrontierLogRow(canon: String, kind: Int)
 
+/** Serialized cuckoo-filter shard of the recrawl tombstone set — the
+  * DELETABLE exception set over the monotone url-seen Bloom (the
+  * north_rule names both structures; deletion is the op a Bloom can't
+  * do). Keyed by the same hash-space range partitioning as
+  * [[SeenShard]].
+  */
+final case class CuckooShard(shard: Int, cuckoo: Array[Byte], count: Long)
+
+/** Exact tombstone key (xxhash64 of the canonical url) — the truth
+  * table behind the cuckoo prefilter: re-admission and deletion
+  * confirm against it (cuckoo FPs never cause a spurious refetch, and
+  * only really-inserted fingerprints are ever deleted — the safe
+  * cuckoo-deletion contract), and it is the rebuild base when a shard
+  * filter overflows.
+  */
+final case class RecrawlKey(h: Long)
+
 /** Engine configuration (reference env surface, main.go:20-48). */
 final case class CrawlConfig(
     site: String,
@@ -102,4 +119,9 @@ final case class CrawlConfig(
     // the shard space across successive compactions (bounds the LSM
     // write-stall instead of rewriting the whole base in one batch).
     // -1 = fold everything in one batch
-    compactShardsPerBatch: Int = -1)
+    compactShardsPerBatch: Int = -1,
+    // per-shard capacity of the recrawl-tombstone cuckoo filters —
+    // sized for the active recrawl wave, not the corpus (tombstones
+    // are deleted as they re-admit); overflow rebuilds from the exact
+    // recrawl_keys table at a larger capacity
+    recrawlItemsPerShard: Long = 1L << 16)

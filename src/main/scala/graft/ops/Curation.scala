@@ -347,4 +347,98 @@ object Curation {
       .withColumn("rk", row_number().over(w2).cast("long")).filter(col("rk") <= k)
       .select(col("lang"), col("token"), col("cnt"), col("rk"))
   }
+
+  /** Hashed-n-gram feature bucket, auditable by a foreign engine: the
+    * first 5 hex chars of md5(gram) read as an integer, mod `buckets`
+    * — 20 bits of hash, the cap on useful `buckets`. md5 (not
+    * xxhash64) for the same reason as [[lcgHash]]: DuckDB computes it
+    * bit-identically, so every bucket assignment — including
+    * collisions, which perturb the fitted models — is recomputable by
+    * the driver's oracle.
+    */
+  def md5Bucket(gram: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in (0, 2^20], got $buckets")
+    conv(substring(md5(gram), 1, 5), 16, 10).cast("long") % buckets
+  }
+
+  /** (doc_id, bucket) per gram occurrence: whitespace unigrams plus
+    * space-joined bigrams, hashed by [[md5Bucket]] — the feature
+    * extraction shared by the DSIR model fit and the per-doc scoring.
+    */
+  private def gramBuckets(df: DataFrame, text: Column,
+      buckets: Int): DataFrame = {
+    val toks = TextOps.wsTokens(text)
+    val bi = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col("doc_id"), explode(concat(toks, bi)).as("gram"))
+      .select(col("doc_id"), md5Bucket(col("gram"), buckets).as("bucket"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): fit
+    * bag-of-hashed-n-gram unigram models over a small TARGET corpus
+    * (the distribution you want more of) and the RAW corpus, then
+    * score every raw document by its importance log-weight
+    * Σ_b c_b · (ln θ_target[b] − ln θ_raw[b]) with add-`smoothing`
+    * estimates. Returns (doc_id, logw) for every raw doc with ≥ 1
+    * gram; logw rounded to 4 places (float-compare policy).
+    *
+    * Scale shape: each corpus is scanned once; the models are
+    * map-side-combinable counts over ≤ `buckets` integer keys; the
+    * ≤-buckets-row model table broadcasts back onto the per-doc
+    * bucket counts (one (doc_id, bucket) agg). No shuffle ever
+    * carries gram STRINGS — only 8-byte (doc_id, bucket) pairs —
+    * and nothing scales with target × raw.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      text: Column = col("text"), buckets: Int = 1 << 18,
+      smoothing: Double = 1.0): DataFrame = {
+    val tc = gramBuckets(target, text, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val rc = gramBuckets(raw, text, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val joined = tc.join(rc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tots = joined.agg(
+      sum(col("ct")).cast("double").as("tt"),
+      sum(col("cr")).cast("double").as("tr"))
+    val denom = lit(buckets.toDouble * smoothing)
+    val model = joined.crossJoin(broadcast(tots)).select(
+      col("bucket"),
+      (log((col("ct") + smoothing) / (col("tt") + denom)) -
+        log((col("cr") + smoothing) / (col("tr") + denom))).as("lr"))
+    gramBuckets(raw, text, buckets)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c") * col("lr")), 4).as("logw"))
+  }
+
+  /** The resampling side of DSIR: keep the top `k` raw documents by
+    * importance weight. `gumbel = true` adds the paper's Gumbel noise
+    * — g = −ln(−ln(u)) with u = (lcgHash(doc_id) + 0.5) / 2³¹, a
+    * DETERMINISTIC per-doc uniform, so the sample is the paper's
+    * softmax-without-replacement draw yet bit-reproducible by a
+    * foreign engine (same auditability contract as [[assignSplits]]).
+    * Top-k via orderBy+limit = TakeOrderedAndProject — no global sort
+    * materializes at any corpus size.
+    */
+  def selectByImportance(raw: DataFrame, target: DataFrame, k: Int,
+      text: Column = col("text"), buckets: Int = 1 << 18,
+      smoothing: Double = 1.0, gumbel: Boolean = false): DataFrame = {
+    val w = importanceWeights(raw, target, text, buckets, smoothing)
+    val u = (lcgHash(col("doc_id")).cast("double") + 0.5) /
+      lit(2147483648.0)
+    val scored =
+      if (!gumbel) w.withColumn("score", col("logw"))
+      else w.withColumn("score", round(col("logw") - log(-log(u)), 4))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"), col("logw"), col("score"))
+  }
 }

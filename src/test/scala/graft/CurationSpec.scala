@@ -313,4 +313,91 @@ class CurationSpec extends SparkSpec {
     val got = df.as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
+
+  // ---- DSIR importance resampling ----
+
+  private val dsirTarget = Seq(
+    (100L, "spark sql engine runs fast"),
+    (101L, "spark sql window functions"),
+    (102L, "sql engine query planner")).toDF("doc_id", "text")
+
+  private val dsirRaw = Seq(
+    (0L, "spark sql engine tutorial"),
+    (1L, "sql window engine spark"),
+    (2L, "cat videos and more cat videos"),
+    (3L, "buy cheap pills online now"),
+    (4L, "spark sql query planner notes"),
+    (5L, "weather report rain tomorrow")).toDF("doc_id", "text")
+
+  /** serial DSIR recompute: same md5 bucket, same bigram build, same
+    * add-one estimates — the arithmetic oracle for importanceWeights
+    */
+  private def dsirOracle(raw: Seq[(Long, String)], target: Seq[(Long, String)],
+      buckets: Int, smoothing: Double): Map[Long, Double] = {
+    def bucketOf(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex = d.take(3).map(b => f"$b%02x").mkString.take(5)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    def grams(t: String): Seq[Long] = {
+      val toks = t.split("\\s+").toSeq
+      (toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(bucketOf)
+    }
+    val tc = target.flatMap(d => grams(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val rc = raw.flatMap(d => grams(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (tc.values.sum.toDouble, rc.values.sum.toDouble)
+    val denom = buckets * smoothing
+    raw.map { case (id, t) =>
+      val w = grams(t).map { b =>
+        math.log((tc.getOrElse(b, 0L) + smoothing) / (tt + denom)) -
+          math.log((rc.getOrElse(b, 0L) + smoothing) / (tr + denom))
+      }.sum
+      id -> BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }.toMap
+  }
+
+  test("importanceWeights matches the serial DSIR recompute bit-for-bit") {
+    val got = Curation.importanceWeights(dsirRaw, dsirTarget, buckets = 4096)
+      .as[(Long, Double)].collect().toMap
+    val exp = dsirOracle(
+      dsirRaw.as[(Long, String)].collect().toSeq,
+      dsirTarget.as[(Long, String)].collect().toSeq, 4096, 1.0)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (id, w) =>
+      assert(math.abs(w - exp(id)) < 1e-9, s"doc $id: $w vs ${exp(id)}")
+    }
+    // semantics: target-like docs outscore off-distribution docs
+    val targetLike = Set(0L, 1L, 4L)
+    val minIn = targetLike.map(got).min
+    val maxOut = (got.keySet -- targetLike).map(got).max
+    assert(minIn > maxOut, got.toString)
+  }
+
+  test("selectByImportance: deterministic top-k; gumbel variant reproducible") {
+    val top3 = Curation.selectByImportance(dsirRaw, dsirTarget, k = 3,
+      buckets = 4096)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top3 == Set(0L, 1L, 4L))
+    val g1 = Curation.selectByImportance(dsirRaw, dsirTarget, k = 4,
+      buckets = 4096, gumbel = true).as[(Long, Double, Double)].collect()
+    val g2 = Curation.selectByImportance(dsirRaw.repartition(5), dsirTarget,
+      k = 4, buckets = 4096, gumbel = true).as[(Long, Double, Double)].collect()
+    assert(g1.toSeq == g2.toSeq, "gumbel draw must be partition-independent")
+  }
+
+  test("importanceWeights plan: gram strings never shuffle, model broadcasts") {
+    val df = Curation.importanceWeights(dsirRaw, dsirTarget, buckets = 1024)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+    // every exchange carries only integer keys (bucket / doc_id), never
+    // the gram column
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    exchanges.foreach(l => assert(!l.contains("gram"), l))
+  }
 }

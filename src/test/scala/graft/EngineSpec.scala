@@ -842,4 +842,128 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     // tighter budget slows, never starves: the crawl still drains
     assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
   }
+
+  // ---- recrawl (cuckoo tombstones: markForRecrawl + re-admission) ----
+
+  private def totalPages(eng: CrawlEngine): Long =
+    eng.store.read("metrics").get.filter(col("partition_id") === -1)
+      .agg(coalesce(sum("pages"), lit(0L))).head().getLong(0)
+
+  private def pendingCanons(eng: CrawlEngine): Seq[String] =
+    eng.pendingFrontierView().select("canon").collect()
+      .map(_.getString(0)).toSeq
+
+  test("recrawl: marked urls re-admit past the seen set, exactly once") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-recrawl").toString
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 7))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val fetchedOnce = totalPages(eng)
+    assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
+
+    // un-marked enqueue of crawled urls: dropped by the seen dedup
+    val marks = Seq(seedUrl, SyntheticWeb.pageUrl(spec, 1L),
+      SyntheticWeb.pageUrl(spec, 2L))
+    eng.enqueue(marks)
+    assert(pendingCanons(eng).isEmpty)
+
+    // marked: tombstones let exactly those urls back in
+    eng.recrawl(marks.map((_, 0L)))
+    val pending = pendingCanons(eng)
+    assert(pending.sorted ===
+      marks.map(u => GoUrl.canonicalUrl(u)).sorted)
+
+    // the refetch runs; the graph is unchanged (same corpus, dup edges
+    // dropped), the fetch count grew by exactly the marked set
+    eng.run()
+    assert(totalPages(eng) === fetchedOnce + marks.size)
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+
+    // tombstones were DELETED on re-admission (the cuckoo op a bloom
+    // can't do): the same urls without a new mark stay dropped
+    eng.enqueue(marks)
+    assert(pendingCanons(eng).isEmpty)
+    assert(totalPages(eng) === fetchedOnce + marks.size)
+  }
+
+  test("recrawl: pending and consumed-window marks (resurrect path)") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val (oracleNodes, oracleEdges) = oracle(seedUrl)
+    val root = Files.createTempDirectory("graft-recrawl-mid").toString
+    // huge threshold keeps the crawl append-only: consumed canons stay
+    // in the kind-0 log window, exercising resurrection
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 4,
+      compactLogThreshold = 1000000L))
+    eng.seed(Seq(seedUrl))
+    eng.step(); eng.step()
+    val pendingBefore = pendingCanons(eng)
+    assert(pendingBefore.nonEmpty)
+
+    // the seed was consumed in batch 1 and sits masked in the log —
+    // marking it must RESURRECT it (drop its kind-0 mask), not lose it
+    val seedCanon = GoUrl.canonicalUrl(seedUrl)
+    assert(!pendingBefore.contains(seedCanon))
+    // a currently-pending url: its mark is satisfied by the coming
+    // fetch — no duplicate row may appear
+    val pendingUrl = eng.pendingFrontierView().select("url")
+      .orderBy("url").head().getString(0)
+    eng.recrawl(Seq((seedUrl, 0L), (pendingUrl, 0L)))
+    val pendingAfter = pendingCanons(eng)
+    assert(pendingAfter.sorted === (pendingBefore :+ seedCanon).sorted,
+      "resurrected seed joins the view once; pending url not duplicated")
+
+    // drain; the resurrected seed is fetched a second time: total
+    // fetches = an unmarked run's total + exactly 1 (the pending-url
+    // mark was satisfied by its already-scheduled fetch)
+    eng.run()
+    val twinRoot = Files.createTempDirectory("graft-recrawl-twin").toString
+    val twin = newEngine(twinRoot, CrawlConfig(site = "wikipedia",
+      batchSize = 4, compactLogThreshold = 1000000L))
+    twin.seed(Seq(seedUrl))
+    twin.run()
+    assert(totalPages(eng) === totalPages(twin) + 1)
+    val gotNodes = eng.store.read("nodes").get
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(gotNodes === oracleNodes)
+    assert(nameEdges(eng.store) === oracleEdges)
+  }
+
+  test("recrawl: large-state (shard-shuffle) mode, same exactly-once contract") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val root = Files.createTempDirectory("graft-recrawl-big").toString
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 7,
+      seenDriverStateLimit = 0L))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val fetchedOnce = totalPages(eng)
+    val marks = Seq(seedUrl, SyntheticWeb.pageUrl(spec, 4L))
+    eng.recrawl(marks.map((_, 0L)))
+    assert(pendingCanons(eng).sorted ===
+      marks.map(GoUrl.canonicalUrl(_)).sorted)
+    eng.run()
+    assert(totalPages(eng) === fetchedOnce + marks.size)
+    eng.enqueue(marks)
+    assert(pendingCanons(eng).isEmpty)
+  }
+
+  test("recrawl: marking a never-crawled url is admitted as fresh, not a refetch") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val root = Files.createTempDirectory("graft-recrawl-fresh").toString
+    val eng = newEngine(root, CrawlConfig(site = "wikipedia", batchSize = 7))
+    eng.seed(Seq(seedUrl))
+    eng.run()
+    val nodesBefore = eng.store.read("nodes").get.count()
+    // a url outside the crawl's reach (valid page id past the graph)
+    val unseen = "https://en.wikipedia.org/wiki/Never_Crawled"
+    eng.recrawl(Seq((unseen, 0L)))
+    assert(pendingCanons(eng) === Seq(GoUrl.canonicalUrl(unseen)))
+    // fresh admission created its node row (recrawl re-admission never
+    // inserts nodes — only the fresh path does)
+    assert(eng.store.read("nodes").get.count() === nodesBefore + 1)
+  }
 }
