@@ -221,22 +221,28 @@ final class Store(val root: String, spark: SparkSession) {
       val rel = s"$table/b$newBatchId-$appendIdx"
       appendIdx += 1
       def leafOf(d: String): String = d.split('/').drop(2).mkString("/")
-      val parts = groups.map { dirs =>
+      groups.foreach { dirs =>
         require(dirs.nonEmpty, s"consolidateSegments($table): empty group")
-        val leaf = leafOf(dirs.head)
-        require(dirs.forall(leafOf(_) == leaf),
+        require(dirs.forall(leafOf(_) == leafOf(dirs.head)),
           s"consolidateSegments($table): mixed leaf paths in $dirs")
-        leaf -> spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
       }
-      val dims = parts.head._1.split('/').map(_.split('=')(0)).toSeq
-      require(parts.forall(_._1.split('/').map(_.split('=')(0)).toSeq == dims),
+      val dims = leafOf(groups.head.head).split('/').map(_.split('=')(0)).toSeq
+      require(groups.forall(
+        g => leafOf(g.head).split('/').map(_.split('=')(0)).toSeq == dims),
         s"consolidateSegments($table): mixed partition dims across groups")
-      val all = parts.map { case (leaf, df) =>
-        leaf.split('/').foldLeft(df) { (d, comp) =>
-          val Array(k, v) = comp.split('=')
-          d.withColumn(k, org.apache.spark.sql.functions.lit(v.toInt))
-        }
-      }.reduce(_ unionByName _)
+      // ONE read over every group's dirs (single file index — parallel
+      // listing, one schema resolve) with the leaf partition values
+      // recovered from the file path. The per-group spark.read form
+      // paid a SEQUENTIAL driver file-index + footer read per leaf
+      // (up to shards× per table per compacting batch) plus a
+      // shards-way union plan — pure driver time that grew with the
+      // shard count, dwarfing the actual merge I/O.
+      val raw = spark.read.parquet(groups.flatten.map(d => s"$root/$d"): _*)
+      val all = dims.foldLeft(raw) { (df, k) =>
+        df.withColumn(k, org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.input_file_name(),
+          s"/$k=(-?[0-9]+)/", 1).cast("int"))
+      }
       described(all, s"consolidate:$table") {
         all.write.mode("overwrite").partitionBy(dims: _*).parquet(s"$root/$rel")
       }
