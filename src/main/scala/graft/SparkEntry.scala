@@ -413,6 +413,32 @@ object SparkEntry {
       graft.ops.Boilerplate.mainContent(pages)
     }),
 
+    // anchor-text rollup: Spark runs the REAL DOM parse (nested
+    // markup flattened, &amp; decoded, whitespace normalized, the
+    // href-less anchor and the script-wrapped anchor both excluded)
+    // while DuckDB recomputes every (href, text) pair and the full
+    // rollup arithmetically from range() — a mis-parse, a wrong
+    // normalization, or a nondeterministic top-text tie-break breaks
+    // the hash
+    "q_anchor_stats" -> ((s, _) => {
+      def tgt(k: Int) = pmod(col("id") + lit(1 + k), lit(200)).cast("string")
+      def a(k: Int) = concat(lit("<a href=\"/p"), tgt(k),
+        lit("\">t"), tgt(k), lit("</a>"))
+      val hub = pmod(col("id"), lit(10)).cast("string")
+      val pages = s.range(200).select(
+        concat(lit("https://site.test/p"), col("id").cast("string")).as("url"),
+        concat(
+          lit("<html><body><a name=\"x\">skip</a>"),
+          a(0),
+          when(pmod(col("id"), lit(3)) >= 1, a(1)).otherwise(lit("")),
+          when(pmod(col("id"), lit(3)) >= 2, a(2)).otherwise(lit("")),
+          lit("<a href=\"/hub"), hub, lit("\"> A &amp;<b> B"), hub,
+          lit("\n</b> </a><script><a href=\"/fake\">x</a></script>" +
+            "</body></html>"))
+          .cast("binary").as("html"))
+      graft.ops.Anchors.anchorTextStats(pages)
+    }),
+
     // temperature rebalance over the naturally-skewed lang column
     "q_source_mix" -> ((s, dir) =>
       Curation.mixSources(t(s, dir, "documents"), group = col("lang"),
@@ -1147,6 +1173,32 @@ object SparkEntry {
         |  CAST(doc_id % 3 + 4 AS INT) AS n_blocks,
         |  CAST(doc_id % 3 + 1 AS INT) AS n_content_blocks
         |FROM p"""
+        .stripMargin),
+
+    "q_anchor_stats" ->
+      ("""WITH p AS (SELECT i, 'https://site.test/p' || i AS src
+        |   FROM range(200) t(i)),
+        | main AS (SELECT i, '/p' || ((i + 1 + k) % 200) AS href,
+        |     't' || ((i + 1 + k) % 200) AS text
+        |   FROM range(200) t(i), range(3) u(k) WHERE k <= i % 3),
+        | noise AS (SELECT i, '/hub' || (i % 10) AS href,
+        |     'A & B' || (i % 10) AS text FROM range(200) t(i)),
+        | pairs AS (
+        |   SELECT p.src, m.href, m.text FROM main m JOIN p USING (i)
+        |   UNION ALL
+        |   SELECT p.src, n.href, n.text FROM noise n JOIN p USING (i)),
+        | bt AS (SELECT href, text, count(*) AS cnt
+        |   FROM pairs GROUP BY href, text),
+        | top AS (SELECT href, text, cnt, row_number() OVER (
+        |     PARTITION BY href ORDER BY cnt DESC, text DESC) AS rk FROM bt),
+        | agg AS (SELECT href, CAST(sum(cnt) AS BIGINT) AS n_refs,
+        |     count(*) AS n_texts FROM bt GROUP BY href),
+        | s2 AS (SELECT href, count(DISTINCT src) AS n_srcs
+        |   FROM pairs GROUP BY href)
+        |SELECT a.href, a.n_refs, s2.n_srcs, a.n_texts,
+        |  t.text AS top_text, t.cnt AS top_cnt
+        |FROM agg a JOIN s2 USING (href)
+        |JOIN top t ON t.href = a.href AND t.rk = 1"""
         .stripMargin),
 
     "q_source_mix" ->

@@ -69,4 +69,24 @@ object Extract {
   /** Whole-document text irrespective of profile (for corpus `text`). */
   def fullText(html: Array[Byte]): String =
     Html.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8)).textContent
+
+  /** Whole-document (href, normalized anchor text) pairs in document
+    * order — the raw material of anchor-text aggregation
+    * ([[graft.ops.Anchors]]). Malformed pages yield the pairs the
+    * parser can recover (tolerant, like every extract here).
+    */
+  final case class Anchor(href: String, text: String)
+
+  def anchorsOf(html: Array[Byte]): Seq[Anchor] = {
+    if (html == null) return Seq.empty
+    try Html.anchors(Seq(Html.parse(
+      new String(html, java.nio.charset.StandardCharsets.UTF_8))))
+      .map { case (h, t) => Anchor(h, t) }
+    catch { case _: Exception => Seq.empty }
+  }
+
+  val anchorsUdf = udf(anchorsOf _)
+
+  /** `extract_anchors(html)` → ARRAY<STRUCT<href, text>> */
+  def extract_anchors(html: Column): Column = anchorsUdf(html)
 }

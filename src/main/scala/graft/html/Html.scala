@@ -489,6 +489,17 @@ object Html {
   def links(sel: Seq[Node]): Seq[String] =
     find(sel, "a[href]").flatMap(_.attr("href"))
 
+  /** (href, anchor text) of `a[href]` under the selection, document
+    * order. Text is the anchor's full descendant text (nested markup
+    * flattened, entities already decoded by the parser), whitespace-
+    * normalized: runs collapse to one space, ends trimmed — the form
+    * every anchor-text corpus pipeline aggregates on.
+    */
+  def anchors(sel: Seq[Node]): Seq[(String, String)] =
+    find(sel, "a[href]").flatMap(n =>
+      n.attr("href").map(h =>
+        (h, n.textContent.replaceAll("\\s+", " ").trim)))
+
   /** Allocation-light whole-document link scan — behaviorally identical
     * to `links(Seq(parse(html)))` for the identity page filter (no DOM
     * tree built; comments, doctype, and script/style raw text skipped
