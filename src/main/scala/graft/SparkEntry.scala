@@ -342,6 +342,15 @@ object SparkEntry {
 
     // DSIR importance resampling: target = every 7th doc (a
     // deterministic "domain" both engines can name), raw = the rest
+    // CCNet head/middle/tail tiers over the unigram-LM score
+    "q_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Curation.unigramLogLik(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_ll").as("score"))
+      Curation.scoreBuckets(scored)
+    }),
+
     "q_dsir_weights" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Curation.importanceWeights(
@@ -755,10 +764,38 @@ object SparkEntry {
     // the same recurrence as chained CTEs. Output mean-normalized
     // (rank × N) and rounded so cross-engine float-sum order noise
     // (~1e-15 relative) sits 9 orders below the comparison grain.
+    // host/domain-graph projection: page edges → weighted group edges
+    // (grp = node % 50 stands in for the host map, which a foreign
+    // engine recomputes arithmetically)
+    "q_host_graph" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val groups = nodes.select(col("node"), pmod(col("node"), lit(50)).as("grp"))
+      graft.ops.GraphOps.projectGraph(edges, groups)
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
       val pr = graft.ops.GraphOps.pageRank(edges, iters = 3)
+      pr.crossJoin(pr.agg(count(lit(1)).cast("double").as("nn")))
+        .select(col("node"), round(col("rank") * col("nn"), 6).as("rank_n"))
+    }),
+
+    // weighted PageRank over the projected host graph — the CC-style
+    // host ranking; DuckDB re-runs the weighted recurrence
+    "q_host_rank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val groups = nodes.select(col("node"), pmod(col("node"), lit(50)).as("grp"))
+      val hg = graft.ops.GraphOps.projectGraph(edges, groups)
+        .select(col("src_grp").as("src"), col("dst_grp").as("dst"),
+          col("weight"))
+      val pr = graft.ops.GraphOps.pageRankWeighted(hg, iters = 3)
       pr.crossJoin(pr.agg(count(lit(1)).cast("double").as("nn")))
         .select(col("node"), round(col("rank") * col("nn"), 6).as("rank_n"))
     }),
@@ -1071,6 +1108,26 @@ object SparkEntry {
         |FROM toks JOIN v USING (token) GROUP BY doc_id"""
         .stripMargin),
 
+    "q_ppl_buckets" ->
+      ("""WITH toks AS (SELECT doc_id, t.token AS token
+        |   FROM documents, unnest(string_split_regex(text, '\s+')) t(token)),
+        | v AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+        | sc AS (SELECT doc_id,
+        |     round(avg(ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 4) AS s
+        |   FROM toks JOIN v USING (token) GROUP BY doc_id),
+        | sl AS (SELECT sc.doc_id, d.lang, sc.s
+        |   FROM sc JOIN documents d USING (doc_id)),
+        | hist AS (SELECT lang, s, count(*) AS c FROM sl GROUP BY lang, s),
+        | b AS (SELECT lang, s, CAST(floor(3 * coalesce(sum(c) OVER (
+        |       PARTITION BY lang ORDER BY s DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     / sum(c) OVER (PARTITION BY lang)) AS INT) AS bucket
+        |   FROM hist)
+        |SELECT sl.doc_id, sl.lang, sl.s AS score, b.bucket
+        |FROM sl JOIN b USING (lang, s)"""
+        .stripMargin),
+
     "q_dsir_weights" -> (dsirWeightsCte + "\n" +
       """SELECT doc_id, round(sum(c * lr), 4) AS logw
         |FROM dc JOIN model USING (bucket) GROUP BY doc_id"""
@@ -1281,6 +1338,40 @@ object SparkEntry {
         .stripMargin),
 
     // the same 3-iteration dangling-aware recurrence as chained CTEs
+    "q_host_graph" ->
+      ("""WITH m AS (SELECT l_orderkey % 50 AS src_grp,
+        |     l_partkey % 50 AS dst_grp FROM lineitem)
+        |SELECT src_grp, dst_grp, count(*) AS weight
+        |FROM m WHERE src_grp <> dst_grp GROUP BY src_grp, dst_grp"""
+        .stripMargin),
+
+    "q_host_rank" ->
+      ("""WITH m AS (SELECT l_orderkey % 50 AS s, l_partkey % 50 AS d FROM lineitem),
+        | e AS (SELECT s AS src, d AS dst, CAST(count(*) AS DOUBLE) AS w
+        |   FROM m WHERE s <> d GROUP BY s, d),
+        | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        | prm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        | dg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src),
+        | r0 AS (SELECT node, deg, 1.0/(SELECT n FROM prm) AS r
+        |   FROM nodes LEFT JOIN dg ON node = src),
+        | c1 AS (SELECT e.dst AS node, SUM(r0.r * e.w / r0.deg) AS c FROM r0 JOIN e ON r0.node = e.src GROUP BY e.dst),
+        | d1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0 WHERE deg IS NULL),
+        | r1 AS (SELECT r0.node, r0.deg, 0.15/(SELECT n FROM prm)
+        |   + 0.85*(COALESCE(c1.c, 0) + (SELECT dm FROM d1)/(SELECT n FROM prm)) AS r
+        |   FROM r0 LEFT JOIN c1 ON r0.node = c1.node),
+        | c2 AS (SELECT e.dst AS node, SUM(r1.r * e.w / r1.deg) AS c FROM r1 JOIN e ON r1.node = e.src GROUP BY e.dst),
+        | d2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r1 WHERE deg IS NULL),
+        | r2 AS (SELECT r1.node, r1.deg, 0.15/(SELECT n FROM prm)
+        |   + 0.85*(COALESCE(c2.c, 0) + (SELECT dm FROM d2)/(SELECT n FROM prm)) AS r
+        |   FROM r1 LEFT JOIN c2 ON r1.node = c2.node),
+        | c3 AS (SELECT e.dst AS node, SUM(r2.r * e.w / r2.deg) AS c FROM r2 JOIN e ON r2.node = e.src GROUP BY e.dst),
+        | d3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r2 WHERE deg IS NULL),
+        | r3 AS (SELECT r2.node, r2.deg, 0.15/(SELECT n FROM prm)
+        |   + 0.85*(COALESCE(c3.c, 0) + (SELECT dm FROM d3)/(SELECT n FROM prm)) AS r
+        |   FROM r2 LEFT JOIN c3 ON r2.node = c3.node)
+        |SELECT node, ROUND(r * (SELECT n FROM prm), 6) AS rank_n FROM r3"""
+        .stripMargin),
+
     "q_pagerank" ->
       ("""WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
         | nd AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),

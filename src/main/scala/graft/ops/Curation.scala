@@ -200,6 +200,37 @@ object Curation {
         .as("avg_ll"))
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): per language,
+    * split the corpus into `nBuckets` equal-count tiers by an LM score
+    * (head = best-scored third, middle, tail). CCNet sorts each
+    * language by perplexity and cuts at tertiles; sorting a 100 TB
+    * language inside one window partition is the classic skew trap,
+    * so the cut here is computed on the (lang, score) HISTOGRAM —
+    * scores arrive rounded to 4 places, so distinct values are
+    * bounded and the window runs over the histogram, never the
+    * corpus. bucket = floor(nBuckets · |{docs with strictly better
+    * score}| / n_lang): ties share a bucket, deterministic under any
+    * partitioning, and recomputable by a foreign engine.
+    * Input: (doc_id, lang, score) with higher = better (avg log-lik);
+    * output: (doc_id, lang, score, bucket), bucket 0 = head.
+    */
+  def scoreBuckets(scored: DataFrame, lang: Column = col("lang"),
+      score: Column = col("score"), nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val base = scored.select(col("doc_id"), lang.as("lang"), score.as("s"))
+    val hist = base.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("c"))
+    val better = Window.partitionBy(col("lang")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perLang = Window.partitionBy(col("lang"))
+    val buckets = hist
+      .withColumn("cum", coalesce(sum(col("c")).over(better), lit(0L)))
+      .withColumn("n", sum(col("c")).over(perLang))
+      .select(col("lang"), col("s"),
+        floor(lit(nBuckets) * col("cum") / col("n")).cast("int").as("bucket"))
+    base.join(buckets, Seq("lang", "s"))
+      .select(col("doc_id"), col("lang"), col("s").as("score"), col("bucket"))
+  }
+
   /** Temperature-based source mixing (the multilingual-corpus
     * rebalancing recipe published with mC4/XLM-R: sample group g with
     * probability ∝ n_g^alpha, alpha < 1 flattening the distribution).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Analytics over the crawl's edge table — the queries the reference's
@@ -31,6 +31,31 @@ object GraphOps {
       .orderBy(col("in_degree").desc, col("dst").asc)
       .limit(k)
 
+  /** Project the page graph onto a coarser node space (the Common
+    * Crawl host/domain-graph recipe: page edges → host edges): map
+    * src/dst through `groups` = (node, grp), collapse parallel edges
+    * into a weight, drop intra-group self-loops by default. Output
+    * (src_grp, dst_grp, weight) — the input for host-level ranking,
+    * degree stats, or link-spam signals.
+    *
+    * Scale shape: two hash joins on the 8-byte node key (the groups
+    * side is the node dictionary — usually the broadcast side at page
+    * scale it's not, and AQE picks), then one (src_grp, dst_grp)
+    * count with map-side combine — output is bounded by DISTINCT
+    * group pairs, never the page-edge count.
+    */
+  def projectGraph(edges: DataFrame, groups: DataFrame,
+      dropSelf: Boolean = true): DataFrame = {
+    val bySrc = groups.select(col("node").as("src"), col("grp").as("src_grp"))
+    val byDst = groups.select(col("node").as("dst"), col("grp").as("dst_grp"))
+    val mapped = edges.select(col("src"), col("dst"))
+      .join(bySrc, Seq("src")).join(byDst, Seq("dst"))
+    (if (dropSelf) mapped.filter(col("src_grp") =!= col("dst_grp"))
+     else mapped)
+      .groupBy(col("src_grp"), col("dst_grp"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Nodes reachable from `sources` within `maxHops` edges; returns
     * (node, hops) with the MINIMUM hop count (BFS layering).
     * `sources` needs a single column `node`.
@@ -59,14 +84,34 @@ object GraphOps {
     * (node, rank) with Σ rank = 1.
     */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
+      damping: Double = 0.85): DataFrame =
+    pageRankCore(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true), iters, damping)
+
+  /** Weighted PageRank — contributions ∝ edge weight / total
+    * out-weight (the host/domain-graph ranking recipe: a host linking
+    * another 10,000× passes more mass than a single page link, e.g.
+    * over [[projectGraph]] output). Parallel (src, dst) rows collapse
+    * by summing `weight`; the per-iteration shape is identical to the
+    * unweighted op (one join shuffle + one 8-byte-dst aggregation).
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+      damping: Double = 0.85, weight: Column = col("weight")): DataFrame =
+    pageRankCore(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), weight.cast("double").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true), iters, damping)
+
+  private def pageRankCore(e: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
+    val weighted = e.columns.contains("w")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("deg"))
+    val outDeg =
+      if (weighted) e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+      else e.groupBy(col("src"))
+        .agg(count(lit(1)).cast("double").as("deg"))
     // deg NULL = dangling (never a src)
     val degged = nodes
       .join(outDeg, nodes("node") === outDeg("src"), "left")
@@ -92,9 +137,12 @@ object GraphOps {
       n: Double, damping: Double, ranks: DataFrame): DataFrame = {
     val dangling = ranks.filter(col("deg").isNull)
       .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+    val perEdge =
+      if (e.columns.contains("w")) col("rank") * col("w") / col("deg")
+      else col("rank") / col("deg")
     val contribs = ranks
       .join(e, ranks("node") === e("src"))
-      .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      .select(col("dst"), perEdge.as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
     degged
       .join(contribs, degged("node") === contribs("dst"), "left")

@@ -314,6 +314,43 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
 
+  // ---- CCNet score bucketing ----
+
+  test("scoreBuckets: equal-count tiers, ties share a bucket, per-lang") {
+    // en: scores 9,8,7,6,5,4 (one each) → head {9,8}, middle {7,6},
+    // tail {5,4}. de: 3 docs score 2.0 + 3 docs 1.0: the tie group
+    // {2.0} has cum=0 → bucket 0; {1.0} has cum=3, n=6 → bucket 1 —
+    // ties SHARE the bucket the rule assigns, never split
+    val scored = (
+      (0 to 5).map(i => (i.toLong, "en", 9.0 - i)) ++
+        (10 to 12).map(i => (i.toLong, "de", 2.0)) ++
+        (13 to 15).map(i => (i.toLong, "de", 1.0))
+      ).toDF("doc_id", "lang", "score")
+    val got = Curation.scoreBuckets(scored)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(got === Map(
+      0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2,
+      10L -> 0, 11L -> 0, 12L -> 0, 13L -> 1, 14L -> 1, 15L -> 1))
+    // partition-independence
+    val got2 = Curation.scoreBuckets(scored.repartition(7))
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(got2 === got)
+  }
+
+  test("scoreBuckets plan: windows run over the histogram, not the corpus") {
+    val scored = (0 to 20).map(i => (i.toLong, "en", (i % 4).toDouble))
+      .toDF("doc_id", "lang", "score")
+    val plan = Curation.scoreBuckets(scored)
+      .queryExecution.optimizedPlan.toString
+    // the aggregate (histogram) sits BELOW every Window node: no
+    // Window may consume the raw (doc_id, ...) rows
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    val aggIdx = lines.lastIndexWhere(_.contains("Aggregate ["))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected Aggregate below Window:\n$plan")
+  }
+
   // ---- DSIR importance resampling ----
 
   private val dsirTarget = Seq(

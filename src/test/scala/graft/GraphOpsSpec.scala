@@ -27,6 +27,62 @@ class GraphOpsSpec extends SparkSpec {
     assert(top(1) === ((1L, 1L)))
   }
 
+  test("pageRankWeighted: serial weighted recurrence; weight-1 ≡ unweighted") {
+    // weighted: 1→10 w3, 1→11 w1 (1 passes 3/4 to 10), 2→10 w2;
+    // duplicate (3,10) rows must collapse by SUM (w 1+2 = 3); 3→11 w1
+    val we = Seq((1L, 10L, 3.0), (1L, 11L, 1.0), (2L, 10L, 2.0),
+      (3L, 10L, 1.0), (3L, 10L, 2.0), (3L, 11L, 1.0))
+      .toDF("src", "dst", "weight")
+    val got = GraphOps.pageRankWeighted(we, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L)
+    val out = Map( // collapsed weights
+      1L -> Seq((10L, 3.0), (11L, 1.0)),
+      2L -> Seq((10L, 2.0)),
+      3L -> Seq((10L, 3.0), (11L, 1.0)))
+    val n = nodes.length.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 3).foreach { _ =>
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val contrib = nodes.flatMap { s =>
+        val w = out.getOrElse(s, Nil)
+        val tot = w.map(_._2).sum
+        w.map { case (d, x) => d -> r(s) * x / tot }
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      r = nodes.map(x => x ->
+        (0.15 / n + 0.85 * (contrib.getOrElse(x, 0.0) + dm / n))).toMap
+    }
+    got.foreach { case (k, v) => assert(math.abs(v - r(k)) < 1e-12, s"node $k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+
+    // all-ones weights reproduce the unweighted op exactly
+    val e1 = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val a = GraphOps.pageRank(e1, iters = 3)
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    val b = GraphOps.pageRankWeighted(
+      e1.withColumn("weight", lit(1.0)), iters = 3)
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-15, s"node $k") }
+  }
+
+  test("projectGraph: weighted group edges, self-loops dropped by default") {
+    // groups: odd/even. edges 1→2 (odd→even), 2→3 ×2 via parallel rows
+    // (even→odd), 1→3 (odd→odd: SELF-LOOP in group space), 4→2
+    // (even→even: self-loop)
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 3L), (1L, 3L), (4L, 2L))
+      .toDF("src", "dst")
+    val groups = Seq(1L, 2L, 3L, 4L)
+      .toDF("node").withColumn("grp", col("node") % 2)
+    val got = GraphOps.projectGraph(e, groups)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 1L), (0L, 1L, 2L)))
+    val withSelf = GraphOps.projectGraph(e, groups, dropSelf = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(withSelf === Set(
+      (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 1L), (0L, 0L, 1L)))
+  }
+
   test("bounded-hop BFS with cycle: minimum hop counts, no re-expansion") {
     val sources = Seq(1L).toDF("node")
     val got = GraphOps.reachable(edges, sources, maxHops = 3)
