@@ -139,6 +139,23 @@ object Main {
       case None => ()
     }
 
+    // RECRAWL_STREAM_DIR: consume url<TAB>tier files as recrawl marks
+    // (change-rate channel) against an EXISTING crawl store
+    env.get("RECRAWL_STREAM_DIR").filter(_.nonEmpty) match {
+      case Some(rcDir) =>
+        require(store.exists("frontier"),
+          "RECRAWL_STREAM_DIR needs an existing crawl store to mark against")
+        val ckpt = env.getOrElse("RECRAWL_STREAM_CHECKPOINT",
+          s"$storeRoot/_recrawl_checkpoint")
+        println(s"[graft] streaming recrawl marks from $rcDir (checkpoint $ckpt)")
+        val q = graft.streaming.CrawlStream.recrawlDriven(spark, engine, rcDir, ckpt)
+        q.awaitTermination()
+        println(s"[graft] done: totalNodes=${engine.nodesTotal}")
+        spark.stop()
+        return
+      case None => ()
+    }
+
     if (!store.exists("frontier")) {
       val seed = resolveSeedUrl(spark, profile, spec, env)
       engine.seed(Seq(seed))

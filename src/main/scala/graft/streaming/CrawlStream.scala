@@ -64,6 +64,48 @@ object CrawlStream {
       .start()
   }
 
+  /** Continuous recrawl service — the streaming consumer of the
+    * change-rate channel ([[graft.sources.Cdx.toRecrawlSeeds]] output
+    * persisted as text): files of `url<TAB>tier` lines (tier optional,
+    * default 0) land in `recrawlDir`; each micro-batch marks the urls
+    * as tombstones ([[CrawlEngine.recrawl]] — re-admitted past the
+    * seen set exactly once per mark, fingerprints deleted on
+    * re-admission) and drives the refetch. The file-source checkpoint
+    * makes each mark EVENT exactly-once: a restart never re-marks a
+    * consumed file, while a genuinely new file for the same url is a
+    * new change signal and correctly refetches again.
+    */
+  def recrawlDriven(spark: SparkSession, engine: CrawlEngine,
+      recrawlDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(recrawlDir)
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val maxPerBatch = 5000000L
+        val rows = batch.select(trim(col("value")).as("line"))
+          .filter(col("line") =!= "")
+          .limit(maxPerBatch.toInt + 1)
+          .as[String].collect().toSeq
+        require(rows.length <= maxPerBatch,
+          s"recrawl micro-batch exceeds $maxPerBatch urls; split the files")
+        val seeds = rows.map { l =>
+          val p = l.split("\t", 2)
+          (p(0).trim, if (p.length > 1) p(1).trim.toLong else 0L)
+        }.filter(_._1.nonEmpty)
+        if (seeds.nonEmpty) {
+          engine.recrawl(seeds)
+          engine.run()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Per-host admission budget over a URL stream — the politeness
     * budget expressed as KEYED STREAMING STATE
     * (`flatMapGroupsWithState`): each host's running admission count

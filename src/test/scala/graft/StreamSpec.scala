@@ -56,6 +56,47 @@ class StreamSpec extends SparkSpec {
     assert(store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
   }
 
+  test("recrawl-driven stream: marks refetch exactly once, checkpoint-safe") {
+    val spec = SyntheticWeb.Spec("wikipedia", numPages = 25L)
+    val pages = SyntheticWeb.pages(spark, spec).toDF()
+    val root = Files.createTempDirectory("graft-rcs").toString
+    val rcDir = Files.createTempDirectory("graft-rc-seeds").toString
+    val ckpt = Files.createTempDirectory("graft-rc-ckpt").toString
+    val cfg = CrawlConfig(site = "wikipedia", batchSize = 40,
+      numShards = 8, bloomItemsPerShard = 4096)
+    val engine = new CrawlEngine(spark, new Store(root, spark),
+      Sites.wikipedia, cfg, pages)
+    engine.seed(Seq(SyntheticWeb.pageUrl(spec, 0L)))
+    engine.run()
+    val store = engine.store
+    def pagesFetched: Long = store.read("metrics").get
+      .filter(col("partition_id") === -1)
+      .agg(coalesce(sum("pages"), lit(0L))).head().getLong(0)
+    val base = pagesFetched
+    val edges0 = store.read("edges").get.count()
+
+    // one recrawl file: two crawled urls (one with an explicit tier)
+    Files.writeString(Paths.get(rcDir, "r1.txt"),
+      SyntheticWeb.pageUrl(spec, 1L) + "\n" +
+        SyntheticWeb.pageUrl(spec, 2L) + "\t1\n")
+    val q1 = CrawlStream.recrawlDriven(spark, engine, rcDir, ckpt)
+    q1.awaitTermination()
+    assert(pagesFetched === base + 2) // exactly the marked set refetched
+    assert(store.read("edges").get.count() === edges0) // graph unchanged
+
+    // restart with no new files: the checkpoint prevents re-marking
+    val q2 = CrawlStream.recrawlDriven(spark, engine, rcDir, ckpt)
+    q2.awaitTermination()
+    assert(pagesFetched === base + 2)
+
+    // a NEW file for the same url is a new change signal → one more
+    Files.writeString(Paths.get(rcDir, "r2.txt"),
+      SyntheticWeb.pageUrl(spec, 1L) + "\n")
+    val q3 = CrawlStream.recrawlDriven(spark, engine, rcDir, ckpt)
+    q3.awaitTermination()
+    assert(pagesFetched === base + 3)
+  }
+
   test("keyed-state host budget admits per-host quota across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.SeedUrl
