@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.CrawlEngine
 import graft.functions.{canon, Extract}
 import graft.model.CrawlConfig
-import graft.ops.{Bpe, Curation, Dedup, Events, Multimodal, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Classifier, Curation, Dedup, Events, Multimodal, Search, Similarity, TextOps}
 import graft.sites.{Sites, SyntheticWeb}
 import graft.state.Store
 
@@ -364,6 +364,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), k = 50,
         buckets = 1 << 16, gumbel = true)
+    }),
+
+    // hashed-feature logistic quality classifier: 2 full-batch GD
+    // iterations (label: lang = 'en'); DuckDB re-runs the whole
+    // training recurrence — feature hashing, closed-form first step,
+    // sigmoid margins, gradient update — so the distributed GD is
+    // pinned by a foreign implementation end-to-end
+    "q_classifier_train" -> ((s, dir) =>
+      Classifier.trainLogistic(t(s, dir, "documents"),
+        (col("lang") === "en").cast("double"),
+        buckets = 1 << 16, iters = 2, lr = 10.0)
+        .select(col("bucket"), round(col("w"), 8).as("w_r"))),
+
+    "q_classifier_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Classifier.trainLogistic(docs,
+        (col("lang") === "en").cast("double"),
+        buckets = 1 << 16, iters = 2, lr = 10.0)
+      Classifier.scoreLogistic(docs, w, buckets = 1 << 16)
+        .select(col("doc_id"), round(col("prob"), 4).as("prob_r"))
     }),
 
     "q_repetition" -> ((s, dir) =>
@@ -1128,6 +1148,15 @@ object SparkEntry {
         |FROM sl JOIN b USING (lang, s)"""
         .stripMargin),
 
+    "q_classifier_train" -> (classifierCte + "\n" +
+      "SELECT bucket, round(w, 8) AS w_r FROM w2"),
+
+    "q_classifier_score" -> (classifierCte + "\n" +
+      """, p3 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(x * w))) AS p
+        |         FROM f JOIN w2 USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, round(p, 4) AS prob_r FROM p3"""
+        .stripMargin),
+
     "q_dsir_weights" -> (dsirWeightsCte + "\n" +
       """SELECT doc_id, round(sum(c * lr), 4) AS logw
         |FROM dc JOIN model USING (bucket) GROUP BY doc_id"""
@@ -1466,6 +1495,40 @@ object SparkEntry {
        |     ln((ct + 1.0) / (tt + 65536.0)) - ln((cr + 1.0) / (tr + 65536.0)) AS lr
        |   FROM j CROSS JOIN tot),
        | dc AS (SELECT doc_id, bucket, count(*) AS c FROM rb GROUP BY doc_id, bucket)"""
+      .stripMargin
+  }
+
+  /** Shared CTE for the classifier oracles: the full 2-iteration
+    * full-batch GD of [[graft.ops.Classifier.trainLogistic]] unrolled
+    * in SQL — md5-bucketed unigram+bigram features x (normalized per
+    * doc), label y = (lang = 'en'), closed-form first step at w = 0
+    * (σ = 0.5 everywhere), then one sigmoid-margin pass and gradient
+    * update. lr = 10, buckets = 2^16.
+    */
+  private def classifierCte: String = {
+    val bucket = s"((${hexDigit(1)} * 65536 + ${hexDigit(2)} * 4096 + " +
+      s"${hexDigit(3)} * 256 + ${hexDigit(4)} * 16 + ${hexDigit(5)}) % 65536)"
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+       |   FROM documents),
+       | g AS (SELECT doc_id, u.tok AS gram FROM tok, unnest(t) u(tok)
+       |        UNION ALL
+       |        SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+       |        FROM tok, unnest(range(1, len(t))) r(i)),
+       | b AS (SELECT doc_id, $bucket AS bucket FROM g),
+       | c AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+       | f AS (SELECT doc_id, bucket,
+       |        CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS x FROM c),
+       | y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |       FROM documents),
+       | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       | w1 AS (SELECT bucket, -10.0 * sum((0.5 - y) * x) / (SELECT n FROM nn) AS w
+       |        FROM f JOIN y USING (doc_id) GROUP BY bucket),
+       | p2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(x * w))) AS p
+       |        FROM f JOIN w1 USING (bucket) GROUP BY doc_id),
+       | g2 AS (SELECT bucket, sum((p - y) * x) AS g
+       |        FROM f JOIN p2 USING (doc_id) JOIN y USING (doc_id) GROUP BY bucket),
+       | w2 AS (SELECT w1.bucket, w1.w - 10.0 * g2.g / (SELECT n FROM nn) AS w
+       |        FROM w1 JOIN g2 USING (bucket))"""
       .stripMargin
   }
 

@@ -397,7 +397,7 @@ object Curation {
     * space-joined bigrams, hashed by [[md5Bucket]] — the feature
     * extraction shared by the DSIR model fit and the per-doc scoring.
     */
-  private def gramBuckets(df: DataFrame, text: Column,
+  private[ops] def gramBuckets(df: DataFrame, text: Column,
       buckets: Int): DataFrame = {
     val toks = TextOps.wsTokens(text)
     val bi = when(size(toks) >= 2,
