@@ -661,6 +661,12 @@ object SparkEntry {
         nBits = 4, tables = 8)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim_r"))),
 
+    // SemDeDup kept set under the SQL-expressible axis-sign clustering
+    // (the k-means variant is OpsSpec-verified against this kernel)
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDeDup(t(s, dir, "embeddings"),
+        Similarity.axisSignBucket(col("embedding"), 4), 0.3)),
+
     // multimodal plumbing (stub decode, deterministic)
     "q_media_meta" -> ((s, _) => {
       import s.implicits._
@@ -1443,6 +1449,25 @@ object SparkEntry {
         |   * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(sim, 4) AS sim_r FROM s WHERE sim >= 0.35"""
+        .stripMargin),
+
+    // SemDeDup: within-cluster (axis-sign bits of the first 4 dims)
+    // pairwise cosine; drop any vector with a lower-id ≥0.3 neighbor
+    "q_semdedup" ->
+      ("""WITH e AS (SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS cluster,
+        |    sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |   FROM embeddings),
+        | d AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+        |       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |       WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0 ELSE
+        |         list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |         / (a.nrm * b.nrm) END) >= 0.3)
+        |SELECT e.vec_id, e.cluster FROM e LEFT JOIN d ON e.vec_id = d.vec_id
+        |WHERE d.vec_id IS NULL"""
         .stripMargin),
 
     "q_crawl_edges" -> crawlOracle("wikipedia", 60L),

@@ -264,4 +264,87 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
+
+  /** Axis-sign coarse quantizer: bit j (MSB-first) set iff
+    * `embedding[j] > 0` — `nBits` axis-aligned hyperplanes through the
+    * origin. The cheapest deterministic semantic bucketing (no learned
+    * centroids, no seeded planes), and exactly re-expressible in ANSI
+    * SQL, which makes it the foreign-verifiable cluster assignment for
+    * [[semDeDup]]'s driver oracle; production runs pass k-means
+    * buckets instead (see [[semDeDupKMeans]]).
+    */
+  def axisSignBucket(embedding: Column, nBits: Int = 4): Column =
+    (0 until nBits).map { j =>
+      when(embedding.getItem(j) > 0.0f, lit(1 << (nBits - 1 - j)))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and pruning within-cluster
+    * near-duplicates — pairwise cosine is computed ONLY inside a
+    * cluster, turning the O(n²) all-corpus pair problem into Σ|cluster|²
+    * with the cluster size as the tuning knob. Keep rule here is
+    * deterministic keep-lowest-id: a vector is dropped iff some
+    * lower-id vector in the same cluster has cosine ≥ `threshold`
+    * with it (the paper keeps the member farthest from the centroid;
+    * id order makes the result corpus-stable and oracle-checkable —
+    * the kept SET differs only in which representative survives).
+    *
+    * Returns the kept rows `(vec_id, cluster)`.
+    *
+    * Scale shape: embeddings shuffle ONCE keyed by cluster on each
+    * side of the self-join; clusters larger than `maxCluster` are
+    * excluded from pairing (B² skew bomb — same cap contract as
+    * lshCandidates/cosineNearDups) and their members are all KEPT;
+    * the blast radius of the cap is surfaced by
+    * [[semDeDupClusterStats]]. With k-means clusters, k scales so
+    * that |cluster| ≈ corpus/k stays under the cap.
+    */
+  def semDeDup(emb: DataFrame, cluster: Column, threshold: Double,
+      maxCluster: Int = 10000): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      cluster.cast("int").as("cluster"))
+    val sizes = e.groupBy(col("cluster")).agg(count(lit(1)).as("cn"))
+    // norms are per-VECTOR: compute them below the self-join (n rows),
+    // not per pair — same layout as cosinePairsExact
+    val pairable = e.join(sizes.filter(col("cn") <= maxCluster)
+      .select(col("cluster")), Seq("cluster"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val dropped = pairable
+      .select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(pairable.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b") &&
+        when(col("na") * col("nb") === 0.0, lit(0.0))
+          .otherwise(dot(col("ea"), col("eb")) /
+            (col("na") * col("nb"))) >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** Cap blast-radius report for [[semDeDup]]: per-cluster size and
+    * whether the cap excluded it from pairing (its members bypass
+    * dedup). Run before committing a (clustering, maxCluster) choice.
+    */
+  def semDeDupClusterStats(emb: DataFrame, cluster: Column,
+      maxCluster: Int = 10000): DataFrame =
+    emb.select(cluster.cast("int").as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cn"))
+      .select(col("cluster"), col("cn"),
+        (col("cn") > maxCluster).as("capped"))
+
+  /** Paper-faithful SemDeDup: k-means clusters (sample init + Lloyd
+    * refinement, both deterministic) drive [[semDeDup]]. k is the
+    * scale lever — the paper uses k ≈ corpus/1e4; centroids broadcast
+    * as plan literals, so cluster assignment adds no shuffle.
+    */
+  def semDeDupKMeans(emb: DataFrame, k: Int, threshold: Double,
+      lloydIters: Int = 1, maxCluster: Int = 10000): DataFrame = {
+    val cents = ivfCentroidsLloyd(emb, k, lloydIters)
+    semDeDup(emb, assignBucket(col("embedding"), cents), threshold,
+      maxCluster)
+  }
 }

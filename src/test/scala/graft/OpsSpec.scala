@@ -301,6 +301,68 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("semDeDup: kept set = brute-force within-cluster rule; cap keeps all") {
+    // clustered vectors with exact duplicates: ids ≡ mod 8 share a
+    // dominant direction, +0.05 id-specific noise; ids 100-103 are
+    // exact copies of 0-3 (cos = 1 → must be dropped)
+    val emb = spark.range(0, 120).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin((col("id") % 100 % 8 + 1) * (i + 1)) +
+          sin((col("id") % 100 + 1) * (i + 3)) * 0.05).cast("float"))
+        .as("embedding"))
+      .filter(col("vec_id") < 104)
+      .cache()
+
+    val cents = Similarity.ivfCentroidsLloyd(emb, k = 6, iters = 1)
+    val kept = Similarity
+      .semDeDup(emb, Similarity.assignBucket(col("embedding"), cents), 0.9)
+      .collect().map(_.getLong(0)).toSet
+
+    // driver-side oracle over the same cluster assignment
+    val assigned = emb.select(col("vec_id"),
+      Similarity.assignBucket(col("embedding"), cents).as("cluster"),
+      col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      val n = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) 0.0 else d / n
+    }
+    val wantKept = assigned.filter { case (id, cl, v) =>
+      !assigned.exists { case (id2, cl2, v2) =>
+        cl2 == cl && id2 < id && cos(v2, v) >= 0.9
+      }
+    }.map(_._1).toSet
+    assert(kept === wantKept)
+    // the exact copies of 0-3 can never survive (their originals are
+    // lower-id, same cluster by construction, cos = 1)
+    assert((100L to 103L).forall(!kept.contains(_)))
+    assert((0L to 3L).forall(kept.contains))
+
+    // cap excludes oversized clusters from pairing: everything kept
+    val keptCapped = Similarity
+      .semDeDup(emb, lit(0), 0.9, maxCluster = 10)
+      .count()
+    assert(keptCapped === 104)
+    val stats = Similarity
+      .semDeDupClusterStats(emb, lit(0), maxCluster = 10).collect()
+    assert(stats.length === 1 && stats(0).getBoolean(2) &&
+      stats(0).getLong(1) === 104)
+
+    // axis-sign bucket: MSB-first sign bits of the leading dims
+    val b = emb.select(col("vec_id"),
+      Similarity.axisSignBucket(col("embedding"), 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = assigned.map { case (id, _, v) => id -> v }.toMap
+    b.foreach { case (id, got) =>
+      val v = vecs(id)
+      val want = (0 until 4).map(j => if (v(j) > 0f) 1 << (3 - j) else 0).sum
+      assert(got === want, s"vec $id")
+    }
+  }
+
   test("DotProduct expression ≡ zip_with/aggregate dot, bit for bit") {
     def ref(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
