@@ -324,6 +324,32 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 11, "0")))
           .as("redacted"))),
 
+    // domain-blocklist filter: hosts synthesized from customer keys on
+    // BOTH sides; Spark runs the suffix-chain equi-join, the oracle a
+    // plain suffix predicate join — every (doc, matched domain) row
+    "q_domain_block" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        concat(lit("https://W"), pmod(col("c_custkey"), lit(5)).cast("string"),
+          lit(".h"), pmod(col("c_nationkey"), lit(7)).cast("string"),
+          lit(".Example.org/p?x=1")).as("url"))
+      val bl = Seq("h3.example.org", "w1.h5.example.org", "EXAMPLE.NET ")
+        .toDF("domain")
+      Curation.blockedByDomain(docs, bl)
+    }),
+
+    "q_domain_keep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        concat(lit("https://W"), pmod(col("c_custkey"), lit(5)).cast("string"),
+          lit(".h"), pmod(col("c_nationkey"), lit(7)).cast("string"),
+          lit(".Example.org/p?x=1")).as("url"))
+      val bl = Seq("h3.example.org", "w1.h5.example.org").toDF("domain")
+      Curation.dropBlockedDomains(docs, bl)
+    }),
+
     "q_corpus_stats" -> ((s, dir) =>
       Curation.corpusStats(t(s, dir, "documents"))),
 
@@ -1030,6 +1056,29 @@ object SparkEntry {
         |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |  '\b\d{9,}\b', '<ID>', 'g') AS redacted
         |FROM documents"""
+        .stripMargin),
+
+    "q_domain_block" ->
+      ("""WITH u AS (SELECT c_custkey AS doc_id,
+        |   'w' || CAST(c_custkey % 5 AS VARCHAR) || '.h'
+        |       || CAST(c_nationkey % 7 AS VARCHAR) || '.example.org' AS host
+        | FROM customer),
+        | bl(domain) AS (VALUES ('h3.example.org'), ('w1.h5.example.org'), ('example.net'))
+        |SELECT u.doc_id, u.host, b.domain
+        |FROM u JOIN bl b ON u.host = b.domain OR u.host LIKE '%.' || b.domain"""
+        .stripMargin),
+
+    "q_domain_keep" ->
+      ("""WITH u AS (SELECT c_custkey AS doc_id,
+        |   'https://W' || CAST(c_custkey % 5 AS VARCHAR) || '.h'
+        |       || CAST(c_nationkey % 7 AS VARCHAR) || '.Example.org/p?x=1' AS url,
+        |   'w' || CAST(c_custkey % 5 AS VARCHAR) || '.h'
+        |       || CAST(c_nationkey % 7 AS VARCHAR) || '.example.org' AS host
+        | FROM customer),
+        | bl(domain) AS (VALUES ('h3.example.org'), ('w1.h5.example.org'))
+        |SELECT doc_id, url FROM u
+        |WHERE NOT EXISTS (SELECT 1 FROM bl b
+        |  WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain)"""
         .stripMargin),
 
     "q_corpus_stats" ->

@@ -472,4 +472,52 @@ object Curation {
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .select(col("doc_id"), col("logw"), col("score"))
   }
+
+  /** Domain-blocklist matching (the UT1-blacklist-style URL filter of
+    * CCNet/RefinedWeb pipelines): a document is blocked when its
+    * URL's host equals a blocklisted domain OR sits under one
+    * ("ads.tracker.example" matches the entry "tracker.example").
+    *
+    * Scale shape: the suffix test becomes an EQUI-join. Each host
+    * expands per-row into its dot-suffix chain — bounded by the
+    * host's label count (≤ ~10), never by corpus or blocklist size —
+    * and the chain joins the normalized blocklist on equality. Spark
+    * broadcasts the blocklist when it fits (the usual case: public
+    * blacklists are a few million short strings) and falls back to a
+    * shuffled join of (doc_id, suffix) pairs otherwise; document text
+    * never moves in either regime. A `host LIKE '%.'||domain`
+    * predicate — the naive encoding — would be a cartesian filter
+    * join at 10^8 docs × 10^6 domains; the suffix chain is what makes
+    * it hash-partitionable.
+    *
+    * Output: one row per (doc, matched domain) — every match, so a
+    * foreign engine can recompute it as a plain suffix join without
+    * agreeing on a most-specific-match tie-break.
+    */
+  def blockedByDomain(docs: DataFrame, blocklist: DataFrame,
+      url: Column = col("url"), domain: Column = col("domain")): DataFrame = {
+    val bl = blocklist.select(lower(trim(domain)).as("domain"))
+      .where(col("domain") =!= "").distinct()
+    val host = graft.functions.canon.host_of(url)
+    val labels = split(host, "\\.")
+    val suffixes = transform(
+      sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+    docs.select(col("doc_id"), host.as("host"),
+        explode(suffixes).as("suffix"))
+      .join(bl, col("suffix") === col("domain"))
+      .select(col("doc_id"), col("host"), col("domain"))
+  }
+
+  /** Keep-pass over [[blockedByDomain]]: drops every document whose
+    * host is on (or under) the blocklist. The keep decision shuffles
+    * only blocked doc_ids (8-byte keys, output ∝ blocked set); the
+    * corpus subtracts them with one anti-join.
+    */
+  def dropBlockedDomains(docs: DataFrame, blocklist: DataFrame,
+      url: Column = col("url"), domain: Column = col("domain")): DataFrame = {
+    val blocked = blockedByDomain(docs, blocklist, url, domain)
+      .select(col("doc_id")).distinct()
+    docs.join(blocked, Seq("doc_id"), "left_anti")
+  }
 }

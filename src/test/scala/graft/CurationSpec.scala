@@ -437,4 +437,48 @@ class CurationSpec extends SparkSpec {
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
     exchanges.foreach(l => assert(!l.contains("gram"), l))
   }
+
+  test("blockedByDomain: exact, parent-domain, multi-match, case/port normalization") {
+    val docs = Seq(
+      (1L, "https://Ads.Tracker.Example:8080/x"),   // under tracker.example
+      (2L, "https://tracker.example/y"),            // exact
+      (3L, "https://sub.ads.tracker.example/z"),    // deeper subdomain
+      (4L, "https://example.org/clean"),            // clean
+      (5L, "https://nottracker.example/q"),         // STRING suffix but not a label suffix — no match
+      (6L, "https://bad.example.net/r")             // under example.net AND bad.example.net
+    ).toDF("doc_id", "url")
+    val bl = Seq("Tracker.Example ", "example.net", "bad.example.net", "")
+      .toDF("domain")
+    val got = Curation.blockedByDomain(docs, bl)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "ads.tracker.example", "tracker.example"),
+      (2L, "tracker.example", "tracker.example"),
+      (3L, "sub.ads.tracker.example", "tracker.example"),
+      (6L, "bad.example.net", "example.net"),
+      (6L, "bad.example.net", "bad.example.net")), got.toString)
+  }
+
+  test("dropBlockedDomains keeps exactly the unblocked docs") {
+    val docs = Seq(
+      (1L, "https://ads.tracker.example/x"),
+      (2L, "https://ok.example.org/y"),
+      (3L, "https://tracker.example/z")
+    ).toDF("doc_id", "url")
+    val bl = Seq("tracker.example").toDF("domain")
+    val kept = Curation.dropBlockedDomains(docs, bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), kept.toString)
+  }
+
+  test("blockedByDomain plan: suffix equi-join, blocklist broadcasts, no cartesian") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("https://h"), col("id") % 7, lit(".example.org/p")).as("url"))
+    val bl = Seq("h3.example.org").toDF("domain")
+    val plan = Curation.blockedByDomain(docs, bl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
 }
