@@ -324,6 +324,26 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 11, "0")))
           .as("redacted"))),
 
+    // eTLD+1 extraction: five arithmetic host families hit each rule
+    // type (exact, multi-label exact, wildcard, exception, implicit
+    // default) — the oracle recomputes both columns by CASE arithmetic
+    "q_reg_domain" -> ((s, dir) => {
+      val rules = Seq("com", "co.uk", "*.ck", "!www.ck", "org")
+      val k = col("c_custkey")
+      val host = when(pmod(k, lit(5)) === 0,
+          concat(lit("a"), k.cast("string"), lit(".example.com")))
+        .when(pmod(k, lit(5)) === 1,
+          concat(lit("b"), k.cast("string"), lit(".site.co.uk")))
+        .when(pmod(k, lit(5)) === 2,
+          concat(lit("c"), k.cast("string"), lit(".w"),
+            pmod(k, lit(3)).cast("string"), lit(".ck")))
+        .when(pmod(k, lit(5)) === 3, lit("sub.www.ck"))
+        .otherwise(concat(lit("d"), k.cast("string"), lit(".foo.zz")))
+      t(s, dir, "customer").select(k.as("doc_id"), host.as("host"),
+        canon.public_suffix(host, rules).as("ps"),
+        canon.reg_domain(host, rules).as("reg"))
+    }),
+
     // domain-blocklist filter: hosts synthesized from customer keys on
     // BOTH sides; Spark runs the suffix-chain equi-join, the oracle a
     // plain suffix predicate join — every (doc, matched domain) row
@@ -540,6 +560,31 @@ object SparkEntry {
           col("http_status").cast("long").as("http_status"),
           size(Extract.extract_links(col("html"), lit("web"))
             .getField("links")).cast("long").as("n_links"))
+    }),
+
+    // storage-dedup round trip: pages with arithmetically duplicated
+    // payloads are written as a dedup archive (one full response per
+    // distinct payload + identical-payload-digest revisit stubs), read
+    // back as REAL WARC bytes, and revisits re-materialize through the
+    // refers-to join. DuckDB recomputes the canonical pick (min url
+    // per payload group) and every resolved field from range() — a
+    // wrong canonical, a dangling refers-to, or a dropped capture
+    // breaks the hash
+    "q_warc_revisit" -> ((s, _) => {
+      val dir = "/tmp/graft_warc_revisit_300"
+      if (!new java.io.File(dir, "part-00000.warc.gz").exists()) {
+        val pages = s.range(300).select(
+          concat(lit("https://h"), pmod(col("id"), lit(7)).cast("string"),
+            lit(".test/p"), col("id").cast("string")).as("url"),
+          concat(lit("<html><body>payload-"),
+            pmod(col("id"), lit(40)).cast("string"),
+            lit("</body></html>")).cast("binary").as("html"))
+        graft.sources.Warc.writeDedupArchive(pages, dir, 4)
+      }
+      graft.sources.Warc.resolveRevisits(
+          graft.sources.Warc.readRecords(s, dir))
+        .select(col("url"), col("is_revisit"),
+          decode(col("html"), "UTF-8").as("payload"))
     }),
 
     // sitemap seed channel: Spark parses REAL urlset XML (optional
@@ -1058,6 +1103,29 @@ object SparkEntry {
         |FROM documents"""
         .stripMargin),
 
+    "q_reg_domain" ->
+      ("""SELECT c_custkey AS doc_id,
+        | CASE c_custkey % 5
+        |  WHEN 0 THEN 'a' || CAST(c_custkey AS VARCHAR) || '.example.com'
+        |  WHEN 1 THEN 'b' || CAST(c_custkey AS VARCHAR) || '.site.co.uk'
+        |  WHEN 2 THEN 'c' || CAST(c_custkey AS VARCHAR) || '.w' || CAST(c_custkey % 3 AS VARCHAR) || '.ck'
+        |  WHEN 3 THEN 'sub.www.ck'
+        |  ELSE 'd' || CAST(c_custkey AS VARCHAR) || '.foo.zz' END AS host,
+        | CASE c_custkey % 5
+        |  WHEN 0 THEN 'com'
+        |  WHEN 1 THEN 'co.uk'
+        |  WHEN 2 THEN 'w' || CAST(c_custkey % 3 AS VARCHAR) || '.ck'
+        |  WHEN 3 THEN 'ck'
+        |  ELSE 'zz' END AS ps,
+        | CASE c_custkey % 5
+        |  WHEN 0 THEN 'example.com'
+        |  WHEN 1 THEN 'site.co.uk'
+        |  WHEN 2 THEN 'c' || CAST(c_custkey AS VARCHAR) || '.w' || CAST(c_custkey % 3 AS VARCHAR) || '.ck'
+        |  WHEN 3 THEN 'www.ck'
+        |  ELSE 'foo.zz' END AS reg
+        |FROM customer"""
+        .stripMargin),
+
     "q_domain_block" ->
       ("""WITH u AS (SELECT c_custkey AS doc_id,
         |   'w' || CAST(c_custkey % 5 AS VARCHAR) || '.h'
@@ -1117,6 +1185,17 @@ object SparkEntry {
         "TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS warc_ts, " +
         "CAST(200 AS BIGINT) AS http_status, " +
         "1 + i % 5 AS n_links FROM range(200) t(i) WHERE i % 10 <> 9"),
+
+    "q_warc_revisit" ->
+      ("""WITH p AS (SELECT i,
+        |    'https://h' || CAST(i % 7 AS VARCHAR) || '.test/p' || CAST(i AS VARCHAR) AS url,
+        |    '<html><body>payload-' || CAST(i % 40 AS VARCHAR) || '</body></html>' AS payload,
+        |    i % 40 AS grp
+        |  FROM range(300) t(i)),
+        | c AS (SELECT grp, min(url) AS canon FROM p GROUP BY grp)
+        |SELECT p.url, (p.url <> c.canon) AS is_revisit, p.payload
+        |FROM p JOIN c USING (grp)"""
+        .stripMargin),
 
     "q_sitemap" ->
       ("""SELECT 'https://h' || CAST(i % 7 AS VARCHAR) || '.test/p' || CAST(i AS VARCHAR) AS loc,

@@ -88,6 +88,20 @@ object SqlFunctions {
       "host_of(url) - lowercased host component") { args =>
       arity("host_of", 1, args)
       HostOf(args.head)
+    },
+    fn("reg_domain",
+      "reg_domain(host, rules) - registrable domain (eTLD+1); rules is a " +
+        "comma-joined public-suffix list ('com,co.uk,*.ck,!www.ck')") { args =>
+      arity("reg_domain", 2, args)
+      RegDomain(args.head,
+        strLit(args(1), "reg_domain", "rules").split(',').toSeq)
+    },
+    fn("public_suffix",
+      "public_suffix(host, rules) - matched public suffix (eTLD) under the " +
+        "comma-joined rule list") { args =>
+      arity("public_suffix", 2, args)
+      PublicSuffix(args.head,
+        strLit(args(1), "public_suffix", "rules").split(',').toSeq)
     })
 
   /** Register into a live session (the config-free path; the

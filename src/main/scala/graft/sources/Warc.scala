@@ -58,7 +58,8 @@ object Warc {
       warc_ts: Timestamp,
       record_type: String,
       http_status: Int,
-      html: Array[Byte])
+      html: Array[Byte],
+      refers_to: String = null)
 
   private val CRLF2 = "\r\n\r\n".getBytes(UTF_8)
 
@@ -134,7 +135,9 @@ object Warc {
                   val url = hdrs.getOrElse("warc-target-uri", null)
                   val (status, body) =
                     if (rtype == "response") splitHttp(block) else (0, block)
-                  out += WarcRecord(url, ts, rtype, status, body)
+                  val refersTo =
+                    hdrs.getOrElse("warc-refers-to-target-uri", null)
+                  out += WarcRecord(url, ts, rtype, status, body, refersTo)
                   pos = bodyStart + len.toInt
                 }
             }
@@ -413,6 +416,133 @@ object Warc {
         }
         ()
       }
+  }
+
+  /** One revisit stub to serialize: a capture whose payload is
+    * byte-identical to an earlier record, stored as a pointer
+    * instead of a second copy (ISO 28500 `revisit` record,
+    * identical-payload-digest profile — how Common Crawl and
+    * Heritrix deduplicate storage ACROSS captures).
+    */
+  final case class RevisitOut(url: String, date: String,
+      refersTo: String, digest: String)
+
+  /** Serialize one WARC file of full responses + revisit stubs
+    * (warcinfo record at the head, optional whole-file gzip).
+    */
+  def writeWarcFileRevisits(path: java.nio.file.Path, warcinfoBody: String,
+      records: Seq[ResponseOut], revisits: Seq[RevisitOut],
+      gzip: Boolean): Unit = {
+    val sb = new ByteArrayOutputStream()
+    def rec(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+      val head = (Seq("WARC/1.0") ++
+        headers.map { case (k, v) => s"$k: $v" } ++
+        Seq(s"Content-Length: ${block.length}")).mkString("\r\n")
+      sb.write((head + "\r\n\r\n").getBytes(UTF_8))
+      sb.write(block)
+      sb.write("\r\n\r\n".getBytes(UTF_8))
+    }
+    rec(Seq("WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2024-01-01T00:00:00Z"), warcinfoBody.getBytes(UTF_8))
+    records.foreach { r =>
+      val http = s"HTTP/1.1 ${r.status}\r\nContent-Type: text/html\r\n\r\n${r.body}"
+      rec(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> r.url,
+        "WARC-Date" -> r.date), http.getBytes(UTF_8))
+    }
+    revisits.foreach { r =>
+      rec(Seq(
+        "WARC-Type" -> "revisit",
+        "WARC-Target-URI" -> r.url,
+        "WARC-Date" -> r.date,
+        "WARC-Refers-To-Target-URI" -> r.refersTo,
+        "WARC-Payload-Digest" -> s"sha1:${r.digest}",
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+        Array.emptyByteArray)
+    }
+    val plain = sb.toByteArray
+    if (!gzip) java.nio.file.Files.write(path, plain)
+    else {
+      val bo = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bo)
+      gz.write(plain); gz.close()
+      java.nio.file.Files.write(path, bo.toByteArray)
+    }
+  }
+
+  /** Write a pages table (url, html) as a WARC archive with
+    * identical-payload-digest storage dedup: one full response per
+    * distinct payload (the minimum-url capture is canonical —
+    * deterministic under any partitioning), every other capture a
+    * revisit stub pointing at it.
+    *
+    * Scale shape: the canonical pick shuffles (digest, url) pairs —
+    * ~60 B per page against ~50 KB payloads — and page bytes move
+    * ONLY for canonical rows (`when(is_canonical, html)` nulls the
+    * payload before the writer repartition), so a dup-heavy crawl
+    * (the common case: calendars, session-id spam, mirror farms)
+    * writes and ships O(distinct payloads) page bytes, not O(pages).
+    */
+  def writeDedupArchive(pages: DataFrame, dir: String, nFiles: Int): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    new java.io.File(dir).mkdirs()
+    val withDigest = pages.select(col("url"), col("html"),
+      sha1(col("html")).as("digest"))
+    val canon = withDigest.groupBy("digest")
+      .agg(min(col("url")).as("canon_url"))
+    withDigest.join(canon, "digest")
+      .select(col("url"), col("digest"), col("canon_url"),
+        when(col("url") === col("canon_url"), col("html")).as("html"))
+      .repartition(nFiles)
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val full = Seq.newBuilder[ResponseOut]
+        val stubs = Seq.newBuilder[RevisitOut]
+        it.foreach { r =>
+          val url = r.getString(0)
+          val canonUrl = r.getString(2)
+          if (url == canonUrl)
+            full += ResponseOut(url, "2024-01-01T00:00:00Z", "200 OK",
+              new String(r.getAs[Array[Byte]](3), UTF_8))
+          else stubs += RevisitOut(url, "2024-01-01T00:00:00Z",
+            canonUrl, r.getString(1))
+        }
+        val (fs, ss) = (full.result(), stubs.result())
+        if (fs.nonEmpty || ss.nonEmpty)
+          writeWarcFileRevisits(
+            java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz"),
+            "software: graft-bench", fs, ss, gzip = true)
+        ()
+      }
+  }
+
+  /** Materialize revisit records back into full page rows: each
+    * revisit joins its referred response and takes that payload
+    * (keeping its OWN capture timestamp — the revisit is a real
+    * capture, only its bytes are stored elsewhere). Returns
+    * (url, warc_ts, http_status, html, is_revisit) for responses ∪
+    * resolved revisits; a revisit whose referent is missing from the
+    * archive set is dropped (the archives are self-contained by
+    * construction of [[writeDedupArchive]]).
+    *
+    * Scale shape: the join key is the canonical url; the revisit side
+    * is ~100 B stubs, and response payloads move once — under a
+    * url-bucketed archive layout the join co-locates and ships
+    * nothing.
+    */
+  def resolveRevisits(records: Dataset[WarcRecord]): DataFrame = {
+    val df = records.toDF()
+    val resp = df.filter(col("record_type") === "response")
+      .select(col("url"), col("warc_ts"), col("http_status"), col("html"))
+    val resolved = df.filter(col("record_type") === "revisit")
+      .select(col("url"), col("warc_ts"), col("refers_to"))
+      .join(resp.select(col("url").as("refers_to"),
+        col("http_status"), col("html")), "refers_to")
+      .select(col("url"), col("warc_ts"), col("http_status"), col("html"),
+        lit(true).as("is_revisit"))
+    resp.withColumn("is_revisit", lit(false)).union(resolved)
   }
 
   // ---- deterministic synthetic archive (tests / driver oracle) ----

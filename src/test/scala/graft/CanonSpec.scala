@@ -152,4 +152,43 @@ class PredicateSpec extends SparkSpec {
     val want = inputs.map(s => GoUrl.cleanName(s, Sites.wikipedia.base, "", "/wiki/"))
     assert(got.toSeq == want)
   }
+
+  test("reg_domain/public_suffix: exact, wildcard, exception, default rules") {
+    import spark.implicits._
+    val rules = Seq("com", "co.uk", "*.ck", "!www.ck", "org")
+    val cases = Seq(
+      // host, expected public suffix, expected registrable domain
+      ("example.com", "com", "example.com"),
+      ("a.b.example.com", "com", "example.com"),
+      ("com", "com", null), // host IS a public suffix
+      ("site.co.uk", "co.uk", "site.co.uk"),
+      ("x.site.co.uk", "co.uk", "site.co.uk"),
+      ("foo.w.ck", "w.ck", "foo.w.ck"), // wildcard *.ck
+      ("w.ck", "w.ck", null), // * consumes the only extra label
+      ("www.ck", "ck", "www.ck"), // exception !www.ck
+      ("sub.www.ck", "ck", "www.ck"), // exception beats the wildcard
+      ("foo.bar.zz", "zz", "bar.zz"), // implicit * default
+      ("localhost", "localhost", null),
+      ("", null, null))
+    val got = cases.map(_._1).toDF("host").select(col("host"),
+        graft.functions.canon.public_suffix(col("host"), rules).as("ps"),
+        graft.functions.canon.reg_domain(col("host"), rules).as("reg"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == cases, got.mkString("\n"))
+  }
+
+  test("reg_domain composes with host_of and stays in whole-stage codegen") {
+    val rules = Seq("org")
+    val df = spark.range(50).select(
+      graft.functions.canon.reg_domain(
+        graft.functions.canon.host_of(
+          concat(lit("https://H"), col("id") % 7, lit(".Sub.Example.ORG:443/p"))),
+        rules).as("reg"))
+    val vals = df.distinct().collect().map(_.getString(0)).toSet
+    assert(vals == Set("example.org"), vals.toString)
+    val codegen = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
 }

@@ -71,7 +71,29 @@ class SqlFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(SqlFunctions.all.map(_._1.funcName).sorted == Seq(
       "canonical_url", "clean_name", "dot_product", "host_of",
-      "min_md5_shingle", "nfc_normalize", "repetition_stats",
-      "shingle_hash64"))
+      "min_md5_shingle", "nfc_normalize", "public_suffix",
+      "reg_domain", "repetition_stats", "shingle_hash64"))
+  }
+
+  test("SQL reg_domain / public_suffix ≡ Column API") {
+    graft.functions.SqlFunctions.register(spark)
+    val rules = Seq("com", "co.uk", "*.ck", "!www.ck")
+    val hosts = Seq("a.example.com", "x.site.co.uk", "foo.w.ck",
+      "sub.www.ck", "bar.zz")
+    import spark.implicits._
+    val df = hosts.toDF("host")
+    df.createOrReplaceTempView("hosts_v")
+    val viaSql = spark.sql(
+      "SELECT reg_domain(host, 'com,co.uk,*.ck,!www.ck') AS r, " +
+        "public_suffix(host, 'com,co.uk,*.ck,!www.ck') AS p FROM hosts_v")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val viaCol = df.select(
+        graft.functions.canon.reg_domain(col("host"), rules).as("r"),
+        graft.functions.canon.public_suffix(col("host"), rules).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaCol.toSeq == Seq(
+      ("example.com", "com"), ("site.co.uk", "co.uk"),
+      ("foo.w.ck", "w.ck"), ("www.ck", "ck"), ("bar.zz", "zz")))
   }
 }

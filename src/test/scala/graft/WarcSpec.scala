@@ -112,4 +112,37 @@ class WarcSpec extends SparkSpec {
       .select("text").as[String].head()
     assert(p0.contains("doc 0") && p0.contains("l0"), p0)
   }
+
+  test("dedup archive: one response per payload, spec-shaped revisits, exact resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_dedup").toString
+    // 60 pages, 9 distinct payloads
+    val pages = spark.range(60).select(
+      concat(lit("https://h"), pmod(col("id"), lit(4)).cast("string"),
+        lit(".test/p"), col("id").cast("string")).as("url"),
+      concat(lit("<html><body>pay-"), pmod(col("id"), lit(9)).cast("string"),
+        lit("</body></html>")).cast("binary").as("html"))
+    graft.sources.Warc.writeDedupArchive(pages, dir, 3)
+
+    val recs = graft.sources.Warc.readRecords(spark, dir).collect()
+    val resp = recs.filter(_.record_type == "response")
+    val revs = recs.filter(_.record_type == "revisit")
+    assert(resp.length == 9, s"full responses: ${resp.length}")
+    assert(revs.length == 51, s"revisits: ${revs.length}")
+    // every revisit points at the minimum url of its payload group and
+    // carries the referent's sha1
+    val byUrl = resp.map(r => r.url -> r).toMap
+    revs.foreach { r =>
+      assert(r.refers_to != null && byUrl.contains(r.refers_to), r.url)
+      assert(r.html.isEmpty, "revisit stubs carry no payload")
+    }
+    // resolve reconstructs the original pages bit-for-bit
+    val resolved = graft.sources.Warc.resolveRevisits(
+        graft.sources.Warc.readRecords(spark, dir))
+      .select(col("url"), decode(col("html"), "UTF-8").as("payload"))
+      .as[(String, String)].collect().toMap
+    val want = (0 until 60).map(i =>
+      s"https://h${i % 4}.test/p$i" ->
+        s"<html><body>pay-${i % 9}</body></html>").toMap
+    assert(resolved == want)
+  }
 }
