@@ -370,6 +370,48 @@ object SparkEntry {
       Curation.dropBlockedDomains(docs, bl)
     }),
 
+    // URL-level quality features: arithmetic urls on both sides;
+    // every field integer-exact (digit share in basis points)
+    "q_url_features" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val url = concat(lit("https://w"), pmod(k, lit(5)).cast("string"),
+        lit(".h"), pmod(k, lit(7)).cast("string"), lit(".example.org/d"),
+        pmod(k, lit(9)).cast("string"),
+        when(pmod(k, lit(11)) === 0, lit("/casino/bonus")).otherwise(lit("/page")),
+        lit("?x="), pmod(k, lit(100)).cast("string"),
+        when(pmod(k, lit(2)) === 0, lit("&y=1")).otherwise(lit("")))
+      val f = Curation.urlFeatures(url, Seq("casino", "bet"))
+      t(s, dir, "customer").select(k.as("doc_id"),
+        f.getField("url_len").cast("long").as("url_len"),
+        f.getField("host_labels").cast("long").as("host_labels"),
+        f.getField("path_depth").cast("long").as("path_depth"),
+        f.getField("n_params").cast("long").as("n_params"),
+        f.getField("digit_bp").cast("long").as("digit_bp"),
+        f.getField("spam_hits").cast("long").as("spam_hits"))
+    }),
+
+    // multi-dump latest-wins merge keyed by CANONICAL url: dump 1
+    // re-captures urls 50..149 a day later under un-canonical
+    // spellings (upper scheme/host, default port, permuted params) —
+    // the merge must still collapse them onto dump 0's rows
+    "q_merge_snapshots" -> ((s, _) => {
+      val d0 = s.range(200).select(
+        concat(lit("https://m"), pmod(col("id"), lit(4)).cast("string"),
+          lit(".test/p"), col("id").cast("string"), lit("?a=1&b=2")).as("url"),
+        expr("timestamp'2024-01-01 00:00:00' + id * interval 1 minute")
+          .as("warc_ts"),
+        concat(lit("v0-"), col("id").cast("string")).cast("binary").as("html"))
+      val d1 = s.range(50, 150).select(
+        concat(lit("HTTPS://M"), pmod(col("id"), lit(4)).cast("string"),
+          lit(".test:443/p"), col("id").cast("string"), lit("?b=2&a=1")).as("url"),
+        expr("timestamp'2024-01-02 00:00:00' + id * interval 1 minute")
+          .as("warc_ts"),
+        concat(lit("v1-"), col("id").cast("string")).cast("binary").as("html"))
+      graft.sources.Warc.mergeSnapshots(d0.union(d1))
+        .select(col("url"), col("warc_ts"),
+          decode(col("html"), "UTF-8").as("payload"))
+    }),
+
     "q_corpus_stats" -> ((s, dir) =>
       Curation.corpusStats(t(s, dir, "documents"))),
 
@@ -1124,6 +1166,38 @@ object SparkEntry {
         |  WHEN 3 THEN 'www.ck'
         |  ELSE 'foo.zz' END AS reg
         |FROM customer"""
+        .stripMargin),
+
+    "q_url_features" ->
+      ("""WITH u AS (SELECT c_custkey AS doc_id,
+        |  'https://w' || CAST(c_custkey % 5 AS VARCHAR) || '.h' || CAST(c_custkey % 7 AS VARCHAR)
+        |   || '.example.org/d' || CAST(c_custkey % 9 AS VARCHAR)
+        |   || CASE WHEN c_custkey % 11 = 0 THEN '/casino/bonus' ELSE '/page' END
+        |   || '?x=' || CAST(c_custkey % 100 AS VARCHAR)
+        |   || CASE WHEN c_custkey % 2 = 0 THEN '&y=1' ELSE '' END AS url
+        | FROM customer)
+        |SELECT doc_id,
+        | length(url) AS url_len,
+        | len(string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.')) AS host_labels,
+        | len(string_split(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), '/')) - 1 AS path_depth,
+        | CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN 0
+        |      ELSE len(string_split(regexp_extract(url, '\?([^#]*)', 1), '&')) END AS n_params,
+        | CAST(floor(length(regexp_replace(url, '[^0-9]', '', 'g')) * 10000.0 / length(url)) AS BIGINT) AS digit_bp,
+        | CAST(CASE WHEN url LIKE '%casino%' THEN 1 ELSE 0 END
+        |    + CASE WHEN url LIKE '%bet%' THEN 1 ELSE 0 END AS BIGINT) AS spam_hits
+        |FROM u"""
+        .stripMargin),
+
+    "q_merge_snapshots" ->
+      ("""SELECT CASE WHEN i BETWEEN 50 AND 149
+        |   THEN 'HTTPS://M' || CAST(i % 4 AS VARCHAR) || '.test:443/p' || CAST(i AS VARCHAR) || '?b=2&a=1'
+        |   ELSE 'https://m' || CAST(i % 4 AS VARCHAR) || '.test/p' || CAST(i AS VARCHAR) || '?a=1&b=2' END AS url,
+        | CASE WHEN i BETWEEN 50 AND 149
+        |   THEN TIMESTAMP '2024-01-02 00:00:00' ELSE TIMESTAMP '2024-01-01 00:00:00' END
+        |   + i * INTERVAL 1 MINUTE AS warc_ts,
+        | CASE WHEN i BETWEEN 50 AND 149
+        |   THEN 'v1-' || CAST(i AS VARCHAR) ELSE 'v0-' || CAST(i AS VARCHAR) END AS payload
+        |FROM range(200) t(i)"""
         .stripMargin),
 
     "q_domain_block" ->

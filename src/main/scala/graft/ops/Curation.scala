@@ -509,6 +509,37 @@ object Curation {
       .select(col("doc_id"), col("host"), col("domain"))
   }
 
+  /** Per-URL quality features (the URL-level filter of
+    * RefinedWeb-style pipelines — scoring a page before fetching or
+    * reading its body): length, host label count, path depth,
+    * query-parameter count, digit share, and spam-word hits. Pure
+    * per-row Column algebra — codegen'd, zero shuffle — and every
+    * field is integer-exact (`digit_bp` is basis points,
+    * floor(10^4·digits/len), so a foreign engine recomputes it
+    * without float-rounding hazards). Composes with
+    * [[blockedByDomain]] (host level) and the text-quality gates
+    * (body level).
+    */
+  def urlFeatures(url: Column, spamWords: Seq[String]): Column = {
+    val u = lower(url)
+    val host = regexp_extract(u, "^[a-z]+://([^/?#]+)", 1)
+    val path = regexp_extract(u, "^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val uLen = length(u)
+    val digits = length(regexp_replace(u, "[^0-9]", ""))
+    val spamHits = spamWords.map(w => when(u.contains(w), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    struct(
+      uLen.as("url_len"),
+      size(split(host, "\\.")).as("host_labels"),
+      (size(split(path, "/")) - 1).as("path_depth"),
+      when(query === "", 0).otherwise(size(split(query, "&"))).as("n_params"),
+      when(uLen === 0, lit(0L)).otherwise(
+        floor(digits.cast("double") * 10000d / uLen.cast("double")))
+        .as("digit_bp"),
+      spamHits.as("spam_hits"))
+  }
+
   /** Keep-pass over [[blockedByDomain]]: drops every document whose
     * host is on (or under) the blocklist. The keep decision shuffles
     * only blocked doc_ids (8-byte keys, output ∝ blocked set); the

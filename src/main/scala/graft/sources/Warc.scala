@@ -545,6 +545,29 @@ object Warc {
     resp.withColumn("is_revisit", lit(false)).union(resolved)
   }
 
+  /** Merge pages from several crawl dumps into one latest-wins
+    * snapshot: one row per CANONICAL url (north-rule
+    * canonicalization, so `HTTP://h:80/p?b=2&a=1` and
+    * `http://h/p?a=1&b=2` merge), keeping the row with the newest
+    * `warc_ts`; equal timestamps break deterministically by payload
+    * sha1 so reruns and repartitionings agree.
+    *
+    * Scale shape: one map-side-combinable `max_by` aggregation on the
+    * canonical-url key — no window over the corpus, no per-dump
+    * joins; U dumps of the same frontier collapse in a single
+    * shuffle whose payload is one candidate row per (url, partition)
+    * after partial aggregation.
+    */
+  def mergeSnapshots(pages: DataFrame): DataFrame = {
+    val cols = pages.columns
+    val ord = struct(col("warc_ts"), sha1(col("html")))
+    pages
+      .withColumn("curl", canon.canonical_url(col("url")))
+      .groupBy("curl")
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), ord).as("r"))
+      .select(cols.map(c => col(s"r.$c")).toIndexedSeq: _*)
+  }
+
   // ---- deterministic synthetic archive (tests / driver oracle) ----
 
   /** Write `nFiles` WARC files (alternating plain / gzip) of

@@ -471,6 +471,23 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L), kept.toString)
   }
 
+  test("urlFeatures: hand goldens — no-query, no-path, digit share, spam, case") {
+    val f = Curation.urlFeatures(col("url"), Seq("casino", "bet"))
+    val got = Seq(
+      "https://w1.h2.example.org/a/b12/c?x=1&y=2",
+      "https://example.org",
+      "https://bet365.test/casino",
+      "HTTPS://UP.test/PATH?Q=9")
+      .toDF("url").select(f.as("f")).select("f.*")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (41, 4, 3, 2, 1463L, 0),
+      (19, 2, 0, 0, 0L, 0),
+      (26, 2, 1, 0, 1153L, 2),
+      (24, 2, 1, 1, 416L, 0)), got.mkString("\n"))
+  }
+
   test("blockedByDomain plan: suffix equi-join, blocklist broadcasts, no cartesian") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("https://h"), col("id") % 7, lit(".example.org/p")).as("url"))

@@ -145,4 +145,28 @@ class WarcSpec extends SparkSpec {
         s"<html><body>pay-${i % 9}</body></html>").toMap
     assert(resolved == want)
   }
+
+  test("mergeSnapshots: canonical-url latest-wins, deterministic sha1 tie-break") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val rows = Seq(
+      ("https://a.test/p?x=1&y=2", t1, "old"),
+      ("HTTPS://A.test:443/p?y=2&x=1", t2, "new"), // same canonical, later wins
+      ("https://b.test/q", t1, "tieA"),
+      ("https://b.test/q", t1, "tieB"), // equal ts: larger payload sha1 wins
+      ("https://c.test/r", t1, "only"))
+      .toDF("url", "warc_ts", "payload")
+      .select(col("url"), col("warc_ts"),
+        col("payload").cast("binary").as("html"))
+    val got = graft.sources.Warc.mergeSnapshots(rows)
+      .select(col("url"), decode(col("html"), "UTF-8").as("p"))
+      .as[(String, String)].collect().toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tieWinner = if (sha("tieA") > sha("tieB")) "tieA" else "tieB"
+    assert(got == Map(
+      "HTTPS://A.test:443/p?y=2&x=1" -> "new",
+      "https://b.test/q" -> tieWinner,
+      "https://c.test/r" -> "only"), got.toString)
+  }
 }
