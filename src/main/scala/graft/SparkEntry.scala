@@ -477,6 +477,37 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(t(s, dir, "documents"))),
 
+    // hybrid retrieval: BM25 lexical run over documents + dense
+    // cosine run over embeddings (one query vector), fused by
+    // reciprocal rank — DuckDB recomputes both runs AND the fusion
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = Search.bm25TopK(t(s, dir, "documents"),
+        Seq("spark", "window", "merge"), 30)
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 3)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          emb, k = 30)
+        .select(col("vec_id").as("doc_id"), col("sim").as("score"))
+      Search.rrfFuse(Seq(lex, dense), k = 20)
+    }),
+
+    // crawler-trap detection: one synthetic trap host (500 urls over
+    // 5 payloads) against 7 healthy hosts (1 url per payload)
+    "q_trap_hosts" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val host = when(pmod(k, lit(3)) === 0, lit("trap.cal.test"))
+        .otherwise(concat(lit("ok"), pmod(k, lit(7)).cast("string"),
+          lit(".test")))
+      val payload = when(pmod(k, lit(3)) === 0,
+          concat(lit("cal-"), pmod(k, lit(5)).cast("string")))
+        .otherwise(concat(lit("pg-"), k.cast("string")))
+      val pages = t(s, dir, "customer").select(
+        concat(lit("https://"), host, lit("/p"), k.cast("string")).as("url"),
+        payload.cast("binary").as("html"))
+      Curation.trapHosts(pages, minUrls = 100, minRatio = 10.0)
+    }),
+
     "q_bm25" -> ((s, dir) =>
       Search.bm25TopK(t(s, dir, "documents"),
         Seq("spark", "window", "merge"), k = 20)),
@@ -1379,6 +1410,50 @@ object SparkEntry {
         |   FROM w)
         |SELECT doc_id, logw, score FROM s
         |ORDER BY score DESC, doc_id LIMIT 50"""
+        .stripMargin),
+
+    "q_hybrid_rrf" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(avg(len(t)) AS DOUBLE) AS avgdl FROM toks),
+        | m AS (SELECT doc_id, len(t) AS dl, u.tok AS term FROM toks, unnest(t) u(tok)
+        |       WHERE u.tok IN ('spark', 'window', 'merge')),
+        | tf AS (SELECT doc_id, term, CAST(max(dl) AS DOUBLE) AS dl, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM m GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        | sc AS (SELECT doc_id, round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |        FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id),
+        | lex AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 30),
+        | lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM lex),
+        | sims AS (SELECT c.vec_id AS doc_id,
+        |    list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id = 3 AND c.vec_id <> 3),
+        | den AS (SELECT doc_id, sim FROM sims ORDER BY sim DESC, doc_id LIMIT 30),
+        | denr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rank FROM den),
+        | fused AS (SELECT doc_id, round(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf
+        |   FROM (SELECT * FROM lexr UNION ALL SELECT * FROM denr) GROUP BY doc_id)
+        |SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"""
+        .stripMargin),
+
+    "q_trap_hosts" ->
+      ("""WITH p AS (SELECT
+        |   CASE WHEN c_custkey % 3 = 0 THEN 'trap.cal.test'
+        |        ELSE 'ok' || CAST(c_custkey % 7 AS VARCHAR) || '.test' END AS host,
+        |   'https://' || CASE WHEN c_custkey % 3 = 0 THEN 'trap.cal.test'
+        |        ELSE 'ok' || CAST(c_custkey % 7 AS VARCHAR) || '.test' END
+        |     || '/p' || CAST(c_custkey AS VARCHAR) AS url,
+        |   CASE WHEN c_custkey % 3 = 0 THEN 'cal-' || CAST(c_custkey % 5 AS VARCHAR)
+        |        ELSE 'pg-' || CAST(c_custkey AS VARCHAR) END AS payload
+        | FROM customer)
+        |SELECT host, count(DISTINCT url) AS n_urls,
+        |  count(DISTINCT payload) AS n_payloads,
+        |  round(count(DISTINCT url) * CAST(1.0 AS DOUBLE) / count(DISTINCT payload), 4) AS urls_per_payload
+        |FROM p GROUP BY host
+        |HAVING count(DISTINCT url) >= 100
+        |   AND count(DISTINCT url) * CAST(1.0 AS DOUBLE) / count(DISTINCT payload) >= 10"""
         .stripMargin),
 
     "q_bm25" ->

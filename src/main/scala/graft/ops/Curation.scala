@@ -509,6 +509,33 @@ object Curation {
       .select(col("doc_id"), col("host"), col("domain"))
   }
 
+  /** Crawler-trap detection: hosts whose URL space explodes while
+    * their payload space doesn't — calendar pages, session-id spam,
+    * faceted-search loops; the classic traps a 10^10-URL frontier
+    * must cut before they eat the politeness budget. Per host:
+    * distinct urls, distinct payloads, urls-per-payload; a host is
+    * flagged when it has ≥ `minUrls` distinct urls at ≥ `minRatio`
+    * urls per distinct payload.
+    *
+    * Scale shape: pages reduce per-row to (host, xxhash64(url),
+    * xxhash64(html)) — page bytes never shuffle — and the two exact
+    * distinct counts aggregate with map-side partials; output ∝
+    * flagged hosts.
+    */
+  def trapHosts(pages: DataFrame, minUrls: Long = 100,
+      minRatio: Double = 10.0, url: Column = col("url")): DataFrame = {
+    val host = graft.functions.canon.host_of(url)
+    pages.select(host.as("host"), xxhash64(url).as("uh"),
+        xxhash64(col("html")).as("ph"))
+      .groupBy("host")
+      .agg(countDistinct(col("uh")).as("n_urls"),
+        countDistinct(col("ph")).as("n_payloads"))
+      .withColumn("urls_per_payload",
+        round(col("n_urls").cast("double") / col("n_payloads").cast("double"), 4))
+      .filter(col("n_urls") >= minUrls &&
+        col("urls_per_payload") >= minRatio)
+  }
+
   /** Per-URL quality features (the URL-level filter of
     * RefinedWeb-style pipelines — scoring a page before fetching or
     * reading its body): length, host label count, path depth,

@@ -64,4 +64,32 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009) of ranked result sets sharing an id
+    * space — the standard way to combine a lexical run ([[bm25TopK]])
+    * with a dense run ([[Similarity]]'s kNN/ANN ops) without score
+    * calibration: rrf(d) = Σ_runs 1/(c + rank_run(d)).
+    *
+    * Scale shape: the inputs are TOP-K RESULT SETS — bounded by each
+    * run's k, not by the corpus — so the per-run rank window runs
+    * over ≤ k rows on a single partition BY DESIGN; the corpus-scale
+    * work already happened inside the runs (bm25TopK's
+    * TakeOrdered, the ANN ops' bucketed joins). Ranks come from
+    * (score desc, id asc), so fusion is deterministic whenever the
+    * runs are.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, c: Int = 60,
+      id: String = "doc_id", score: String = "score"): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(score).desc, col(id).asc)
+    runs.map(_.select(col(id).as("doc_id"),
+        row_number().over(w).as("rank")))
+      .reduce(_ unionAll _)
+      .groupBy("doc_id")
+      .agg(round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

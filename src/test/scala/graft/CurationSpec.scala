@@ -471,6 +471,21 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L), kept.toString)
   }
 
+  test("trapHosts: flags explosive-url hosts, spares healthy ones") {
+    val pages = spark.range(600).select(
+      when(col("id") % 2 === 0,
+          concat(lit("https://trap.test/cal?d="), col("id").cast("string")))
+        .otherwise(concat(lit("https://ok.test/p"), col("id").cast("string")))
+        .as("url"),
+      when(col("id") % 2 === 0,
+          concat(lit("cal-"), (col("id") % 6).cast("string")))
+        .otherwise(concat(lit("pg-"), col("id").cast("string")))
+        .cast("binary").as("html"))
+    val got = Curation.trapHosts(pages, minUrls = 100, minRatio = 10.0)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("trap.test", 300L, 3L, 100.0)), got.toString)
+  }
+
   test("urlFeatures: hand goldens — no-query, no-path, digit share, spam, case") {
     val f = Curation.urlFeatures(col("url"), Seq("casino", "bet"))
     val got = Seq(

@@ -68,4 +68,29 @@ class SearchSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("rrfFuse: hand-computed fusion, overlap boosted, deterministic order") {
+    val lex = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
+    val den = Seq((2L, 0.9), (4L, 0.8)).toDF("doc_id", "score")
+    val got = Search.rrfFuse(Seq(lex, den), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // ranks: lex 1→1 2→2 3→3; den 2→1 4→2; rrf = Σ 1/(60+rank)
+    assert(got == Seq(
+      (2L, 0.032522), // 1/62 + 1/61 — in both runs, beats every single-run doc
+      (1L, 0.016393), // 1/61
+      (4L, 0.016129), // 1/62
+      (3L, 0.015873)), // 1/63
+      got.toString)
+  }
+
+  test("rrfFuse: top-k cut and rank-not-score sensitivity") {
+    // same ranking, wildly different score scales — fusion identical
+    val a1 = Seq((1L, 100.0), (2L, 50.0)).toDF("doc_id", "score")
+    val a2 = Seq((1L, 0.8), (2L, 0.1)).toDF("doc_id", "score")
+    val b = Seq((2L, 1.0)).toDF("doc_id", "score")
+    val f1 = Search.rrfFuse(Seq(a1, b), k = 1).as[(Long, Double)].collect()
+    val f2 = Search.rrfFuse(Seq(a2, b), k = 1).as[(Long, Double)].collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.head._1 == 2L) // rank 2 + rank 1 beats rank 1 alone
+  }
 }
