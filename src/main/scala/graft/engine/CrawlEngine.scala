@@ -1001,13 +1001,28 @@ final class CrawlEngine(
 
   /** A4: per-host politeness cap, salt-first to defuse hot-host skew
     * (north_rule). With `hostBudgets` (robots Crawl-delay) the cap is
-    * per-host-variable; unlisted hosts keep cfg.hostBudget.
+    * per-host-variable; unlisted hosts keep cfg.hostBudget. With
+    * `cfg.politenessSuffixRules` the cap keys on the registrable
+    * domain (one budget per SITE, not per subdomain) — the key swap
+    * is a per-row codegen'd expression, costs no extra shuffle, and
+    * the frontier's own host column is restored afterwards.
     */
-  private def politenessCap(frontier: DataFrame): DataFrame = hostBudgets match {
-    case Some(b) =>
-      Politeness.capPerHostBudgets(frontier, b, cfg.hostBudget, cfg.salt, ordering)
-    case None =>
-      Politeness.capPerHost(frontier, cfg.hostBudget, cfg.salt, ordering)
+  private def politenessCap(frontier: DataFrame): DataFrame = {
+    val siteKeyed = cfg.politenessSuffixRules.nonEmpty
+    val keyed =
+      if (!siteKeyed) frontier
+      else frontier.withColumn("__raw_host", col("host"))
+        .withColumn("host", coalesce(
+          graft.functions.canon.reg_domain(col("host"),
+            cfg.politenessSuffixRules), col("host")))
+    val capped = hostBudgets match {
+      case Some(b) =>
+        Politeness.capPerHostBudgets(keyed, b, cfg.hostBudget, cfg.salt, ordering)
+      case None =>
+        Politeness.capPerHost(keyed, cfg.hostBudget, cfg.salt, ordering)
+    }
+    if (!siteKeyed) capped
+    else capped.withColumn("host", col("__raw_host")).drop("__raw_host")
   }
 
   /** Compact-only commit (no selection): fold the residual log into

@@ -124,4 +124,11 @@ final case class CrawlConfig(
     // sized for the active recrawl wave, not the corpus (tombstones
     // are deleted as they re-admit); overflow rebuilds from the exact
     // recrawl_keys table at a larger capacity
-    recrawlItemsPerShard: Long = 1L << 16)
+    recrawlItemsPerShard: Long = 1L << 16,
+    // public-suffix rules for SITE-granularity politeness: when
+    // non-empty, the A4 cap (and hostBudgets matching) keys on the
+    // registrable domain (eTLD+1) instead of the raw host, so a site
+    // fanning out over subdomains (cdn1./cdn2./www.) can't multiply
+    // its budget; hosts with no registrable domain (bare TLDs, IPs)
+    // keep their own key. Empty = per-host (the reference's shape).
+    politenessSuffixRules: Seq[String] = Nil)

@@ -817,6 +817,33 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
   }
 
+  test("site-granularity politeness: eTLD+1 rules collapse subdomain budgets") {
+    // all synthetic hosts are h{i}.web.test — one registrable domain
+    // under rules ["test"], so the per-SITE budget binds globally
+    val webSpec = SyntheticWeb.Spec("web", numPages = 40L, seed = 7L, numHosts = 4)
+    val pages = SyntheticWeb.pages(spark, webSpec).toDF()
+    val root = Files.createTempDirectory("graft-site-polite").toString
+    val cfg = testCfg(
+      CrawlConfig(site = "web", batchSize = 1000, hostBudget = 2, salt = 4,
+        politenessSuffixRules = Seq("test")))
+    val eng = new CrawlEngine(spark, new Store(root, spark), Sites.web, cfg, pages)
+    eng.seed(Seq(SyntheticWeb.pageUrl(webSpec, 0L)))
+    var r = eng.step()
+    var batches = 0
+    while (r.isDefined) {
+      // ONE crawlable site (every corpus host is *.web.test) → ≤
+      // hostBudget SUCCESSFUL fetches per batch, not budget × hosts;
+      // selected offsite urls (other registrable domains) are extra
+      // slots that route to fetch_errors, so subtract them
+      assert(r.get.pagesFetched - r.get.fetchErrors <= 2L, r.get.toString)
+      batches += 1
+      r = eng.step()
+    }
+    assert(batches > webSpec.numPages / 4, s"budget never bound: $batches")
+    // crawl still drains — tighter key slows, never starves
+    assert(eng.store.read("frontier").map(_.count()).getOrElse(0L) === 0L)
+  }
+
   test("robots Crawl-delay budgets tighten the cap per host (A4 variable)") {
     import spark.implicits._
     val webSpec = SyntheticWeb.Spec("web", numPages = 40L, seed = 7L, numHosts = 4)
