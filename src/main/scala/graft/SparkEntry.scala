@@ -660,6 +660,22 @@ object SparkEntry {
           decode(col("html"), "UTF-8").as("payload"))
     }),
 
+    // WET text sidecar round trip: (url, text) → conversion records →
+    // real gzip WARC bytes → parse back; non-ASCII text pins UTF-8
+    "q_wet_roundtrip" -> ((s, _) => {
+      val dir = "/tmp/graft_wet_synth_250"
+      if (!new java.io.File(dir, "part-00000.wet.gz").exists()) {
+        val pages = s.range(250).select(
+          concat(lit("https://w"), pmod(col("id"), lit(5)).cast("string"),
+            lit(".test/p"), col("id").cast("string")).as("url"),
+          concat(lit("doc "), col("id").cast("string"),
+            lit(" café § token"), pmod(col("id"), lit(13)).cast("string"))
+            .as("text"))
+        graft.sources.Warc.writeTextArchive(pages, dir, 3)
+      }
+      graft.sources.Warc.readText(s, dir)
+    }),
+
     // sitemap seed channel: Spark parses REAL urlset XML (optional
     // fields, spec's 0.5 priority default, date-only lastmod) while
     // DuckDB recomputes every field arithmetically from range()
@@ -1290,6 +1306,12 @@ object SparkEntry {
         "TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS warc_ts, " +
         "CAST(200 AS BIGINT) AS http_status, " +
         "1 + i % 5 AS n_links FROM range(200) t(i) WHERE i % 10 <> 9"),
+
+    "q_wet_roundtrip" ->
+      ("""SELECT 'https://w' || CAST(i % 5 AS VARCHAR) || '.test/p' || CAST(i AS VARCHAR) AS url,
+        | 'doc ' || CAST(i AS VARCHAR) || ' café § token' || CAST(i % 13 AS VARCHAR) AS text
+        |FROM range(250) t(i)"""
+        .stripMargin),
 
     "q_warc_revisit" ->
       ("""WITH p AS (SELECT i,

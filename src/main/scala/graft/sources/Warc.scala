@@ -545,6 +545,58 @@ object Warc {
     resp.withColumn("is_revisit", lit(false)).union(resolved)
   }
 
+  /** Write a (url, text) table as a WET-style text sidecar: WARC
+    * `conversion` records whose body is the EXTRACTED TEXT (Common
+    * Crawl's .wet companion to every .warc — the artifact most
+    * text-pipeline consumers actually read, at ~1/10 the bytes of
+    * the html). One whole-file-gzip archive per partition, built on
+    * the executors.
+    */
+  def writeTextArchive(pages: DataFrame, dir: String, nFiles: Int): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    new java.io.File(dir).mkdirs()
+    pages.select(col("url"), col("text")).repartition(nFiles)
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val sb = new ByteArrayOutputStream()
+        def rec(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+          val head = (Seq("WARC/1.0") ++
+            headers.map { case (k, v) => s"$k: $v" } ++
+            Seq(s"Content-Length: ${block.length}")).mkString("\r\n")
+          sb.write((head + "\r\n\r\n").getBytes(UTF_8))
+          sb.write(block)
+          sb.write("\r\n\r\n".getBytes(UTF_8))
+        }
+        rec(Seq("WARC-Type" -> "warcinfo",
+          "WARC-Date" -> "2024-01-01T00:00:00Z"),
+          "software: graft-wet".getBytes(UTF_8))
+        var any = false
+        it.foreach { r =>
+          any = true
+          rec(Seq(
+            "WARC-Type" -> "conversion",
+            "WARC-Target-URI" -> r.getString(0),
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "Content-Type" -> "text/plain"), r.getString(1).getBytes(UTF_8))
+        }
+        if (any) {
+          val bo = new ByteArrayOutputStream()
+          val gz = new GZIPOutputStream(bo)
+          gz.write(sb.toByteArray); gz.close()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"part-$pid%05d.wet.gz"),
+            bo.toByteArray)
+        }
+        ()
+      }
+  }
+
+  /** Read a WET-style archive back to (url, text) rows. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    readRecords(spark, path).toDF()
+      .filter(col("record_type") === "conversion" && col("url").isNotNull)
+      .select(col("url"), decode(col("html"), "UTF-8").as("text"))
+
   /** Merge pages from several crawl dumps into one latest-wins
     * snapshot: one row per CANONICAL url (north-rule
     * canonicalization, so `HTTP://h:80/p?b=2&a=1` and

@@ -146,6 +146,25 @@ class WarcSpec extends SparkSpec {
     assert(resolved == want)
   }
 
+  test("WET text sidecar: conversion records round-trip UTF-8 text exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet").toString
+    val pages = Seq(
+      ("https://a.test/1", "plain ascii"),
+      ("https://a.test/2", "naïve café — § ünïcode"),
+      ("https://b.test/3", "multi\nline\ttext")).toDF("url", "text")
+    graft.sources.Warc.writeTextArchive(pages, dir, 2)
+    val got = graft.sources.Warc.readText(spark, dir)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "https://a.test/1" -> "plain ascii",
+      "https://a.test/2" -> "naïve café — § ünïcode",
+      "https://b.test/3" -> "multi\nline\ttext"), got.toString)
+    // the records really are WARC conversion records, not responses
+    val types = graft.sources.Warc.readRecords(spark, dir)
+      .collect().map(_.record_type).toSet
+    assert(types == Set("warcinfo", "conversion"), types.toString)
+  }
+
   test("mergeSnapshots: canonical-url latest-wins, deterministic sha1 tie-break") {
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
