@@ -917,6 +917,38 @@ object SparkEntry {
         .select(col("p_partkey"), col("url"))
     }),
 
+    // RFC 9309 robots filter: Allow/Disallow with '*' wildcards, '$'
+    // end anchors and longest-match precedence — Spark parses REAL
+    // robots.txt bytes and runs the precedence aggregation while the
+    // oracle recomputes each family's verdict arithmetically
+    "q_robots_rfc" -> ((s, dir) => {
+      import s.implicits._
+      val robotsPages = Seq(
+        ("https://h0.test/robots.txt",
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        ("https://h1.test/robots.txt",
+          "User-agent: *\nDisallow: /*.php$\n"))
+        .toDF("url", "txt")
+        .select(col("url"), col("txt").cast("binary").as("html"))
+      val rules = graft.sites.Robots.rfcRulesFromPages(robotsPages)
+      val k = col("c_custkey")
+      val url = when(pmod(k, lit(6)) === 0,
+          concat(lit("https://h0.test/public/p"), k.cast("string")))
+        .when(pmod(k, lit(6)) === 1,
+          concat(lit("https://h0.test/private/p"), k.cast("string")))
+        .when(pmod(k, lit(6)) === 2,
+          concat(lit("https://h0.test/private/ok/p"), k.cast("string")))
+        .when(pmod(k, lit(6)) === 3,
+          concat(lit("https://h1.test/page"), k.cast("string"), lit(".php")))
+        .when(pmod(k, lit(6)) === 4,
+          concat(lit("https://h1.test/page"), k.cast("string"), lit(".phpx")))
+        .otherwise(concat(lit("https://h2.test/any"), k.cast("string")))
+      val docs = t(s, dir, "customer").select(k.as("doc_id"), url.as("url"))
+        .withColumn("host", canon.host_of(col("url")))
+      graft.sites.Robots.filterAllowedRfc(docs, rules)
+        .select(col("doc_id"), col("url"))
+    }),
+
     // ---- graph analytics over the edge table (the reference's
     //      companion-service queries) ----
 
@@ -1639,6 +1671,16 @@ object SparkEntry {
         .stripMargin),
 
     "q_knn_cosine" -> knnOracle,
+
+    "q_robots_rfc" ->
+      ("""SELECT c_custkey AS doc_id,
+        | CASE c_custkey % 6
+        |  WHEN 0 THEN 'https://h0.test/public/p' || CAST(c_custkey AS VARCHAR)
+        |  WHEN 2 THEN 'https://h0.test/private/ok/p' || CAST(c_custkey AS VARCHAR)
+        |  WHEN 4 THEN 'https://h1.test/page' || CAST(c_custkey AS VARCHAR) || '.phpx'
+        |  ELSE 'https://h2.test/any' || CAST(c_custkey AS VARCHAR) END AS url
+        |FROM customer WHERE c_custkey % 6 IN (0, 2, 4, 5)"""
+        .stripMargin),
 
     "q_robots_filter" ->
       ("""WITH p AS (SELECT p_partkey,

@@ -119,4 +119,49 @@ class RobotsSpec extends SparkSpec {
     assert(!srcNames.exists(_.startsWith("https://h0.web.test/wiki/")),
       "a disallowed url was fetched")
   }
+
+  test("RFC 9309 parse: allow lines, wildcard compile, in-group agent lists") {
+    val txt = "User-agent: a\nUser-agent: *\nDisallow: /private\n" +
+      "Allow: /private/ok\nDisallow: /*.php$\nAllow:\n" +
+      "User-agent: b\nDisallow: /only-for-b\n"
+    val rules = Robots.parseRulesRfc(txt)
+    // the first group names BOTH a and * (consecutive UA lines); the
+    // second group (b) starts fresh and its rules don't apply to *
+    assert(rules.map(r => (r.rule, r.allow)) == Seq(
+      ("/private", false), ("/private/ok", true), ("/*.php$", false)))
+    assert(Robots.ruleToRegex("/*.php$") == "^\\Q/\\E.*\\Q.php\\E$")
+    assert(Robots.ruleToRegex("/a.b") == "^\\Q/a.b\\E")
+    // the simplified parser's known gap, pinned: it misses the
+    // in-group agent list (UA a resets it before UA *)
+    assert(Robots.parse("User-agent: *\nUser-agent: a\nDisallow: /x\n").isEmpty)
+    assert(Robots.parseRulesRfc("User-agent: *\nUser-agent: a\nDisallow: /x\n")
+      .map(_.rule) == Seq("/x"))
+  }
+
+  test("filterAllowedRfc: longest match wins, allow wins ties, anchors hold") {
+    val robotsTxt = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+      "Disallow: /*.php$\nDisallow: /dup\nAllow: /dup\n"
+    val robotsPages = Seq(("https://h.test/robots.txt", robotsTxt))
+      .toDF("url", "txt")
+      .select(col("url"), col("txt").cast("binary").as("html"))
+    val rules = Robots.rfcRulesFromPages(robotsPages)
+    val urls = Seq(
+      "https://h.test/public/a", // no match → keep
+      "https://h.test/private/a", // /private → drop
+      "https://h.test/private/ok/a", // Allow /private/ok is longer → keep
+      "https://h.test/x/page.php", // /*.php$ → drop
+      "https://h.test/x/page.phpx", // $ anchors: .phpx is NOT .php → keep
+      "https://h.test/dup", // exact-length tie → allow wins → keep
+      "https://other.test/private/a") // no rules for this host → keep
+      .toDF("url")
+      .withColumn("host", graft.functions.canon.host_of(col("url")))
+    val kept = Robots.filterAllowedRfc(urls, rules)
+      .select("url").as[String].collect().toSet
+    assert(kept == Set(
+      "https://h.test/public/a",
+      "https://h.test/private/ok/a",
+      "https://h.test/x/page.phpx",
+      "https://h.test/dup",
+      "https://other.test/private/a"), kept.toString)
+  }
 }
