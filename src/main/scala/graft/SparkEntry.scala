@@ -390,6 +390,72 @@ object SparkEntry {
         f.getField("spam_hits").cast("long").as("spam_hits"))
     }),
 
+    // C4 line/doc filtering over arithmetically-constructed multi-line
+    // text (the synthetic word-soup docs carry no lines/punctuation, so
+    // both engines build the same rule-hitting document from doc_id)
+    "q_c4_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val text = concat(
+        concat_ws("\n",
+          concat(col("text").substr(lit(1), pmod(k, lit(60)) + lit(20)),
+            when(pmod(k, lit(3)) === 0, lit("."))
+              .when(pmod(k, lit(3)) === 1, lit("!")).otherwise(lit(""))),
+          lit("too short."),
+          lit("Please enable javascript to continue reading this page."),
+          concat(col("text").substr(lit(1), pmod(k, lit(40)) + lit(15)),
+            when(pmod(k, lit(5)) === 0, lit("?"))
+              .when(pmod(k, lit(5)) === 1, lit("\"")).otherwise(lit(".")))),
+        when(pmod(k, lit(17)) === 0, lit("\nLorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(pmod(k, lit(19)) === 0, lit("\ncode { block }"))
+          .otherwise(lit("")))
+      val c = graft.ops.Curation.c4Filter(text)
+      d.select(k.as("doc_id"),
+        c.getField("kept_text").as("kept_text"),
+        c.getField("n_lines_kept").as("n_lines_kept"),
+        c.getField("n_sentences").as("n_sentences"),
+        c.getField("keep").cast("long").as("keep"))
+    }),
+
+    // Gopher quality rules over constructed rule-hitting text: every
+    // metric integer-exact (basis points / centi-chars)
+    "q_gopher" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val text = concat(
+        col("text").substr(lit(1), pmod(k, lit(200)) + lit(10)),
+        when(pmod(k, lit(4)) === 0, lit(" the of and that have"))
+          .when(pmod(k, lit(4)) === 1, lit(" the be")).otherwise(lit("")),
+        when(pmod(k, lit(7)) === 0, lit(" # # price #")).otherwise(lit("")),
+        when(pmod(k, lit(11)) === 0, lit(" read more... and more..."))
+          .otherwise(lit("")),
+        when(pmod(k, lit(13)) === 0,
+          lit("\n• the first item\n• of the second\nthe closing line ..."))
+          .otherwise(lit("")),
+        when(pmod(k, lit(23)) === 0, lit(" 111 222 333 444 555 666 777"))
+          .otherwise(lit("")))
+      val g = graft.ops.Curation.gopherQuality(text, minWords = 10)
+      d.select(k.as("doc_id"),
+        g.getField("n_words").as("n_words"),
+        g.getField("mean_wl_c100").as("mean_wl_c100"),
+        g.getField("hash_bp").as("hash_bp"),
+        g.getField("ellipsis_bp").as("ellipsis_bp"),
+        g.getField("bullet_line_bp").as("bullet_line_bp"),
+        g.getField("ellipsis_line_bp").as("ellipsis_line_bp"),
+        g.getField("alpha_word_bp").as("alpha_word_bp"),
+        g.getField("stop_hits").as("stop_hits"),
+        g.getField("keep").cast("long").as("keep"))
+    }),
+
+    // deterministic epoch-keyed training shuffle: shard AND in-shard
+    // position are pure LCG arithmetic a foreign engine recomputes
+    "q_shuffle" -> ((s, dir) =>
+      graft.ops.Curation.shuffleShards(
+          t(s, dir, "documents").select(col("doc_id")), shards = 8, epoch = 1)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("pos"))),
+
     // multi-dump latest-wins merge keyed by CANONICAL url: dump 1
     // re-captures urls 50..149 a day later under un-canonical
     // spellings (upper scheme/host, default port, permuted params) —
@@ -1265,6 +1331,98 @@ object SparkEntry {
         | CAST(CASE WHEN url LIKE '%casino%' THEN 1 ELSE 0 END
         |    + CASE WHEN url LIKE '%bet%' THEN 1 ELSE 0 END AS BIGINT) AS spam_hits
         |FROM u"""
+        .stripMargin),
+
+    "q_c4_lines" ->
+      ("""WITH built AS (SELECT doc_id AS k,
+        |  substr(text, 1, CAST(doc_id % 60 + 20 AS INT)) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.' WHEN doc_id % 3 = 1 THEN '!' ELSE '' END
+        |  || chr(10) || 'too short.'
+        |  || chr(10) || 'Please enable javascript to continue reading this page.'
+        |  || chr(10) || substr(text, 1, CAST(doc_id % 40 + 15 AS INT)) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?' WHEN doc_id % 5 = 1 THEN '"' ELSE '.' END
+        |  || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+        |  || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'code { block }' ELSE '' END AS txt
+        | FROM documents),
+        | kept AS (SELECT k, txt,
+        |  list_filter(list_transform(string_split(txt, chr(10)), l -> trim(l)),
+        |    l -> regexp_matches(l, '[.!?"]$')
+        |         AND len(string_split_regex(l, '\s+')) >= 5
+        |         AND NOT contains(lower(l), 'javascript')) AS kl
+        | FROM built)
+        |SELECT k AS doc_id,
+        | coalesce(array_to_string(kl, chr(10)), '') AS kept_text,
+        | CAST(len(kl) AS BIGINT) AS n_lines_kept,
+        | CAST(len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?"]')) AS BIGINT) AS n_sentences,
+        | CAST(CASE WHEN len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?"]')) >= 3
+        |       AND NOT contains(lower(txt), 'lorem ipsum')
+        |       AND NOT contains(txt, '{') THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM kept"""
+        .stripMargin),
+
+    "q_gopher" ->
+      ("""WITH built AS (SELECT doc_id AS k,
+        |  substr(text, 1, CAST(doc_id % 200 + 10 AS INT))
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' the of and that have'
+        |          WHEN doc_id % 4 = 1 THEN ' the be' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' # # price #' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' read more... and more...' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '• the first item' || chr(10)
+        |       || '• of the second' || chr(10) || 'the closing line ...' ELSE '' END
+        |  || CASE WHEN doc_id % 23 = 0 THEN ' 111 222 333 444 555 666 777' ELSE '' END AS txt
+        | FROM documents),
+        | m AS (SELECT k, txt,
+        |  list_filter(string_split_regex(txt, '\s+'), w -> len(w) > 0) AS toks,
+        |  list_filter(list_transform(string_split(txt, chr(10)), l -> trim(l)),
+        |    l -> len(l) > 0) AS lns,
+        |  length(regexp_replace(txt, '\s', '', 'g')) AS wchars,
+        |  length(txt) - length(replace(txt, '#', '')) AS nhash,
+        |  (length(txt) - length(replace(txt, '...', ''))) // 3 AS nell
+        | FROM built),
+        | m2 AS (SELECT k, len(toks) AS nw, len(lns) AS nl, wchars, nhash, nell,
+        |  len(list_filter(lns, l -> starts_with(l, '•') OR starts_with(l, '- ')
+        |     OR starts_with(l, '* '))) AS nbullet,
+        |  len(list_filter(lns, l -> ends_with(l, '...'))) AS nelll,
+        |  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+        |  (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'the') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'be') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'to') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'of') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'and') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'that') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'have') THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'with') THEN 1 ELSE 0 END)
+        |  AS stops
+        | FROM m),
+        | f AS (SELECT k, nw,
+        |  CASE WHEN nw > 0 THEN CAST(floor(wchars * 100.0 / nw) AS BIGINT) ELSE 0 END AS mean_wl,
+        |  CASE WHEN nw > 0 THEN CAST(floor(nhash * 10000.0 / nw) AS BIGINT) ELSE 0 END AS hash_bp,
+        |  CASE WHEN nw > 0 THEN CAST(floor(nell * 10000.0 / nw) AS BIGINT) ELSE 0 END AS ell_bp,
+        |  CASE WHEN nl > 0 THEN CAST(floor(nbullet * 10000.0 / nl) AS BIGINT) ELSE 0 END AS bullet_bp,
+        |  CASE WHEN nl > 0 THEN CAST(floor(nelll * 10000.0 / nl) AS BIGINT) ELSE 0 END AS ellline_bp,
+        |  CASE WHEN nw > 0 THEN CAST(floor(nalpha * 10000.0 / nw) AS BIGINT) ELSE 0 END AS alpha_bp,
+        |  stops
+        | FROM m2)
+        |SELECT k AS doc_id, CAST(nw AS BIGINT) AS n_words, mean_wl AS mean_wl_c100,
+        | hash_bp, ell_bp AS ellipsis_bp, bullet_bp AS bullet_line_bp,
+        | ellline_bp AS ellipsis_line_bp, alpha_bp AS alpha_word_bp,
+        | CAST(stops AS BIGINT) AS stop_hits,
+        | CAST(CASE WHEN nw BETWEEN 10 AND 100000 AND mean_wl BETWEEN 300 AND 1000
+        |   AND hash_bp <= 1000 AND ell_bp <= 1000 AND bullet_bp <= 9000
+        |   AND ellline_bp <= 3000 AND alpha_bp >= 8000 AND stops >= 2
+        |   THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f"""
+        .stripMargin),
+
+    "q_shuffle" ->
+      ("""WITH h AS (SELECT doc_id,
+        |  (((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 + 1) % 2147483648)
+        |    * 1103515245 + 12345) % 2147483648 AS h2
+        | FROM documents),
+        | s AS (SELECT doc_id, h2, (h2 // 256) % 8 AS shard FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s"""
         .stripMargin),
 
     "q_merge_snapshots" ->

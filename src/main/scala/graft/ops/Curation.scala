@@ -578,4 +578,138 @@ object Curation {
       .select(col("doc_id")).distinct()
     docs.join(blocked, Seq("doc_id"), "left_anti")
   }
+
+  /** C4-style line/document cleaning (Raffel et al. 2020, §2.2 —
+    * the public C4 rule set). Line level: keep only lines that end
+    * in a terminal punctuation mark (`.` `!` `?` `"`), contain at
+    * least `minWords` whitespace words, and do not mention
+    * "javascript". Document level: `keep` is false for docs whose
+    * kept text carries fewer than `minSentences` terminal marks, or
+    * that contain "lorem ipsum" or a curly brace anywhere (the
+    * boilerplate/code tells C4 drops whole pages for).
+    *
+    * Returns struct(kept_text, n_lines_kept, n_sentences, keep).
+    * Pure per-row algebra (split + array filter + regexp): zero
+    * shuffle at any corpus size, and every rule stays inside the
+    * Java∩RE2 regex subset so a foreign SQL engine recomputes the
+    * whole decision — the driver gate hash-verifies it.
+    */
+  def c4Filter(text: Column, minWords: Int = 5,
+      minSentences: Int = 3): Column = {
+    val kept = filter(
+      transform(split(text, "\n"), l => trim(l)),
+      l => l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= minWords &&
+        !lower(l).contains("javascript"))
+    val keptText = array_join(kept, "\n")
+    val nSent = size(regexp_extract_all(keptText, lit("[.!?\"]"), lit(0)))
+    struct(
+      keptText.as("kept_text"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSent.cast("long").as("n_sentences"),
+      (nSent >= minSentences &&
+        !lower(text).contains("lorem ipsum") &&
+        !text.contains("{")).as("keep"))
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, table A1 — the
+    * public heuristic gate most later pipelines inherit): word-count
+    * bounds, mean word length in [3,10] chars, symbol-to-word ratios
+    * for `#` and `...`, bullet-/ellipsis-line fractions, fraction of
+    * words containing an alphabetic character, and ≥2 of the eight
+    * canonical English stop words present.
+    *
+    * Every fractional metric is integer basis points
+    * (floor(10^4·x/n); mean word length in centi-chars) so the
+    * decision has no float-rounding hazard and a foreign engine
+    * recomputes it bit-identically. Per-row, zero shuffle; the only
+    * non-codegen pieces are the two array-lambda filters (alpha
+    * words, line classes), bounded by the row's own token count.
+    */
+  def gopherQuality(text: Column, minWords: Long = 50,
+      maxWords: Long = 100000L): Column = {
+    // empty tokens dropped explicitly: Spark's trim strips only
+    // spaces, so split-on-\s+ over "\n"-padded text yields empties
+    val toks = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(toks).cast("long")
+    val wordChars = length(regexp_replace(text, "\\s", "")).cast("long")
+    val meanWlC100 = when(nWords > 0,
+      floor(wordChars.cast("double") * 100d / nWords.cast("double")))
+      .otherwise(lit(0L))
+    val nHash = (length(text) - length(replace(text, lit("#"), lit(""))))
+      .cast("long")
+    val nEll = ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+      .cast("long")
+    def perWordBp(n: Column) = when(nWords > 0,
+      floor(n.cast("double") * 10000d / nWords.cast("double")))
+      .otherwise(lit(0L))
+    val docLines = filter(
+      transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(docLines).cast("long")
+    val nBullet = size(filter(docLines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+      .cast("long")
+    val nEllLines = size(filter(docLines, l => l.endsWith("...")))
+      .cast("long")
+    def perLineBp(n: Column) = when(nLines > 0,
+      floor(n.cast("double") * 10000d / nLines.cast("double")))
+      .otherwise(lit(0L))
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(array_contains(transform(toks, lower(_)), w), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    val m = struct(
+      nWords.as("n_words"),
+      meanWlC100.cast("long").as("mean_wl_c100"),
+      perWordBp(nHash).cast("long").as("hash_bp"),
+      perWordBp(nEll).cast("long").as("ellipsis_bp"),
+      perLineBp(nBullet).cast("long").as("bullet_line_bp"),
+      perLineBp(nEllLines).cast("long").as("ellipsis_line_bp"),
+      perWordBp(nAlpha).cast("long").as("alpha_word_bp"),
+      stopHits.as("stop_hits"))
+    val keep = m.getField("n_words").between(minWords, maxWords) &&
+      m.getField("mean_wl_c100").between(300L, 1000L) &&
+      m.getField("hash_bp") <= 1000L &&
+      m.getField("ellipsis_bp") <= 1000L &&
+      m.getField("bullet_line_bp") <= 9000L &&
+      m.getField("ellipsis_line_bp") <= 3000L &&
+      m.getField("alpha_word_bp") >= 8000L &&
+      m.getField("stop_hits") >= 2L
+    struct(
+      m.getField("n_words").as("n_words"),
+      m.getField("mean_wl_c100").as("mean_wl_c100"),
+      m.getField("hash_bp").as("hash_bp"),
+      m.getField("ellipsis_bp").as("ellipsis_bp"),
+      m.getField("bullet_line_bp").as("bullet_line_bp"),
+      m.getField("ellipsis_line_bp").as("ellipsis_line_bp"),
+      m.getField("alpha_word_bp").as("alpha_word_bp"),
+      m.getField("stop_hits").as("stop_hits"),
+      keep.as("keep"))
+  }
+
+  /** Deterministic global training-order shuffle: every doc gets a
+    * (shard, pos) — which output shard it lands in and its position
+    * inside that shard — from pure LCG arithmetic on the key, with
+    * `epoch` folded into the hash so each training epoch sees an
+    * independent deterministic permutation of the same corpus.
+    *
+    * Scale shape: the naive global `orderBy(rand)` is one total sort
+    * of 100 TB; here the only wide operation is a window per shard,
+    * and `shards` is chosen so a shard's rows fit an executor
+    * (10^4 shards ⇒ ~10 GB windows at 100 TB). Assignment is stable
+    * under repartitioning/reruns (hash-based, not row_number over an
+    * arbitrary order), and the arithmetic is foreign-recomputable —
+    * the driver gate checks shard AND position against DuckDB.
+    */
+  def shuffleShards(df: DataFrame, shards: Int,
+      key: Column = col("doc_id"), epoch: Int = 0): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = lcgHash(lcgHash(key) + lit(epoch.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), key)
+    df.withColumn("h", h)
+      .withColumn("shard", pmod(shiftright(col("h"), 8), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("h")
+  }
 }

@@ -513,4 +513,138 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan)
   }
+
+  test("c4Filter: line rules and doc flags — hand goldens") {
+    val doc1 = "This is a good first sentence here.\nshort one.\n" +
+      "Please enable javascript to see this page today.\n" +
+      "Another quite long proper line ends well!\n" +
+      "no terminal punctuation on this line\n" +
+      "A third long sentence ends with a question mark?"
+    val doc2 = "Lorem Ipsum dolor sit amet consectetur adipiscing elit."
+    val doc3 = "function f() { return one value and a result here.\n" +
+      "This otherwise fine sentence is long enough to pass checks.\n" +
+      "And a second one that would also normally pass fine.\n" +
+      "And a third one that would also normally pass fine."
+    val doc4 = "Only two good sentences are present here.\n" +
+      "And here is the second good one."
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Curation.c4Filter(col("text")).as("c"))
+      .select(col("doc_id"), col("c.kept_text"), col("c.n_lines_kept"),
+        col("c.n_sentences"), col("c.keep"))
+      .as[(Long, String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L,
+      "This is a good first sentence here.\n" +
+        "Another quite long proper line ends well!\n" +
+        "A third long sentence ends with a question mark?",
+      3L, 3L, true)), got(0).toString)
+    // doc 2: line survives the line rules, but "lorem ipsum"
+    // (case-insensitive) and <3 sentences both kill the doc
+    assert(got(1)._2 == doc2 && got(1)._3 == 1L && !got(1)._5, got(1).toString)
+    // doc 3: 4 kept lines / 4 sentences, but the curly brace kills it
+    assert(got(2)._3 == 4L && got(2)._4 == 4L && !got(2)._5, got(2).toString)
+    // doc 4: clean lines, but only 2 sentences
+    assert(got(3)._3 == 2L && got(3)._4 == 2L && !got(3)._5, got(3).toString)
+  }
+
+  /** Scala reference for gopherQuality (integer arithmetic identical
+    * to the Column form).
+    */
+  private def gopherOracle(text: String, minWords: Long, maxWords: Long)
+      : (Long, Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+    val toks: Array[String] = text.split("\\s+").filter(_.nonEmpty)
+    val nWords = toks.length.toLong
+    val wordChars = text.replaceAll("\\s", "").length.toLong
+    val mean = if (nWords > 0) wordChars * 100 / nWords else 0L
+    val nHash = text.count(_ == '#').toLong
+    val nEll = ((text.length - text.replace("...", "").length) / 3).toLong
+    def pw(n: Long) = if (nWords > 0) n * 10000 / nWords else 0L
+    val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    val nLines = lines.length.toLong
+    val nBullet = lines.count(l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")).toLong
+    val nEllL = lines.count(_.endsWith("...")).toLong
+    def pl(n: Long) = if (nLines > 0) n * 10000 / nLines else 0L
+    val nAlpha = toks.count(_.exists(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+    val low = toks.map(_.toLowerCase)
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .count(low.contains).toLong
+    val keep = nWords >= minWords && nWords <= maxWords &&
+      mean >= 300 && mean <= 1000 && pw(nHash) <= 1000 &&
+      pw(nEll) <= 1000 && pl(nBullet) <= 9000 && pl(nEllL) <= 3000 &&
+      pw(nAlpha) >= 8000 && stops >= 2
+    (nWords, mean, pw(nHash), pw(nEll), pl(nBullet), pl(nEllL),
+      pw(nAlpha), stops, keep)
+  }
+
+  test("gopherQuality matches the scala oracle over rule-hitting docs") {
+    val docs = Seq(
+      // clean doc: passes everything at minWords = 5
+      "The cat and dog have fun with that ball of yarn to be sure.",
+      // symbol spam: hash ratio trips
+      "# # # # the of and one two three four five six seven",
+      // ellipsis-heavy words and lines
+      "read more... the of and then... still more... and even more...\n" +
+        "second line also trails off here...",
+      // bullet-dominated layout
+      "• the first item\n• the second item\n• of the third\n- and a fourth",
+      // numeric words: alpha fraction trips
+      "111 222 333 444 555 the of 666 777 888 999 000 123 456",
+      // stop-word-free technical text
+      "colum nar vector ized execu tion ker nel oper ator pipe line",
+      // word-length extremes
+      "a b c d e f g h i j k the of",
+      "Supercalifragilistic expialidocious pneumonoultramicroscopic " +
+        "silicovolcanoconiosis the of and antidisestablishmentarianism",
+      // empty and whitespace-only
+      "", "   \n  \n ")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Curation.gopherQuality(col("text"), minWords = 5).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_wl_c100"),
+        col("g.hash_bp"), col("g.ellipsis_bp"), col("g.bullet_line_bp"),
+        col("g.ellipsis_line_bp"), col("g.alpha_word_bp"), col("g.stop_hits"),
+        col("g.keep"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val e = gopherOracle(t, 5, 100000)
+      val g = got(i)
+      assert((g._2, g._3, g._4, g._5, g._6, g._7, g._8, g._9, g._10) == e,
+        s"doc $i: got $g expected $e text=$t")
+    }
+    // the clean doc keeps, each spam doc fails
+    assert(got(0)._10, "clean doc should keep")
+    assert(!got(1)._10 && !got(2)._10 && !got(3)._10 && !got(4)._10 &&
+      !got(5)._10, "rule-hitting docs should fail")
+  }
+
+  test("shuffleShards: arithmetic assignment, contiguous pos, stability, epochs") {
+    val df = spark.range(500).select(col("id").as("doc_id"))
+    def h2(id: Long, epoch: Long) = lcg(lcg(id) + epoch)
+    val got = Curation.shuffleShards(df, shards = 8, epoch = 3)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    got.foreach { case (id, sh, _) =>
+      assert(sh == ((h2(id, 3) >> 8) % 8), s"doc $id")
+    }
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == rows.indices.map(_.toLong),
+        s"shard $sh positions not contiguous")
+      val expected = rows.map(_._1).sortBy(id => (h2(id, 3), id))
+      assert(byPos.map(_._1).toSeq == expected.toSeq, s"shard $sh order")
+    }
+    val repart = Curation.shuffleShards(df.repartition(13), 8, epoch = 3)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(repart == got.map(r => r._1 -> (r._2, r._3)).toMap,
+      "assignment must not depend on partitioning")
+    val e0 = Curation.shuffleShards(df, 8, epoch = 0)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(e0 != got.map(r => r._1 -> (r._2, r._3)).toMap,
+      "epochs must produce different permutations")
+  }
 }
