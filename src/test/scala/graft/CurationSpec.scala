@@ -110,6 +110,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("c4Filter/gopherQuality are shuffle-free per-row plans") {
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("some words here t"), col("id").cast("string")).as("text"))
+    val p1 = df.select(Curation.c4Filter(col("text")))
+      .queryExecution.executedPlan.toString
+    val p2 = df.select(Curation.gopherQuality(col("text")))
+      .queryExecution.executedPlan.toString
+    for (p <- Seq(p1, p2)) {
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("ScalaUDF"), p)
+    }
+  }
+
   test("topVocab: exact top-k per language, two-stage = naive oracle") {
     val rnd = new scala.util.Random(11)
     val words = Vector("a", "b", "c", "d", "e", "f", "g", "h", "zz", "yy")

@@ -154,6 +154,59 @@ class StreamSpec extends SparkSpec {
     assert(rows.contains((0L, "parse", 1L)))
   }
 
+  test("streaming near-dup service: within-batch + cross-batch dedup, checkpoint-safe") {
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.DedupStream
+    val docsDir = Files.createTempDirectory("graft-nd-docs").toString
+    val stateDir = Files.createTempDirectory("graft-nd-state").toString
+    val ckpt = Files.createTempDirectory("graft-nd-ckpt").toString
+    def parse(df: DataFrame) = df.select(
+      split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+      split(col("value"), "\t").getItem(1).as("text"))
+    val keptIds = collection.mutable.SortedMap[Long, Set[Long]]()
+    val sink = (df: DataFrame, id: Long) => {
+      keptIds(id) = df.select("doc_id").as[Long].collect().toSet; ()
+    }
+    def start() = DedupStream.nearDupDriven(
+      parse(spark.readStream.text(docsDir)), stateDir, ckpt, sink,
+      k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+    val base = "the quick brown fox jumps over the lazy dog while the band plays on tonight"
+    val mut1 = base.replace("lazy", "sleepy")
+    val mut2 = base.replace("band", "crowd")
+    val other = "completely different content about rivers and mountains and various other natural things"
+    val otherMut = other.replace("rivers", "streams")
+    val fresh = "yet another unrelated document with a vocabulary that is entirely its own here"
+
+    // batch 0: base + a mutant of it + an unrelated doc → within-batch
+    // near-dup keeps the min-id canonical
+    Files.writeString(Paths.get(docsDir, "f1.txt"),
+      s"0\t$base\n1\t$mut1\n2\t$other\n")
+    val q1 = start(); q1.awaitTermination()
+    assert(keptIds.values.flatten.toSet == Set(0L, 2L))
+
+    // restart; batch 1: a NEW mutant of the state's base doc is
+    // dropped against the accumulated corpus, a fresh doc survives
+    Files.writeString(Paths.get(docsDir, "f2.txt"), s"3\t$mut2\n4\t$fresh\n")
+    val q2 = start(); q2.awaitTermination()
+    assert(keptIds.values.flatten.toSet == Set(0L, 2L, 4L))
+
+    // restart with nothing new: checkpoint prevents reprocessing
+    val q3 = start(); q3.awaitTermination()
+    assert(keptIds.values.flatten.toSet == Set(0L, 2L, 4L))
+
+    // batch 2: a near-dup of state doc 2 and an EXACT copy of state
+    // doc 4 — both dropped (LSH pass and digest pass respectively)
+    Files.writeString(Paths.get(docsDir, "f3.txt"),
+      s"5\t$otherMut\n6\t$fresh\n")
+    val q4 = start(); q4.awaitTermination()
+    assert(keptIds.values.flatten.toSet == Set(0L, 2L, 4L))
+
+    // the committed state is exactly the kept docs
+    val corpus = DedupStream.keptCorpus(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(0L, 2L, 4L))
+  }
+
   test("streaming exact dedup: first arrival wins within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
