@@ -448,6 +448,39 @@ object SparkEntry {
         g.getField("keep").cast("long").as("keep"))
     }),
 
+    // tracking/session-id URL hygiene: jsessionid strip + campaign
+    // param drop over arithmetically constructed urls
+    "q_strip_tracking" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val url = concat(
+        lit("https://h"), pmod(k, lit(7)).cast("string"), lit(".test/p"),
+        k.cast("string"),
+        when(pmod(k, lit(3)) === 0,
+          concat(lit(";jsessionid=S"), k.cast("string"))).otherwise(lit("")),
+        lit("?a="), pmod(k, lit(5)).cast("string"),
+        when(pmod(k, lit(2)) === 0,
+          concat(lit("&utm_source=s"), k.cast("string"))).otherwise(lit("")),
+        when(pmod(k, lit(4)) === 1, lit("&gclid=g")).otherwise(lit("")),
+        when(pmod(k, lit(6)) === 2, lit("&keep=v")).otherwise(lit("")),
+        when(pmod(k, lit(9)) === 0, lit("#sec")).otherwise(lit("")))
+      t(s, dir, "customer").select(k.as("doc_id"),
+        graft.ops.Curation.stripTrackingParams(url).as("url_clean"))
+    }),
+
+    // crawl-priority feedback: integer-valued host ranks → equal-count
+    // frontier tiers; hosts h25..h29 are unranked → default tier
+    "q_rank_tiers" -> ((s, dir) => {
+      val ranks = t(s, dir, "nation").select(
+        concat(lit("h"), col("n_nationkey").cast("string"), lit(".test"))
+          .as("node"),
+        (pmod(col("n_nationkey"), lit(7)) + lit(1)).cast("double").as("rank"))
+      val urls = t(s, dir, "customer").select(
+        concat(lit("https://h"), pmod(col("c_custkey"), lit(30)).cast("string"),
+          lit(".test/p"), col("c_custkey").cast("string")).as("url"))
+      graft.ops.GraphOps.rankToSeedTiers(ranks, urls, nTiers = 4,
+        quantize = r => r)
+    }),
+
     // deterministic epoch-keyed training shuffle: shard AND in-shard
     // position are pure LCG arithmetic a foreign engine recomputes
     "q_shuffle" -> ((s, dir) =>
@@ -1412,6 +1445,46 @@ object SparkEntry {
         |   AND ellline_bp <= 3000 AND alpha_bp >= 8000 AND stops >= 2
         |   THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM f"""
+        .stripMargin),
+
+    "q_strip_tracking" ->
+      ("""WITH built AS (SELECT c_custkey AS k,
+        |  'https://h' || CAST(c_custkey % 7 AS VARCHAR) || '.test/p' || CAST(c_custkey AS VARCHAR)
+        |  || CASE WHEN c_custkey % 3 = 0 THEN ';jsessionid=S' || CAST(c_custkey AS VARCHAR) ELSE '' END
+        |  || '?a=' || CAST(c_custkey % 5 AS VARCHAR)
+        |  || CASE WHEN c_custkey % 2 = 0 THEN '&utm_source=s' || CAST(c_custkey AS VARCHAR) ELSE '' END
+        |  || CASE WHEN c_custkey % 4 = 1 THEN '&gclid=g' ELSE '' END
+        |  || CASE WHEN c_custkey % 6 = 2 THEN '&keep=v' ELSE '' END
+        |  || CASE WHEN c_custkey % 9 = 0 THEN '#sec' ELSE '' END AS url
+        | FROM customer),
+        | s AS (SELECT k, regexp_replace(url, ';jsessionid=[^?#]*', '', 'i') AS u2 FROM built),
+        | parts AS (SELECT k,
+        |  regexp_extract(u2, '^[^?#]*') AS beforeq,
+        |  regexp_extract(u2, '\?([^#]*)', 1) AS q,
+        |  regexp_extract(u2, '(#.*)$', 1) AS frag
+        | FROM s),
+        | kept AS (SELECT k, beforeq, frag,
+        |  list_filter(string_split(q, '&'), p -> len(p) > 0 AND NOT regexp_matches(lower(p),
+        |   '^(utm_[a-z0-9_]*|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|igshid|yclid|_ga|_gl|spm|ref_src)(=|$)')) AS kp
+        | FROM parts)
+        |SELECT k AS doc_id,
+        | beforeq || CASE WHEN len(kp) > 0 THEN '?' || array_to_string(kp, '&') ELSE '' END || frag
+        |   AS url_clean
+        |FROM kept"""
+        .stripMargin),
+
+    "q_rank_tiers" ->
+      ("""WITH r AS (SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.test' AS host,
+        |   CAST(n_nationkey % 7 + 1 AS DOUBLE) AS s FROM nation),
+        | hist AS (SELECT s, count(*) AS c FROM r GROUP BY s),
+        | t AS (SELECT s, CAST(floor(4 * coalesce(sum(c) OVER
+        |   (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   / (SELECT sum(c) FROM hist)) AS BIGINT) AS tier FROM hist),
+        | ht AS (SELECT host, tier FROM r JOIN t USING (s)),
+        | u AS (SELECT 'https://h' || CAST(c_custkey % 30 AS VARCHAR) || '.test/p'
+        |   || CAST(c_custkey AS VARCHAR) AS url,
+        |   'h' || CAST(c_custkey % 30 AS VARCHAR) || '.test' AS host FROM customer)
+        |SELECT url, coalesce(tier, 2) AS priority FROM u LEFT JOIN ht USING (host)"""
         .stripMargin),
 
     "q_shuffle" ->

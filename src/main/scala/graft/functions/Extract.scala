@@ -20,7 +20,7 @@ object Extract {
     if (html == null) return Extracted(null, Seq.empty, "null html")
     val profile = Sites.all.getOrElse(siteName, Sites.wikipedia)
     try {
-      val doc = Html.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+      val doc = Html.parse(Html.decodeBytes(html))
       val scope = profile.filterPage(Seq(doc))
       Extracted(Html.textOf(scope), Html.links(scope), null)
     } catch {
@@ -49,8 +49,7 @@ object Extract {
         // no DOM build — only hrefs ever become Strings
         LinksOnly(Html.scanLinksBytes(html), null)
       else {
-        val doc = Html.parse(
-          new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        val doc = Html.parse(Html.decodeBytes(html))
         LinksOnly(Html.links(profile.filterPage(Seq(doc))), null)
       }
     } catch {
@@ -66,9 +65,14 @@ object Extract {
   def links(html: Array[Byte], siteName: String): Seq[String] =
     extractPage(html, siteName).links
 
-  /** Whole-document text irrespective of profile (for corpus `text`). */
+  /** Whole-document text irrespective of profile (for corpus `text`).
+    * Bytes decode through [[Html.decodeBytes]] — BOM / `<meta
+    * charset>` sniffing with U+FFFD-replacement fallback — so
+    * non-UTF-8 captures (a few percent of any real crawl) extract
+    * correctly instead of as mojibake.
+    */
   def fullText(html: Array[Byte]): String =
-    Html.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8)).textContent
+    Html.parse(Html.decodeBytes(html)).textContent
 
   /** Whole-document (href, normalized anchor text) pairs in document
     * order — the raw material of anchor-text aggregation
@@ -79,8 +83,7 @@ object Extract {
 
   def anchorsOf(html: Array[Byte]): Seq[Anchor] = {
     if (html == null) return Seq.empty
-    try Html.anchors(Seq(Html.parse(
-      new String(html, java.nio.charset.StandardCharsets.UTF_8))))
+    try Html.anchors(Seq(Html.parse(Html.decodeBytes(html))))
       .map { case (h, t) => Anchor(h, t) }
     catch { case _: Exception => Seq.empty }
   }

@@ -88,6 +88,48 @@ object Html {
     sb.toString
   }
 
+  private val metaCharsetRe =
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)".r
+
+  /** Decode raw page bytes to a String honoring the HTML5 encoding
+    * sniffing order a real web corpus needs (a few percent of crawled
+    * pages are not UTF-8): (1) byte-order mark (UTF-8 / UTF-16 BE /
+    * LE); (2) a `<meta charset=…>` or `<meta http-equiv …
+    * charset=…>` declaration inside the first 2048 bytes (scanned
+    * through the byte-transparent latin-1 view, per the spec's
+    * ASCII-compatible-prefix assumption); (3) UTF-8. Every path
+    * decodes with malformed/unmappable → U+FFFD replacement — a
+    * mis-declared page degrades, never throws — and unknown or
+    * unsupported charset names fall back to UTF-8.
+    */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return decodeWith(bytes, 3, "UTF-8")
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      return decodeWith(bytes, 2, "UTF-16BE")
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      return decodeWith(bytes, 2, "UTF-16LE")
+    val head = new String(bytes, 0, math.min(bytes.length, 2048),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val declared = metaCharsetRe.findFirstMatchIn(head).map(_.group(1))
+    decodeWith(bytes, 0, declared.getOrElse("UTF-8"))
+  }
+
+  private def decodeWith(bytes: Array[Byte], offset: Int,
+      name: String): String = {
+    import java.nio.charset.{Charset, CodingErrorAction}
+    val cs =
+      try Charset.forName(name)
+      catch { case _: Exception => Charset.forName("UTF-8") }
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes, offset,
+      bytes.length - offset)).toString
+  }
+
   /** Parse an HTML document; returns the synthetic root node. */
   def parse(html: String): Node = {
     val root = new Node("#root", Map.empty, "")

@@ -567,6 +567,38 @@ object Curation {
       spamHits.as("spam_hits"))
   }
 
+  /** Tracking/session-id URL hygiene (the Heritrix-style
+    * canonicalization rules every production crawler applies before
+    * the seen-set): strips `;jsessionid=…` path suffixes (the classic
+    * servlet session id that makes one page look like infinitely many
+    * URLs) and the ubiquitous click/campaign query parameters
+    * (`utm_*`, `gclid`, `fbclid`, …), then drops an emptied query.
+    * Composes BEFORE `canonical_url` — session/tracking noise
+    * collapses first, then the canonical form sorts what remains.
+    *
+    * Pure per-row regexp + array algebra (zero shuffle), patterns in
+    * the Java∩RE2 subset so the driver gate hash-verifies the whole
+    * rewrite against a foreign engine. Matching is case-insensitive;
+    * surviving parameters keep their original spelling and order.
+    */
+  def stripTrackingParams(url: Column,
+      extraParams: Seq[String] = Seq.empty): Column = {
+    val names = Seq("utm_[a-z0-9_]*", "gclid", "dclid", "fbclid",
+      "msclkid", "mc_cid", "mc_eid", "igshid", "yclid", "_ga", "_gl",
+      "spm", "ref_src") ++ extraParams.map(_.toLowerCase)
+    val pat = names.mkString("^(", "|", ")(=|$)")
+    val noSession = regexp_replace(url, "(?i);jsessionid=[^?#]*", "")
+    val beforeQ = regexp_extract(noSession, "^[^?#]*", 0)
+    val query = regexp_extract(noSession, "\\?([^#]*)", 1)
+    val frag = regexp_extract(noSession, "(#.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => length(p) > 0 && !lower(p).rlike(pat))
+    concat(beforeQ,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")),
+      frag)
+  }
+
   /** Keep-pass over [[blockedByDomain]]: drops every document whose
     * host is on (or under) the blocklist. The keep decision shuffles
     * only blocked doc_ids (8-byte keys, output ∝ blocked set); the

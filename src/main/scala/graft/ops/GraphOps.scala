@@ -310,4 +310,48 @@ object GraphOps {
     }
     visited
   }
+
+  /** Crawl-priority FEEDBACK: host ranks (e.g. [[pageRankWeighted]]
+    * over [[projectGraph]]'s host graph) → frontier seed tiers, the
+    * (url, priority) shape [[graft.engine.CrawlEngine.enqueuePrioritized]]
+    * consumes — closing the loop crawl → analyze → prioritize the
+    * next crawl (the OPIC idea expressed over the published rank ops).
+    *
+    * Tiering is an equal-count cut over the QUANTIZED rank histogram
+    * (same trick as [[Curation.scoreBuckets]]): `quantize` (default
+    * round(ln r, 4)) bounds distinct values, so the cumulative window
+    * runs over the histogram, never the host table — no single-
+    * partition sort of 10^7 hosts. tier 0 = best-ranked hosts =
+    * scheduled first (the engine's ascending-tier convention, shared
+    * with [[graft.sources.Sitemaps.toSeeds]]); hosts missing from the
+    * rank table (never-crawled discoveries) land in `unknownTier`
+    * (default: the middle tier — explored before the tail, after the
+    * proven head).
+    */
+  def rankToSeedTiers(hostRank: DataFrame, urls: DataFrame,
+      nTiers: Int = 4, node: Column = col("node"),
+      rank: Column = col("rank"), url: Column = col("url"),
+      unknownTier: Int = -1,
+      quantize: Column => Column = r => round(log(r), 4)): DataFrame = {
+    require(nTiers > 0, s"nTiers must be positive, got $nTiers")
+    val default = if (unknownTier >= 0) unknownTier else nTiers / 2
+    val base = hostRank.select(node.as("host"), quantize(rank).as("s"))
+    val hist = base.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val better = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val tiers = hist
+      .withColumn("cum", coalesce(sum(col("c")).over(better), lit(0L)))
+      .withColumn("n", sum(col("c")).over(all))
+      .select(col("s"),
+        floor(lit(nTiers) * col("cum") / col("n")).cast("long").as("tier"))
+    val hostTier = base.join(tiers, Seq("s")).select(col("host"), col("tier"))
+    urls.select(url.as("url"),
+        graft.functions.canon.host_of(url).as("host"))
+      .join(hostTier, Seq("host"), "left")
+      .select(col("url"),
+        coalesce(col("tier"), lit(default.toLong)).as("priority"))
+  }
 }

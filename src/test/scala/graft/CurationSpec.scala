@@ -634,6 +634,33 @@ class CurationSpec extends SparkSpec {
       !got(5)._10, "rule-hitting docs should fail")
   }
 
+  test("stripTrackingParams: session ids, campaign params, empty-query collapse") {
+    val urls = Seq(
+      (1L, "https://ex.test/p;jsessionid=ABC123?x=1&utm_source=feed&y=2#frag"),
+      (2L, "https://ex.test/p?utm_campaign=a&UTM_Medium=b&gclid=z"),
+      (3L, "https://ex.test/p?x=1"),
+      (4L, "https://ex.test/p;JSESSIONID=DEF"),
+      (5L, "https://ex.test/p?fbclid=1&ref_src=twsrc&keep=Yes&_ga=2.1"),
+      // near-miss names survive: _gat is not _ga, bare utm is not utm_*
+      (6L, "https://ex.test/p?_gat=1&utm=x"))
+      .toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"),
+        Curation.stripTrackingParams(col("url")).as("u"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "https://ex.test/p?x=1&y=2#frag", got(1L))
+    assert(got(2L) == "https://ex.test/p", got(2L))
+    assert(got(3L) == "https://ex.test/p?x=1", got(3L))
+    assert(got(4L) == "https://ex.test/p", got(4L))
+    assert(got(5L) == "https://ex.test/p?keep=Yes", got(5L))
+    assert(got(6L) == "https://ex.test/p?_gat=1&utm=x", got(6L))
+    // extraParams extend the blocklist
+    val extra = urls.filter(col("doc_id") === 3L)
+      .select(Curation.stripTrackingParams(
+        concat(col("url"), lit("&sid=9")), Seq("sid")).as("u"))
+      .as[String].head()
+    assert(extra == "https://ex.test/p?x=1", extra)
+  }
+
   test("shuffleShards: arithmetic assignment, contiguous pos, stability, epochs") {
     val df = spark.range(500).select(col("id").as("doc_id"))
     def h2(id: Long, epoch: Long) = lcg(lcg(id) + epoch)

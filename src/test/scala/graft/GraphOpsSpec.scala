@@ -163,4 +163,31 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(short === Map(27L -> 0, 28L -> 1, 29L -> 2))
   }
+
+  test("rankToSeedTiers: equal-count histogram tiers, unknown-host default") {
+    // 8 hosts with distinct integer ranks 8..1 → nTiers=4 ⇒ 2 per tier
+    val ranks = (1 to 8).map(i => (s"h$i.test", (9 - i).toDouble))
+      .toDF("node", "rank")
+    val urls = ((1 to 8).map(i => s"https://h$i.test/p") :+
+      "https://new.test/p").toDF("url")
+    val got = GraphOps.rankToSeedTiers(ranks, urls, nTiers = 4,
+        quantize = r => r)
+      .as[(String, Long)].collect().toMap
+    assert(got("https://h1.test/p") == 0 && got("https://h2.test/p") == 0)
+    assert(got("https://h3.test/p") == 1 && got("https://h4.test/p") == 1)
+    assert(got("https://h5.test/p") == 2 && got("https://h6.test/p") == 2)
+    assert(got("https://h7.test/p") == 3 && got("https://h8.test/p") == 3)
+    // never-ranked host lands in the middle tier by default
+    assert(got("https://new.test/p") == 2)
+    // tied ranks share a tier (the histogram cut, not row_number)
+    val tied = GraphOps.rankToSeedTiers(
+        Seq(("a.test", 5.0), ("b.test", 5.0), ("c.test", 1.0))
+          .toDF("node", "rank"),
+        Seq("https://a.test/x", "https://b.test/x", "https://c.test/x")
+          .toDF("url"),
+        nTiers = 3, quantize = r => r)
+      .as[(String, Long)].collect().toMap
+    assert(tied("https://a.test/x") == tied("https://b.test/x"))
+    assert(tied("https://c.test/x") == 2)
+  }
 }

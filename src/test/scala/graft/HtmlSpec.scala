@@ -114,4 +114,36 @@ class HtmlSpec extends AnyFunSuite {
       == expectedTargets)
     assert(links.contains("/wiki/Main_Page")) // decoy present pre-filter
   }
+
+  test("decodeBytes: BOM, meta charset sniffing, replacement fallbacks") {
+    // UTF-8 BOM stripped
+    val u8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "héllo".getBytes("UTF-8")
+    assert(Html.decodeBytes(u8) == "héllo")
+    // UTF-16 byte-order marks
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      "héllo".getBytes("UTF-16BE")
+    assert(Html.decodeBytes(be) == "héllo")
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      "héllo".getBytes("UTF-16LE")
+    assert(Html.decodeBytes(le) == "héllo")
+    // meta-declared latin-1: byte 0xE9 must become é, not U+FFFD
+    val latin = ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body>café</body></html>").getBytes("ISO-8859-1")
+    assert(Html.decodeBytes(latin).contains("café"))
+    // http-equiv form + windows-1252 curly quote (byte 0x93)
+    val w1252 = ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=windows-1252\">a“b").getBytes("windows-1252")
+    assert(Html.decodeBytes(w1252).contains("a“b"))
+    // unknown charset name falls back to UTF-8
+    val unk = "<meta charset=\"no-such-charset-zz\">plain".getBytes("UTF-8")
+    assert(Html.decodeBytes(unk).contains("plain"))
+    // malformed UTF-8 replaces, never throws
+    val bad = "ok ".getBytes("UTF-8") ++ Array[Byte](0xC3.toByte)
+    assert(Html.decodeBytes(bad).startsWith("ok "))
+    // end-to-end: fullText of a latin-1 page extracts the accent
+    val page = ("<html><head><meta charset=\"iso-8859-1\"><title>t</title>" +
+      "</head><body>résumé</body></html>").getBytes("ISO-8859-1")
+    assert(graft.functions.Extract.fullText(page).contains("résumé"))
+  }
 }
