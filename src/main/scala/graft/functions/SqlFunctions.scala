@@ -102,6 +102,14 @@ object SqlFunctions {
       arity("public_suffix", 2, args)
       PublicSuffix(args.head,
         strLit(args(1), "public_suffix", "rules").split(',').toSeq)
+    },
+    fn("gopher_stats",
+      "gopher_stats(text, min_words, max_words) - Gopher quality metrics " +
+        "struct + keep decision in one pass") { args =>
+      arity("gopher_stats", 3, args)
+      GopherStats(args.head,
+        intLit(args(1), "gopher_stats", "min_words").toLong,
+        intLit(args(2), "gopher_stats", "max_words").toLong)
     })
 
   /** Register into a live session (the config-free path; the

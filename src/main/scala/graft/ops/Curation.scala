@@ -654,71 +654,17 @@ object Curation {
     * Every fractional metric is integer basis points
     * (floor(10^4·x/n); mean word length in centi-chars) so the
     * decision has no float-rounding hazard and a foreign engine
-    * recomputes it bit-identically. Per-row, zero shuffle; the only
-    * non-codegen pieces are the two array-lambda filters (alpha
-    * words, line classes), bounded by the row's own token count.
+    * recomputes it bit-identically. Backed by the codegen'd
+    * [[graft.functions.GopherStats]] expression — ONE pass over the
+    * string per row. The first formulation was Column algebra whose
+    * token array re-evaluated ~10× per row through interpreted array
+    * lambdas (20-100 s at sf0.1); the kernel is value-identical
+    * (CurationSpec's scala oracle pins every metric) at per-row
+    * scan speed.
     */
   def gopherQuality(text: Column, minWords: Long = 50,
-      maxWords: Long = 100000L): Column = {
-    // empty tokens dropped explicitly: Spark's trim strips only
-    // spaces, so split-on-\s+ over "\n"-padded text yields empties
-    val toks = filter(split(text, "\\s+"), w => length(w) > 0)
-    val nWords = size(toks).cast("long")
-    val wordChars = length(regexp_replace(text, "\\s", "")).cast("long")
-    val meanWlC100 = when(nWords > 0,
-      floor(wordChars.cast("double") * 100d / nWords.cast("double")))
-      .otherwise(lit(0L))
-    val nHash = (length(text) - length(replace(text, lit("#"), lit(""))))
-      .cast("long")
-    val nEll = ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
-      .cast("long")
-    def perWordBp(n: Column) = when(nWords > 0,
-      floor(n.cast("double") * 10000d / nWords.cast("double")))
-      .otherwise(lit(0L))
-    val docLines = filter(
-      transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
-    val nLines = size(docLines).cast("long")
-    val nBullet = size(filter(docLines, l =>
-      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
-      .cast("long")
-    val nEllLines = size(filter(docLines, l => l.endsWith("...")))
-      .cast("long")
-    def perLineBp(n: Column) = when(nLines > 0,
-      floor(n.cast("double") * 10000d / nLines.cast("double")))
-      .otherwise(lit(0L))
-    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
-    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      .map(w => when(array_contains(transform(toks, lower(_)), w), 1L)
-        .otherwise(0L))
-      .reduce(_ + _)
-    val m = struct(
-      nWords.as("n_words"),
-      meanWlC100.cast("long").as("mean_wl_c100"),
-      perWordBp(nHash).cast("long").as("hash_bp"),
-      perWordBp(nEll).cast("long").as("ellipsis_bp"),
-      perLineBp(nBullet).cast("long").as("bullet_line_bp"),
-      perLineBp(nEllLines).cast("long").as("ellipsis_line_bp"),
-      perWordBp(nAlpha).cast("long").as("alpha_word_bp"),
-      stopHits.as("stop_hits"))
-    val keep = m.getField("n_words").between(minWords, maxWords) &&
-      m.getField("mean_wl_c100").between(300L, 1000L) &&
-      m.getField("hash_bp") <= 1000L &&
-      m.getField("ellipsis_bp") <= 1000L &&
-      m.getField("bullet_line_bp") <= 9000L &&
-      m.getField("ellipsis_line_bp") <= 3000L &&
-      m.getField("alpha_word_bp") >= 8000L &&
-      m.getField("stop_hits") >= 2L
-    struct(
-      m.getField("n_words").as("n_words"),
-      m.getField("mean_wl_c100").as("mean_wl_c100"),
-      m.getField("hash_bp").as("hash_bp"),
-      m.getField("ellipsis_bp").as("ellipsis_bp"),
-      m.getField("bullet_line_bp").as("bullet_line_bp"),
-      m.getField("ellipsis_line_bp").as("ellipsis_line_bp"),
-      m.getField("alpha_word_bp").as("alpha_word_bp"),
-      m.getField("stop_hits").as("stop_hits"),
-      keep.as("keep"))
-  }
+      maxWords: Long = 100000L): Column =
+    texthash.gopher_stats(text, minWords, maxWords)
 
   /** Deterministic global training-order shuffle: every doc gets a
     * (shard, pos) — which output shard it lands in and its position

@@ -70,9 +70,29 @@ class SqlFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(SqlFunctions.all.map(_._1.funcName).sorted == Seq(
-      "canonical_url", "clean_name", "dot_product", "host_of",
-      "min_md5_shingle", "nfc_normalize", "public_suffix",
+      "canonical_url", "clean_name", "dot_product", "gopher_stats",
+      "host_of", "min_md5_shingle", "nfc_normalize", "public_suffix",
       "reg_domain", "repetition_stats", "shingle_hash64"))
+  }
+
+  test("SQL gopher_stats ≡ Column API") {
+    val df = Seq((0L, "The cat and dog have fun with that ball of yarn."),
+      (1L, "# # # short"), (2L, "")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("gopher_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, gopher_stats(text, 5, 100000).n_words AS nw,
+        | gopher_stats(text, 5, 100000).hash_bp AS hb,
+        | gopher_stats(text, 5, 100000).stop_hits AS sh,
+        | gopher_stats(text, 5, 100000).keep AS k
+        |FROM gopher_docs""".stripMargin)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val viaCols = df.select(col("doc_id"),
+        texthash.gopher_stats(col("text"), 5, 100000).getField("n_words").as("nw"),
+        texthash.gopher_stats(col("text"), 5, 100000).getField("hash_bp").as("hb"),
+        texthash.gopher_stats(col("text"), 5, 100000).getField("stop_hits").as("sh"),
+        texthash.gopher_stats(col("text"), 5, 100000).getField("keep").as("k"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(viaSql == viaCols && viaSql.nonEmpty)
   }
 
   test("SQL reg_domain / public_suffix ≡ Column API") {
