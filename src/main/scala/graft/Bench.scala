@@ -503,7 +503,7 @@ object Bench {
       "q_semdedup", "q_classifier_train", "q_classifier_score",
       "q_domain_block", "q_domain_keep", "q_image_neardup",
       "q_c4_lines", "q_gopher", "q_shuffle", "q_strip_tracking",
-      "q_rank_tiers")
+      "q_rank_tiers", "q_bigram_ll", "q_bm25_indexed")
     // 3 interleaved passes, best-of per query: single-shot per-query
     // numbers sat right in hypervisor steal windows in round 2 (4-9×
     // inflation on per-row queries whose code hadn't changed) — the

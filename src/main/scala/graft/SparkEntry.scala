@@ -527,6 +527,9 @@ object SparkEntry {
     "q_unigram_ll" -> ((s, dir) =>
       Curation.unigramLogLik(t(s, dir, "documents"))),
 
+    "q_bigram_ll" -> ((s, dir) =>
+      Curation.bigramLogLik(t(s, dir, "documents"))),
+
     // DSIR importance resampling: target = every 7th doc (a
     // deterministic "domain" both engines can name), raw = the rest
     // CCNet head/middle/tail tiers over the unigram-LM score
@@ -610,6 +613,14 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Search.bm25TopK(t(s, dir, "documents"),
         Seq("spark", "window", "merge"), k = 20)),
+
+    // same query through the materialized postings artifact — the
+    // build-once serving path; oracle = the same BM25 SQL
+    "q_bm25_indexed" -> ((s, dir) => {
+      val postings = Search.buildIndex(t(s, dir, "documents"))
+      Search.bm25TopKIndexed(postings, Search.indexStats(postings),
+        Seq("spark", "window", "merge"), k = 20)
+    }),
 
     // paragraph dedup needs multi-paragraph docs; derive them
     // deterministically by treating the filler token " a " as the
@@ -1652,6 +1663,17 @@ object SparkEntry {
         |FROM toks JOIN v USING (token) GROUP BY doc_id"""
         .stripMargin),
 
+    "q_bigram_ll" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | bg AS (SELECT doc_id, t[i.i] AS u, t[i.i+1] AS v
+        |        FROM toks, (SELECT unnest(range(1, 100000)) AS i) i
+        |        WHERE i.i <= len(t) - 1),
+        | cuv AS (SELECT u, v, count(*) AS cuv FROM bg GROUP BY u, v),
+        | cu AS (SELECT u, CAST(sum(cuv) AS DOUBLE) AS cu FROM cuv GROUP BY u)
+        |SELECT doc_id, round(avg(ln(CAST(cuv AS DOUBLE) / cu)), 4) AS avg_bll
+        |FROM bg JOIN cuv USING (u, v) JOIN cu USING (u) GROUP BY doc_id"""
+        .stripMargin),
+
     "q_ppl_buckets" ->
       ("""WITH toks AS (SELECT doc_id, t.token AS token
         |   FROM documents, unnest(string_split_regex(text, '\s+')) t(token)),
@@ -1742,6 +1764,22 @@ object SparkEntry {
         .stripMargin),
 
     "q_bm25" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(avg(len(t)) AS DOUBLE) AS avgdl FROM toks),
+        | m AS (SELECT doc_id, len(t) AS dl, u.tok AS term FROM toks, unnest(t) u(tok)
+        |       WHERE u.tok IN ('spark', 'window', 'merge')),
+        | tf AS (SELECT doc_id, term, CAST(max(dl) AS DOUBLE) AS dl, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM m GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        | sc AS (SELECT doc_id, round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |        FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id)
+        |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin),
+
+    // the indexed path must produce byte-identical results, so its
+    // oracle is the same BM25 recompute
+    "q_bm25_indexed" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
         | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(avg(len(t)) AS DOUBLE) AS avgdl FROM toks),
         | m AS (SELECT doc_id, len(t) AS dl, u.tok AS term FROM toks, unnest(t) u(tok)

@@ -200,6 +200,38 @@ object Curation {
         .as("avg_ll"))
   }
 
+  /** Bigram-LM document score — the next LM order up from
+    * [[unigramLogLik]] (CCNet's production filter is a 5-gram KenLM;
+    * the bigram conditional is the first step of that ladder and
+    * stays foreign-recomputable): avg over a doc's bigram positions
+    * of ln p(v|u), with MLE p(v|u) = c(u,v)/c(u,·) estimated from
+    * the corpus itself. Docs with fewer than 2 tokens have no bigram
+    * positions and drop out (the caller left-joins if it wants
+    * nulls). Feed the output's `avg_bll` into [[scoreBuckets]] for
+    * the head/middle/tail cut.
+    *
+    * Scale shape mirrors the unigram op: the bigram model is one
+    * map-side-partial (u, v) aggregation, the start counts fold from
+    * the model (not the corpus), and scoring joins positions to the
+    * model on the (u, v) key, ending in one 8-byte-key per-doc avg.
+    */
+  def bigramLogLik(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val pairs = df
+      .select(col("doc_id"), TextOps.wsTokens(text).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS u, tk[i+1] AS v))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+    val bigrams = pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cuv"))
+    val starts = bigrams.groupBy(col("u")).agg(sum(col("cuv")).as("cu"))
+    pairs.join(bigrams, Seq("u", "v")).join(starts, Seq("u"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("cuv").cast("double") / col("cu").cast("double"))), 4)
+        .as("avg_bll"))
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al. 2020): per language,
     * split the corpus into `nBuckets` equal-count tiers by an LM score
     * (head = best-scored third, middle, tail). CCNet sorts each

@@ -65,6 +65,56 @@ object Search {
       .limit(k)
   }
 
+  /** Materialized inverted index: (term, doc_id, tf, dl) postings —
+    * the build-once serving artifact behind [[bm25TopKIndexed]].
+    * [[bm25TopK]] re-tokenizes the corpus per query; a deployment
+    * that serves many queries builds this ONCE (one corpus scan +
+    * one (doc, term) map-side-combined aggregation) and persists it
+    * bucketed/partitioned BY TERM, after which a query reads only
+    * its own terms' buckets — O(postings of the query terms) per
+    * query instead of O(corpus text). Document length rides on every
+    * posting (8 extra bytes) so query time needs no doc-length join.
+    */
+  def buildIndex(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = TextOps.wsTokens(text)
+    docs.select(col("doc_id"), size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+  }
+
+  /** The index's 1-row corpus-stats artifact (n_docs, avgdl) —
+    * computed once at build time next to [[buildIndex]]'s postings
+    * (distinct-doc aggregation over the index), persisted with it.
+    */
+  def indexStats(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+
+  /** BM25 top-k over the PRE-BUILT index — same formula, scores and
+    * tie-breaks as [[bm25TopK]] (SearchSpec pins bit-equality), but
+    * the per-query work is a term-filtered read of the postings
+    * artifact: no tokenization, no corpus scan. Under a
+    * term-partitioned layout the filter becomes partition pruning.
+    */
+  def bm25TopKIndexed(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    val tf = postings.filter(col("term").isInCollection(queryTerms))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val termScore = idf * col("tf") * (k1 + 1.0) / norm
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(termScore), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher, SIGIR 2009) of ranked result sets sharing an id
     * space — the standard way to combine a lexical run ([[bm25TopK]])

@@ -296,6 +296,20 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(0L -> exp0, 1L -> exp1))
   }
 
+  test("bigramLogLik matches a hand-computed bigram model; short docs drop") {
+    val docs = Seq((0L, "a b a b"), (1L, "b a c"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    // bigram positions: doc0 (a,b)(b,a)(a,b); doc1 (b,a)(a,c)
+    // c(a,b)=2 c(b,a)=2 c(a,c)=1; c(a,·)=3, c(b,·)=2
+    val exp0 = BigDecimal((math.log(2.0 / 3) + math.log(2.0 / 2) +
+        math.log(2.0 / 3)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = BigDecimal((math.log(2.0 / 2) + math.log(1.0 / 3)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.bigramLogLik(docs).as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> exp0, 1L -> exp1), got.toString) // doc 2 dropped
+  }
+
   test("triangleCounts matches a brute-force oracle on a seeded graph") {
     val rnd = new scala.util.Random(7)
     val n = 30

@@ -83,6 +83,29 @@ class SearchSpec extends SparkSpec {
       got.toString)
   }
 
+  test("bm25TopKIndexed over the built index ≡ bm25TopK on the corpus") {
+    val docs = (0L until 60L).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "spark", "merge")
+      val text = (0 until (5 + (i % 7)).toInt)
+        .map(j => words(((i + j) % words.length).toInt)).mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val direct = Search.bm25TopK(docs, Seq("spark", "merge"), k = 15)
+      .as[(Long, Double)].collect().toSeq
+    val postings = Search.buildIndex(docs)
+    val stats = Search.indexStats(postings)
+    val indexed = Search.bm25TopKIndexed(postings, stats,
+        Seq("spark", "merge"), k = 15)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed == direct && direct.nonEmpty)
+    // the index is reusable: a second query over the same artifact
+    val q2d = Search.bm25TopK(docs, Seq("delta"), k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val q2i = Search.bm25TopKIndexed(postings, stats, Seq("delta"), k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(q2i == q2d)
+  }
+
   test("rrfFuse: top-k cut and rank-not-score sensitivity") {
     // same ranking, wildly different score scales — fusion identical
     val a1 = Seq((1L, 100.0), (2L, 50.0)).toDF("doc_id", "score")
