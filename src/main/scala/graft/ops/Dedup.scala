@@ -357,9 +357,28 @@ object Dedup {
     */
   def minhashNearDupsAgainst(newDocs: DataFrame, corpus: DataFrame,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame =
+    minhashNearDupsAgainstBands(newDocs,
+      lshBandKeys(corpus, k, bands, shingleN), corpus,
+      k, bands, shingleN, threshold, maxBucket)
+
+  /** [[minhashNearDupsAgainst]] with the corpus side's band keys
+    * supplied as a PRECOMPUTED artifact (the persisted output of
+    * [[lshBandKeys]], ~20 B/row) instead of recomputed from corpus
+    * text: candidate generation reads only the artifact, and corpus
+    * TEXT is touched solely for docs that share a bucket with the
+    * batch (the verify term). This is the call an incremental/
+    * streaming deployment makes per dump or micro-batch — without it
+    * every increment re-shingles the whole accumulated corpus.
+    * `corpusDocs` must cover (at least) every doc_id in the artifact.
+    */
+  def minhashNearDupsAgainstBands(newDocs: DataFrame,
+      corpusBands: DataFrame, corpusDocs: DataFrame,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val corpusBuckets = lshBandKeys(corpus, k, bands, shingleN)
+    val corpus = corpusDocs
+    val corpusBuckets = corpusBands
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)

@@ -101,6 +101,14 @@ class OpsSpec extends SparkSpec {
         k = 16, bands = 8, shingleN = 3, threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(400L, 401L))
+
+    // the PRE-COMPUTED band-key artifact path (what a streaming /
+    // per-dump deployment persists) yields the identical pair set
+    val viaArtifact = Dedup.minhashNearDupsAgainstBands(newDump,
+        Dedup.lshBandKeys(corpus, k = 16, bands = 8, shingleN = 3),
+        corpus, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(viaArtifact == cross)
   }
 
   test("ShingleHash64 expression ≡ the Column-algebra shingle hash") {

@@ -205,6 +205,23 @@ class StreamSpec extends SparkSpec {
     val corpus = DedupStream.keptCorpus(spark, stateDir)
       .select("doc_id").as[Long].collect().toSet
     assert(corpus == Set(0L, 2L, 4L))
+
+    // compaction folds the per-batch partitions into one consolidated
+    // partition; the service keeps deduping against it after restart
+    DedupStream.compactState(spark, stateDir, upToBatch = 3)
+    val afterCompact = DedupStream.keptCorpus(spark, stateDir)
+    assert(afterCompact.select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 2L, 4L))
+    assert(afterCompact.select("batch").distinct().as[Long].collect().toSeq ==
+      Seq(-3L), "docs should live in exactly the consolidated partition")
+    // idempotent re-run (the crash-recovery path)
+    DedupStream.compactState(spark, stateDir, upToBatch = 3)
+    assert(DedupStream.keptCorpus(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 2L, 4L))
+    Files.writeString(Paths.get(docsDir, "f4.txt"),
+      s"7\t${base.replace("fox", "wolf")}\n8\tcompletely standalone final text about something else entirely new\n")
+    val q5 = start(); q5.awaitTermination()
+    assert(keptIds.values.flatten.toSet == Set(0L, 2L, 4L, 8L))
   }
 
   test("streaming exact dedup: first arrival wins within the watermark horizon") {
