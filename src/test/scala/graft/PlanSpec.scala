@@ -181,6 +181,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("indexed BM25 query path: term filter at the scan, df broadcast, heap top-k") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"alpha beta w$i spark merge")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_bm25_postings_plan"
+    graft.ops.Search.buildIndex(docs).write.mode("overwrite").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val stats = graft.ops.Search.indexStats(postings)
+    val p = plan(graft.ops.Search.bm25TopKIndexed(postings, stats,
+      Seq("spark", "merge"), k = 10))
+    // the per-query work starts from a term-FILTERED postings read —
+    // PushedFilters reach the parquet scan — never a corpus tokenize
+    assert(p.contains("PushedFilters: [In(term"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate"), p) // no explode/tokenize at query time
+  }
+
+  test("stripTrackingParams / c4Filter stay per-row: no exchange, no UDF") {
+    import spark.implicits._
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("https://h.test/p;jsessionid=A?x=1&utm_source=s#f"),
+        col("id").cast("string")).as("url"),
+      concat(lit("Some line of text here."), col("id").cast("string")).as("text"))
+    val p1 = plan(docs.select(
+      graft.ops.Curation.stripTrackingParams(col("url"))))
+    val p2 = plan(docs.select(graft.ops.Curation.c4Filter(col("text"))))
+    for (p <- Seq(p1, p2)) {
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("ScalaUDF"), p)
+    }
+  }
+
   test("cdx fetchPlan: one filename shuffle reused by the span window and agg") {
     val dir = "/tmp/graft_cdx_plan_spec"
     if (!new java.io.File(dir, "cdx-00000.txt").exists())
