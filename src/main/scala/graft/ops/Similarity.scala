@@ -156,13 +156,49 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val cents = ivfCentroidsLloyd(corpus, nCentroids, lloydIters)
+    ivfTopKIndexed(queries, ivfIndex(corpus, cents), cents, k, nprobe)
+  }
 
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+  /** Build-once IVF index artifact: the corpus with its centroid
+    * assignment attached — (vec_id, bucket, embedding), meant to be
+    * persisted PARTITIONED BY bucket so a query's `nprobe` buckets
+    * prune at the scan. Pair it with [[centroidsDf]] (the quantizer
+    * itself, a ≤-nCentroids-row table) and the build cost — sampling,
+    * Lloyd refinement, one assignment pass over the corpus — is paid
+    * once instead of per query.
+    */
+  def ivfIndex(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
       assignBucket(col("embedding"), cents).as("bucket"))
+
+  /** the quantizer as a persistable (bucket, centroid) table */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("bucket", "centroid")
+  }
+
+  /** load the quantizer back (inverse of [[centroidsDf]], bit-exact) */
+  def centroidsOf(df: DataFrame): Array[Array[Double]] =
+    df.select(col("bucket"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** [[ivfTopK]] over the PRE-BUILT artifacts: no sampling, no Lloyd
+    * pass, no corpus-wide assignment at query time — the query side
+    * picks its `nprobe` buckets against the loaded quantizer and
+    * joins only those buckets of the index (partition pruning under a
+    * bucket-partitioned layout). Bit-identical to [[ivfTopK]] for the
+    * same quantizer (OpsSpec pins it).
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame,
+      cents: Array[Array[Double]], k: Int, nprobe: Int = 4): DataFrame = {
     val probed = queries.select(col("query_id"), col("embedding"),
       explode(probeBuckets(col("embedding"), cents, nprobe)).as("bucket"))
 
-    val cands = bucketed.as("c")
+    val cands = index.as("c")
       .join(broadcast(probed.as("q")),
         col("q.bucket") === col("c.bucket") &&
           col("q.query_id") =!= col("c.vec_id"))

@@ -444,6 +444,20 @@ class OpsSpec extends SparkSpec {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf === ivf2)
+
+    // the pre-built artifact path (persisted quantizer + bucketed
+    // index) is bit-identical, including after a centroid-table
+    // round trip through the persistable DF form
+    val cents = Similarity.ivfCentroidsLloyd(emb, 12, iters = 1)
+    val reloaded = Similarity.centroidsOf(
+      Similarity.centroidsDf(spark, cents))
+    assert(reloaded.length == cents.length &&
+      reloaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    val viaIndex = Similarity.ivfTopKIndexed(queries,
+        Similarity.ivfIndex(emb, reloaded), reloaded, k = 5, nprobe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === ivf)
   }
 
   test("IVF Lloyd refinement: distortion strictly drops, recall never worse, deterministic") {
