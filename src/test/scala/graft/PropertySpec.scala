@@ -309,4 +309,140 @@ class PropertySpec extends SparkSpec {
       }
     }, cases = 10)
   }
+
+  // ---- GopherStats kernel vs an independent driver recompute ----
+
+  /** reference implementation of the gopher_stats contract: tokens on
+    * the Java-\s set, CODEPOINT char counts, full-string ROOT-locale
+    * stopword lowercasing, space-only line trims — everything the
+    * kernel documents.
+    */
+  private def gopherRef(text: String, minW: Long, maxW: Long)
+      : (Long, Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+    val ws = " \t\n\u000B\f\r"
+    val toks = text.split("[ \t\n\u000B\f\r]+", -1).filter(_.nonEmpty)
+    val nW = toks.length.toLong
+    val noWs = text.filterNot(ws.contains(_))
+    val wc = noWs.codePointCount(0, noWs.length).toLong
+    val mean = if (nW > 0) wc * 100 / nW else 0L
+    val nHash = text.count(_ == '#').toLong
+    var nEll = 0L
+    var i = 0
+    while (i + 2 < text.length) {
+      if (text(i) == '.' && text(i + 1) == '.' && text(i + 2) == '.') {
+        nEll += 1; i += 3
+      } else i += 1
+    }
+    def pw(x: Long) = if (nW > 0) x * 10000 / nW else 0L
+    val lines = text.split("\n", -1)
+      .map(_.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse)
+      .filter(_.nonEmpty)
+    val nL = lines.length.toLong
+    val nB = lines.count(l => l.head == '•' ||
+      (l.length >= 2 && (l.head == '-' || l.head == '*') && l(1) == ' ')).toLong
+    val nEl = lines.count(_.endsWith("...")).toLong
+    def pl(x: Long) = if (nL > 0) x * 10000 / nL else 0L
+    val nA = toks.count(_.exists(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+    val low = toks.map(_.toLowerCase(java.util.Locale.ROOT))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .count(low.contains).toLong
+    val keep = nW >= minW && nW <= maxW && mean >= 300 && mean <= 1000 &&
+      pw(nHash) <= 1000 && pw(nEll) <= 1000 && pl(nB) <= 9000 &&
+      pl(nEl) <= 3000 && pw(nA) >= 8000 && stops >= 2
+    (nW, mean, pw(nHash), pw(nEll), pl(nB), pl(nEl), pw(nA), stops, keep)
+  }
+
+  test("prop: gopherStats kernel ≡ independent recompute on messy unicode text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val piece = Gen.frequency(
+      3 -> Gen.oneOf(" ", "\n", "\t", "\u000B", "\f", "\r"),
+      3 -> Gen.oneOf("#", ".", "..", "...", "....", "•", "- ", "* ",
+        "é", "中", "😀"),
+      3 -> Gen.oneOf("the", "BE", "To", "of", "AND", "that", "have",
+        "with", "word", "a1", "123", "x"),
+      2 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString))
+    val text = Gen.listOf(piece).map(_.mkString)
+    check("gopher-kernel", Prop.forAll(text) { s =>
+      val row = TextKernel.gopherStats(UTF8String.fromString(s), 3L, 50L)
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6),
+        row.getLong(7), row.getBoolean(8))
+      got == gopherRef(s, 3L, 50L)
+    }, cases = 500)
+  }
+
+  test("prop: stripTrackingParams is idempotent and never keeps a blocked param (single job)") {
+    val rnd = new scala.util.Random(11)
+    val blocked = Seq("utm_source", "utm_x9", "gclid", "fbclid", "_ga", "_gl", "spm")
+    val clean = Seq("q", "page", "id", "_gat", "utm", "ref")
+    val urls = (0 until 200).map { i =>
+      val sess = if (rnd.nextBoolean()) s";jsessionid=S$i" else ""
+      val nP = rnd.nextInt(5)
+      val params = (0 until nP).map { _ =>
+        val n = if (rnd.nextBoolean()) blocked(rnd.nextInt(blocked.length))
+          else clean(rnd.nextInt(clean.length))
+        val cased = if (rnd.nextBoolean()) n.toUpperCase else n
+        if (rnd.nextBoolean()) s"$cased=v${rnd.nextInt(9)}" else cased
+      }.mkString("&")
+      val q = if (params.nonEmpty) s"?$params" else ""
+      val frag = if (rnd.nextBoolean()) "#frag" else ""
+      (i.toLong, s"https://h${i % 5}.test/p$i$sess$q$frag")
+    }.toDF("doc_id", "url")
+    val out = urls.select(col("doc_id"),
+        Curation.stripTrackingParams(col("url")).as("once"))
+      .withColumn("twice", Curation.stripTrackingParams(col("once")))
+      .as[(Long, String, String)].collect()
+    val pat = ("^(utm_[a-z0-9_]*|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|" +
+      "igshid|yclid|_ga|_gl|spm|ref_src)(=|$)").r
+    out.foreach { case (id, once, twice) =>
+      assert(once == twice, s"doc $id not idempotent: $once vs $twice")
+      assert(!once.toLowerCase.contains("jsessionid"), s"doc $id: $once")
+      val q = once.indexOf('?')
+      if (q >= 0) {
+        val end = { val h = once.indexOf('#'); if (h >= 0) h else once.length }
+        once.substring(q + 1, end).split("&").foreach { p =>
+          assert(pat.findFirstIn(p.toLowerCase).isEmpty, s"doc $id kept $p")
+        }
+      }
+    }
+  }
+
+  test("prop: c4Filter kept lines all satisfy the line rules (single job)") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "javascript", "Lorem", "ipsum", "brace{")
+    def line() = {
+      val n = rnd.nextInt(9)
+      val body = (0 until n).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+      body + (rnd.nextInt(4) match {
+        case 0 => "." case 1 => "!" case 2 => "?" case _ => ""
+      })
+    }
+    val texts = (0 until 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(7)).map(_ => line()).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val got = texts.select(col("doc_id"), col("text"),
+        Curation.c4Filter(col("text")).as("c"))
+      .select(col("doc_id"), col("text"), col("c.kept_text"),
+        col("c.n_lines_kept"), col("c.n_sentences"), col("c.keep"))
+      .as[(Long, String, String, Long, Long, Boolean)].collect()
+    got.foreach { case (id, text, keptText, nKept, nSent, keep) =>
+      val kept = if (keptText.isEmpty) Array.empty[String]
+        else keptText.split("\n", -1)
+      assert(kept.length.toLong == nKept, s"doc $id count")
+      kept.foreach { l =>
+        assert(l == l.trim && l.nonEmpty, s"doc $id line not trimmed: '$l'")
+        assert("[.!?\"]$".r.findFirstIn(l).isDefined, s"doc $id '$l'")
+        assert(l.split("\\s+").length >= 5, s"doc $id short line kept: '$l'")
+        assert(!l.toLowerCase.contains("javascript"), s"doc $id '$l'")
+      }
+      assert(nSent == kept.map(_.count("[.!?\"]".contains(_))).sum,
+        s"doc $id sentences")
+      val expKeep = nSent >= 3 &&
+        !text.toLowerCase.contains("lorem ipsum") && !text.contains("{")
+      assert(keep == expKeep, s"doc $id keep flag")
+    }
+  }
 }
