@@ -164,6 +164,57 @@ class GraphOpsSpec extends SparkSpec {
     assert(short === Map(27L -> 0, 28L -> 1, 29L -> 2))
   }
 
+  test("feedback loop E2E: weighted host ranks drive the engine's fetch order") {
+    import graft.engine.CrawlEngine
+    import graft.model.CrawlConfig
+    import graft.sites.{Sites, SyntheticWeb}
+    import graft.state.Store
+
+    val spec = SyntheticWeb.Spec("web", numPages = 40L, seed = 42L,
+      numHosts = 4)
+    val pages = SyntheticWeb.pages(spark, spec).toDF()
+    // one candidate url per host actually present in the corpus
+    val byHost = pages
+      .select(col("url"), graft.functions.canon.host_of(col("url")).as("host"))
+      .groupBy("host").agg(min(col("url")).as("url"))
+      .as[(String, String)].collect().toMap
+    assert(byHost.size >= 3, byHost.toString)
+
+    // "previous crawl's" host graph: h2 and h3 get the in-weight
+    val hostEdges = Seq((0L, 2L, 5.0), (1L, 2L, 7.0), (0L, 3L, 6.0),
+      (1L, 3L, 4.0), (2L, 0L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "weight")
+    val ranks = GraphOps.pageRankWeighted(hostEdges, iters = 3)
+      .select(concat(lit("h"), col("node").cast("string"),
+        lit(".web.test")).as("node"), col("rank"))
+    val ranked = ranks.as[(String, Double)].collect().sortBy(-_._2)
+    val rankedHosts = ranked.map(_._1).toSeq
+    // distinct ranks ⇒ the 2-tier histogram cut puts exactly the top
+    // two hosts in tier 0 (whichever the power iteration says they are)
+    assert(ranked.map(_._2).distinct.length == ranked.length)
+
+    // rank → tiers → prioritized seeds → the engine schedules hot first
+    val candidates = byHost.values.toSeq.toDF("url")
+    val seeds = GraphOps.rankToSeedTiers(ranks, candidates, nTiers = 2,
+        quantize = r => r)
+      .as[(String, Long)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val cfg = CrawlConfig(site = "web", batchSize = 2, numShards = 8,
+      bloomItemsPerShard = 1 << 14, compactLogThreshold = 1L << 40)
+    val eng = new CrawlEngine(spark, new Store(root, spark),
+      Sites.all("web"), cfg, pages)
+    eng.seedPrioritized(seeds)
+    eng.step()
+    val consumed = eng.store.read("frontier_log").get
+      .filter(col("kind") === 0).select("canon").as[String].collect().toSet
+    val expected = rankedHosts.take(2).flatMap(byHost.get)
+      .toDF("url")
+      .select(graft.functions.canon.canonical_url(col("url")))
+      .as[String].collect().toSet
+    assert(consumed == expected,
+      s"batch 1 should fetch the two top-ranked hosts' urls: $consumed vs $expected")
+  }
+
   test("rankToSeedTiers: equal-count histogram tiers, unknown-host default") {
     // 8 hosts with distinct integer ranks 8..1 → nTiers=4 ⇒ 2 per tier
     val ranks = (1 to 8).map(i => (s"h$i.test", (9 - i).toDouble))
