@@ -457,12 +457,17 @@ object SparkEntry {
         k.cast("string"),
         when(pmod(k, lit(3)) === 0,
           concat(lit(";jsessionid=S"), k.cast("string"))).otherwise(lit("")),
-        lit("?a="), pmod(k, lit(5)).cast("string"),
-        when(pmod(k, lit(2)) === 0,
-          concat(lit("&utm_source=s"), k.cast("string"))).otherwise(lit("")),
-        when(pmod(k, lit(4)) === 1, lit("&gclid=g")).otherwise(lit("")),
-        when(pmod(k, lit(6)) === 2, lit("&keep=v")).otherwise(lit("")),
-        when(pmod(k, lit(9)) === 0, lit("#sec")).otherwise(lit("")))
+        // the k%9==5 rows carry NO real query — their only '?' lives
+        // inside the fragment (the bug class the anchored regex fixes)
+        when(pmod(k, lit(9)) === 5, lit("")).otherwise(concat(
+          lit("?a="), pmod(k, lit(5)).cast("string"),
+          when(pmod(k, lit(2)) === 0,
+            concat(lit("&utm_source=s"), k.cast("string"))).otherwise(lit("")),
+          when(pmod(k, lit(4)) === 1, lit("&gclid=g")).otherwise(lit("")),
+          when(pmod(k, lit(6)) === 2, lit("&keep=v")).otherwise(lit("")))),
+        when(pmod(k, lit(9)) === 0, lit("#sec"))
+          .when(pmod(k, lit(9)) === 5, lit("#/r?page=2")) // SPA hash route: '?' inside fragment is NOT a query
+          .otherwise(lit("")))
       t(s, dir, "customer").select(k.as("doc_id"),
         graft.ops.Curation.stripTrackingParams(url).as("url_clean"))
     }),
@@ -1462,16 +1467,19 @@ object SparkEntry {
       ("""WITH built AS (SELECT c_custkey AS k,
         |  'https://h' || CAST(c_custkey % 7 AS VARCHAR) || '.test/p' || CAST(c_custkey AS VARCHAR)
         |  || CASE WHEN c_custkey % 3 = 0 THEN ';jsessionid=S' || CAST(c_custkey AS VARCHAR) ELSE '' END
-        |  || '?a=' || CAST(c_custkey % 5 AS VARCHAR)
-        |  || CASE WHEN c_custkey % 2 = 0 THEN '&utm_source=s' || CAST(c_custkey AS VARCHAR) ELSE '' END
-        |  || CASE WHEN c_custkey % 4 = 1 THEN '&gclid=g' ELSE '' END
-        |  || CASE WHEN c_custkey % 6 = 2 THEN '&keep=v' ELSE '' END
-        |  || CASE WHEN c_custkey % 9 = 0 THEN '#sec' ELSE '' END AS url
+        |  || CASE WHEN c_custkey % 9 = 5 THEN '' ELSE
+        |       '?a=' || CAST(c_custkey % 5 AS VARCHAR)
+        |       || CASE WHEN c_custkey % 2 = 0 THEN '&utm_source=s' || CAST(c_custkey AS VARCHAR) ELSE '' END
+        |       || CASE WHEN c_custkey % 4 = 1 THEN '&gclid=g' ELSE '' END
+        |       || CASE WHEN c_custkey % 6 = 2 THEN '&keep=v' ELSE '' END
+        |     END
+        |  || CASE WHEN c_custkey % 9 = 0 THEN '#sec'
+        |          WHEN c_custkey % 9 = 5 THEN '#/r?page=2' ELSE '' END AS url
         | FROM customer),
         | s AS (SELECT k, regexp_replace(url, ';jsessionid=[^?#]*', '', 'i') AS u2 FROM built),
         | parts AS (SELECT k,
         |  regexp_extract(u2, '^[^?#]*') AS beforeq,
-        |  regexp_extract(u2, '\?([^#]*)', 1) AS q,
+        |  regexp_extract(u2, '^[^#?]*\?([^#]*)', 1) AS q,
         |  regexp_extract(u2, '(#.*)$', 1) AS frag
         | FROM s),
         | kept AS (SELECT k, beforeq, frag,

@@ -40,11 +40,19 @@ object Extract {
     */
   final case class LinksOnly(links: Seq[String], err: String)
 
+  /** UTF-16 BOM ⇒ the raw-byte scan would see NUL-interleaved ASCII
+    * and find no hrefs; such (rare) captures take the decode+DOM path.
+    */
+  private def utf16Bom(b: Array[Byte]): Boolean =
+    b.length >= 2 &&
+      ((b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) ||
+       (b(0) == 0xFF.toByte && b(1) == 0xFE.toByte))
+
   def extractLinksOnly(html: Array[Byte], siteName: String): LinksOnly = {
     if (html == null) return LinksOnly(Seq.empty, "null html")
     val profile = Sites.all.getOrElse(siteName, Sites.wikipedia)
     try {
-      if (profile.wholePage)
+      if (profile.wholePage && !utf16Bom(html))
         // identity page filter ⇒ byte-level scan: no document decode,
         // no DOM build — only hrefs ever become Strings
         LinksOnly(Html.scanLinksBytes(html), null)

@@ -113,7 +113,14 @@ object Html {
       return decodeWith(bytes, 2, "UTF-16LE")
     val head = new String(bytes, 0, math.min(bytes.length, 2048),
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    val declared = metaCharsetRe.findFirstMatchIn(head).map(_.group(1))
+    val declared = metaCharsetRe.findFirstMatchIn(head).map(_.group(1)).map { n =>
+      // HTML5 §13.2.3.3: a meta-DECLARED utf-16 maps to UTF-8 (a
+      // BOM-less UTF-16 page could not contain an ASCII meta tag);
+      // x-user-defined likewise decodes bytes as-is, not as UTF-16
+      val l = n.toLowerCase
+      if (l.startsWith("utf-16") || l.startsWith("utf16") ||
+          l == "x-user-defined") "UTF-8" else n
+    }
     decodeWith(bytes, 0, declared.getOrElse("UTF-8"))
   }
 

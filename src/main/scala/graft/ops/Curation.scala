@@ -621,7 +621,9 @@ object Curation {
     val pat = names.mkString("^(", "|", ")(=|$)")
     val noSession = regexp_replace(url, "(?i);jsessionid=[^?#]*", "")
     val beforeQ = regexp_extract(noSession, "^[^?#]*", 0)
-    val query = regexp_extract(noSession, "\\?([^#]*)", 1)
+    // anchor to the pre-fragment region: a '?' inside the fragment
+    // (SPA hash routing, "…/#/path?page=2") is NOT a query string
+    val query = regexp_extract(noSession, "^[^#?]*\\?([^#]*)", 1)
     val frag = regexp_extract(noSession, "(#.*)$", 1)
     val kept = filter(split(query, "&"),
       p => length(p) > 0 && !lower(p).rlike(pat))

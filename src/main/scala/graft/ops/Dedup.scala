@@ -380,7 +380,11 @@ object Dedup {
     val corpus = corpusDocs
     val corpusBuckets = corpusBands
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      // collect_SET: a crashed state compaction can leave duplicate
+      // band-key rows (rename-before-delete window, DedupStream);
+      // duplicated ids must not inflate bucket sizes past maxBucket
+      // and silently drop real near-dup candidates
+      .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
     val cands = lshBandKeys(newDocs, k, bands, shingleN)
       .join(corpusBuckets, Seq("band", "bucket"))

@@ -37,12 +37,16 @@ object TarShards {
   private def octal(v: Long, width: Int): Array[Byte] = {
     // width-1 octal digits, zero-padded, NUL-terminated (GNU/pax safe)
     val s = java.lang.Long.toOctalString(v)
+    // a value wider than the field would silently truncate via
+    // takeRight and desynchronize every later member offset — fail loud
+    require(v >= 0 && s.length <= width - 1,
+      s"tar field overflow: $v needs ${s.length} octal digits, field holds ${width - 1}")
     val pad = "0" * math.max(0, width - 1 - s.length) + s
     (pad.takeRight(width - 1) + "\u0000").getBytes(US_ASCII)
   }
 
   /** one ustar header block for a regular file */
-  private[sources] def header(name: String, size: Long): Array[Byte] = {
+  private[graft] def header(name: String, size: Long): Array[Byte] = {
     require(name.getBytes(US_ASCII).length <= 100,
       s"tar member name too long: $name")
     val h = new Array[Byte](BLOCK)

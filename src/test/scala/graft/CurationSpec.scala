@@ -656,7 +656,12 @@ class CurationSpec extends SparkSpec {
       (4L, "https://ex.test/p;JSESSIONID=DEF"),
       (5L, "https://ex.test/p?fbclid=1&ref_src=twsrc&keep=Yes&_ga=2.1"),
       // near-miss names survive: _gat is not _ga, bare utm is not utm_*
-      (6L, "https://ex.test/p?_gat=1&utm=x"))
+      (6L, "https://ex.test/p?_gat=1&utm=x"),
+      // SPA hash routing: the only '?' lives INSIDE the fragment —
+      // it is not a query string and must pass through untouched
+      (7L, "https://ex.test/#/route?page=2&utm_source=x"),
+      // real query + fragment that itself contains '?'
+      (8L, "https://ex.test/p?utm_source=a&x=1#/r?y=2"))
       .toDF("doc_id", "url")
     val got = urls.select(col("doc_id"),
         Curation.stripTrackingParams(col("url")).as("u"))
@@ -667,6 +672,8 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == "https://ex.test/p", got(4L))
     assert(got(5L) == "https://ex.test/p?keep=Yes", got(5L))
     assert(got(6L) == "https://ex.test/p?_gat=1&utm=x", got(6L))
+    assert(got(7L) == "https://ex.test/#/route?page=2&utm_source=x", got(7L))
+    assert(got(8L) == "https://ex.test/p?x=1#/r?y=2", got(8L))
     // extraParams extend the blocklist
     val extra = urls.filter(col("doc_id") === 3L)
       .select(Curation.stripTrackingParams(

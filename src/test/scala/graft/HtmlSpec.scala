@@ -145,5 +145,26 @@ class HtmlSpec extends AnyFunSuite {
     val page = ("<html><head><meta charset=\"iso-8859-1\"><title>t</title>" +
       "</head><body>résumé</body></html>").getBytes("ISO-8859-1")
     assert(graft.functions.Extract.fullText(page).contains("résumé"))
+    // HTML5: a meta-DECLARED utf-16 maps to UTF-8 (a BOM-less UTF-16
+    // page could not contain an ASCII meta tag) — the bytes ARE ascii
+    val metaU16 = "<meta charset=\"utf-16\">hi there".getBytes("UTF-8")
+    assert(Html.decodeBytes(metaU16).contains("hi there"))
+    val metaXud = "<meta charset=\"x-user-defined\">raw ok".getBytes("UTF-8")
+    assert(Html.decodeBytes(metaXud).contains("raw ok"))
+  }
+
+  test("extractLinksOnly: UTF-16 BOM pages bypass the byte-scan fast path") {
+    val doc = "<html><body><a href=\"/wiki/Target_1\">t</a></body></html>"
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ doc.getBytes("UTF-16BE")
+    // wikipedia is a wholePage profile — the raw-byte scan would see
+    // NUL-interleaved ASCII and find nothing; the BOM sniff must
+    // route this capture through decode+DOM instead
+    val got = graft.functions.Extract.extractLinksOnly(be, "wikipedia")
+    assert(got.err == null, s"err=${got.err}")
+    assert(got.links == Seq("/wiki/Target_1"), got.links)
+    // and the two paths agree on a plain UTF-8 capture
+    val plain = graft.functions.Extract.extractLinksOnly(
+      doc.getBytes("UTF-8"), "wikipedia")
+    assert(plain.links == Seq("/wiki/Target_1"))
   }
 }

@@ -109,6 +109,22 @@ class OpsSpec extends SparkSpec {
         corpus, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
       .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(viaArtifact == cross)
+
+    // crash-window duplicates in the persisted artifact (DedupStream
+    // compaction renames BEFORE deleting) must not inflate bucket
+    // sizes past maxBucket and silently drop candidates: tripling
+    // every band row while capping at the TRUE max bucket size still
+    // yields the identical pair set
+    val bands0 = Dedup.lshBandKeys(corpus, k = 16, bands = 8, shingleN = 3)
+    val trueMax = bands0.groupBy(col("band"), col("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .agg(max(col("n"))).as[Long].head().toInt
+    val dupBands = bands0.union(bands0).union(bands0)
+    val viaDup = Dedup.minhashNearDupsAgainstBands(newDump, dupBands,
+        corpus, k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+        maxBucket = trueMax)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(viaDup == cross, "duplicated band rows changed the pair set")
   }
 
   test("ShingleHash64 expression ≡ the Column-algebra shingle hash") {

@@ -66,6 +66,19 @@ class TarShardsSpec extends SparkSpec {
     assert(bytes.takeRight(1024).forall(_ == 0))
   }
 
+  test("header: oversized member fails loudly instead of truncating") {
+    // 12-byte size field = 11 octal digits = max 8 GiB - 1; a silent
+    // takeRight truncation would desynchronize every later offset
+    intercept[IllegalArgumentException] {
+      TarShards.header("big.bin", 1L << 33)
+    }
+    intercept[IllegalArgumentException] {
+      TarShards.header("neg.bin", -1L)
+    }
+    // the boundary value still encodes
+    assert(TarShards.header("max.bin", (1L << 33) - 1).length == 512)
+  }
+
   test("foreign decoder: GNU tar lists and extracts a shard (when present)") {
     assume(new java.io.File("/usr/bin/tar").exists())
     import scala.sys.process._
