@@ -344,7 +344,7 @@ object Bench {
         // at work; a full edge scan per batch would show sec growing
         // with edges)
         val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Double, Long, Long, Double)]
+          .empty[(Long, Double, Long, Long, Double, String)]
         var cumEdges = 0L
         var go = true
         while (go && out.length < 12) {
@@ -353,8 +353,15 @@ object Bench {
           eng.step() match {
             case Some(r) =>
               cumEdges += r.edgesAdded
+              // per-phase driver seconds + size facts, the round-4
+              // tail-creep diagnostic (phases named in BatchResult)
+              val detail =
+                r.phases.map { case (k, v) => f""""$k":$v%.2f""" }
+                  .mkString(""","phases":{""", ",", "}") +
+                r.stats.map { case (k, v) => s""""$k":$v""" }
+                  .mkString(""","stats":{""", ",", "}")
               out += ((r.frontierPending, (System.nanoTime() - t0) / 1e9,
-                cumEdges, r.scheduleRowsRead, probe))
+                cumEdges, r.scheduleRowsRead, probe, detail))
               go = r.frontierPending > 0 && r.frontierPending < 3000000L
             case None => go = false
           }
@@ -503,7 +510,8 @@ object Bench {
       "q_semdedup", "q_classifier_train", "q_classifier_score",
       "q_domain_block", "q_domain_keep", "q_image_neardup",
       "q_c4_lines", "q_gopher", "q_shuffle", "q_strip_tracking",
-      "q_rank_tiers", "q_bigram_ll", "q_bm25_indexed")
+      "q_rank_tiers", "q_bigram_ll", "q_bm25_indexed", "q_ngram_ll",
+      "q_cluster_components", "q_dedup_incr_keep")
     // 3 interleaved passes, best-of per query: single-shot per-query
     // numbers sat right in hypervisor steal windows in round 2 (4-9×
     // inflation on per-row queries whose code hadn't changed) — the
@@ -530,8 +538,8 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val engArr = engineBatches
-      .map { case (p, sec, e, sr, pr) =>
-        f"""{"pending":$p,"sec":$sec%.2f,"edges":$e,"sched_rows":$sr,"probe_ms":$pr%.1f}""" }
+      .map { case (p, sec, e, sr, pr, detail) =>
+        f"""{"pending":$p,"sec":$sec%.2f,"edges":$e,"sched_rows":$sr,"probe_ms":$pr%.1f$detail}""" }
       .mkString("[", ",", "]")
     val srcJson = sourceStats
       .map { case (k, v) => f""""$k":$v%.3f""" }

@@ -535,6 +535,17 @@ object SparkEntry {
     "q_bigram_ll" -> ((s, dir) =>
       Curation.bigramLogLik(t(s, dir, "documents"))),
 
+    // 5-gram stupid-backoff LM scoring (KenLM's order in CCNet):
+    // model fit on the doc_id%7==0 reference slice — fitting on a
+    // SEPARATE corpus is what makes backoff live — scored over the
+    // full table; hashed grams (md5 buckets) keep it foreign-
+    // recomputable and gram strings off the shuffle
+    "q_ngram_ll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.ngramLogLik(docs, docs.filter(col("doc_id") % 7 === 0),
+        n = 5, buckets = 1 << 16, alpha = 0.4)
+    }),
+
     // DSIR importance resampling: target = every 7th doc (a
     // deterministic "domain" both engines can name), raw = the rest
     // CCNet head/middle/tail tiers over the unigram-LM score
@@ -888,6 +899,42 @@ object SparkEntry {
       Dedup.nearDupClusters(t(s, dir, "documents"), k = 16, bands = 4,
         shingleN = 3, threshold = 0.8)),
 
+    // the CLUSTERING half of q_dedup_clusters, hash-verified: the
+    // star-contraction connected components run over the EXACT
+    // n-gram-Jaccard pair list (SQL-expressible pair generation), and
+    // DuckDB closes the same pairs with a recursive CTE — so the
+    // transitive-closure operator itself is foreign-verified even
+    // though LSH candidate generation is not
+    "q_cluster_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, shingleN = 3, threshold = 0.8)
+      graft.ops.GraphOps.connectedComponents(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          docs.select(col("doc_id").as("node")))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).cast("long").as("is_canonical"))
+    }),
+
+    // the KEEP DECISION half of q_dedup_incr_near, hash-verified: new
+    // snapshot (odd ids) minus exact corpus dups minus docs with an
+    // EXACT cross-snapshot Jaccard pair ≥ threshold — the same keep
+    // rule dropDupsAgainst applies, with the SQL-expressible exact
+    // pair generation standing in for the LSH candidates
+    "q_dedup_incr_keep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val newDocs = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val pairs = Dedup.jaccardPairs(d, shingleN = 3, threshold = 0.8)
+      val crossNew = pairs
+        .filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
+        .select(when(pmod(col("doc_a"), lit(2)) === 1, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+        .distinct()
+      Dedup.dropExactDupsAgainst(newDocs, corpus)
+        .join(crossNew, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+    }),
+
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.simhash(col("text")).as("fp"))),
@@ -942,11 +989,10 @@ object SparkEntry {
       Similarity.semDeDup(t(s, dir, "embeddings"),
         Similarity.axisSignBucket(col("embedding"), 4), 0.3)),
 
-    // multimodal plumbing (stub decode, deterministic)
-    "q_media_meta" -> ((s, _) => {
-      import s.implicits._
-      Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 200L)).toDF()
-    }),
+    // (q_media_meta retired in round 4: its generic decodeMeta path
+    // kept the StubDecoder defaults while q_image/audio/video_meta
+    // verify the REAL decoders below; the pluggable-decoder plumbing
+    // itself stays pinned by MultimodalSpec)
 
     // REAL audio decode, foreign-verified: the payloads are valid
     // PCM WAV containers whose header parameters are arithmetic in
@@ -1305,6 +1351,10 @@ object SparkEntry {
         "(SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 2 GROUP BY doc_id"),
 
     "q_jaccard_pairs" -> jaccardOracle,
+
+    "q_cluster_components" -> clusterComponentsOracle,
+
+    "q_dedup_incr_keep" -> incrKeepOracle,
 
     "q_split" ->
       ("""SELECT doc_id, bucket,
@@ -1681,6 +1731,8 @@ object SparkEntry {
         |SELECT doc_id, round(avg(ln(CAST(cuv AS DOUBLE) / cu)), 4) AS avg_bll
         |FROM bg JOIN cuv USING (u, v) JOIN cu USING (u) GROUP BY doc_id"""
         .stripMargin),
+
+    "q_ngram_ll" -> ngramLlOracle,
 
     "q_ppl_buckets" ->
       ("""WITH toks AS (SELECT doc_id, t.token AS token
@@ -2104,6 +2156,50 @@ object SparkEntry {
   private def hexDigit(i: Int): String =
     s"(strpos('0123456789abcdef', substr(md5(gram), $i, 1)) - 1)"
 
+  /** DuckDB refit of the whole 5-gram stupid-backoff scorer
+    * ([[graft.ops.Curation.ngramLogLik]]): k-grams per position,
+    * md5-bucketed counts from the doc_id%7==0 model slice, widest
+    * model-seen order per position, α-penalized backoff ratio —
+    * the exact arithmetic, so the driver gate hash-verifies it.
+    */
+  private def ngramLlOracle: String = {
+    def hd(c: String, i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($c), $i, 1)) - 1)"
+    def bucket(c: String) =
+      s"((${hd(c, 1)} * 65536 + ${hd(c, 2)} * 4096 + " +
+        s"${hd(c, 3)} * 256 + ${hd(c, 4)} * 16 + ${hd(c, 5)}) % 65536)"
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       | pos AS (SELECT doc_id, t, p.p AS pos FROM tok, unnest(range(0, len(t))) p(p)),
+       | g AS (SELECT doc_id, pos, k.k AS k,
+       |     array_to_string(list_slice(t, CAST(pos - k.k + 2 AS INT), CAST(pos + 1 AS INT)), ' ') AS gram,
+       |     CASE WHEN k.k >= 2 THEN
+       |       array_to_string(list_slice(t, CAST(pos - k.k + 2 AS INT), CAST(pos AS INT)), ' ')
+       |     END AS pgram
+       |   FROM pos, unnest(range(1, least(pos + 1, 5) + 1)) k(k)),
+       | gb AS (SELECT doc_id, pos, k, ${bucket("gram")} AS bucket,
+       |     CASE WHEN k >= 2 THEN ${bucket("pgram")} END AS pbucket FROM g),
+       | mc AS (SELECT k, bucket, count(*) AS c FROM gb
+       |        WHERE doc_id % 7 = 0 GROUP BY k, bucket),
+       | nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tot FROM mc WHERE k = 1),
+       | j2 AS (SELECT gb.doc_id, gb.pos, gb.k, m1.c AS cnum, m2.c AS cden
+       |   FROM gb LEFT JOIN mc m1 ON m1.k = gb.k AND m1.bucket = gb.bucket
+       |           LEFT JOIN mc m2 ON m2.k = gb.k - 1 AND m2.bucket = gb.pbucket),
+       | best AS (SELECT doc_id, pos, max(k) AS kmax,
+       |     max(CASE WHEN cnum IS NOT NULL THEN k END) AS kstar
+       |   FROM j2 GROUP BY doc_id, pos),
+       | pick AS (SELECT b.doc_id, b.pos, b.kmax, b.kstar, j.cnum, j.cden
+       |   FROM best b LEFT JOIN j2 j
+       |     ON j.doc_id = b.doc_id AND j.pos = b.pos AND j.k = b.kstar),
+       | sc AS (SELECT doc_id,
+       |     CASE WHEN kstar IS NULL THEN (kmax - 1) * ln(0.4) + ln(1.0 / (n_tot + 65536.0))
+       |          WHEN kstar = 1 THEN (kmax - 1) * ln(0.4) + ln(CAST(cnum AS DOUBLE) / n_tot)
+       |          ELSE (kmax - kstar) * ln(0.4) + ln(CAST(cnum AS DOUBLE) / CAST(cden AS DOUBLE))
+       |     END AS l
+       |   FROM pick CROSS JOIN nt)
+       |SELECT doc_id, round(avg(l), 4) AS avg_nll FROM sc GROUP BY doc_id"""
+      .stripMargin
+  }
+
   /** Shared CTE for the DSIR oracles: hashed n-gram (unigram+bigram)
     * models over the deterministic target/raw partition of
     * `documents`; bucket = first 5 md5 hex digits mod 2^16 — the
@@ -2207,16 +2303,48 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
-  private def jaccardOracle: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+  /** exact 3-gram Jaccard pairs ≥ 0.8 as a reusable CTE tail (`pr`) —
+    * shared by the pair, clustering and incremental-keep oracles
+    */
+  private def jaccardPairsCte: String =
+    """toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
       | g AS (SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS gram
       |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 2),
       | sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      |   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
-      |FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
-      |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""".stripMargin
+      |   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      | pr AS (SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+      |   FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+      |   WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)""".stripMargin
+
+  private def jaccardOracle: String =
+    "WITH " + jaccardPairsCte + "\nSELECT doc_a, doc_b, jaccard FROM pr"
+
+  /** recursive-CTE min-label closure over the exact pair list — the
+    * foreign twin of star-contraction connected components
+    */
+  private def clusterComponentsOracle: String =
+    "WITH RECURSIVE " + jaccardPairsCte + ",\n" +
+      """ e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |       UNION ALL SELECT doc_b, doc_a FROM pr),
+        | reach(node, lbl) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id,
+        |  CAST(min(lbl) = node AS BIGINT) AS is_canonical
+        |FROM reach GROUP BY node""".stripMargin
+
+  private def incrKeepOracle: String =
+    "WITH " + jaccardPairsCte + ",\n" +
+      """ cross_new AS (SELECT DISTINCT
+        |     CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id
+        |   FROM pr WHERE doc_a % 2 <> doc_b % 2)
+        |SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents o
+        |                  WHERE o.doc_id % 2 = 0 AND o.text = n.text)
+        |  AND n.doc_id NOT IN (SELECT doc_id FROM cross_new)""".stripMargin
 
   private def knnOracle: String =
     """WITH sims AS (

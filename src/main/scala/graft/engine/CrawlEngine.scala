@@ -32,6 +32,16 @@ object CrawlEngine {
     when(resolved.isNull, raise_error(concat(
       lit("Could not find node on reverse lookup: "), key.cast("string"))))
       .otherwise(resolved)
+
+  /** manifest-journal codec for the per-tier pending ledger */
+  private[engine] def renderTierCounts(m: Map[Int, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (t, n) => s"$t:$n" }.mkString(",")
+
+  private[engine] def parseTierCounts(s: String): Map[Int, Long] =
+    s.split(',').filter(_.nonEmpty).map { kv =>
+      val Array(t, n) = kv.split(':')
+      t.toInt -> n.toLong
+    }.toMap
 }
 
 /** One micro-batch's outcome (driver-visible counters only). */
@@ -47,7 +57,18 @@ final case class BatchResult(
       * actually read (= frontierPending only when the take had to
       * widen to the full view) — the O(active wave) read criterion
       */
-    scheduleRowsRead: Long = -1L)
+    scheduleRowsRead: Long = -1L,
+    /** per-phase driver wall seconds, in execution order (schedule /
+      * extract_confirm / url_probe / discover / commit_* / blob_fold_*
+      * / consolidate / publish / sweep) — the diagnostic that says
+      * WHICH phase grows when a batch-time trend appears. Zero-cost
+      * nanoTime bracketing of actions the driver already blocks on.
+      */
+    phases: Seq[(String, Double)] = Nil,
+    /** per-batch size facts for the same diagnosis: live/delta segment
+      * counts per table, maybe-shard fan-outs, log rows, compact kind
+      */
+    stats: Seq[(String, Long)] = Nil)
 
 /** The crawl loop — reference lifecycle E1 (SURVEY §3) re-expressed as
   * a driver-side micro-batch loop over Datasets:
@@ -203,57 +224,89 @@ final class CrawlEngine(
         col("id"))
 
   // ---- driver-tracked state (recovered from the store on resume) ----
+  //
+  // Every publish journals this ledger into the manifest's meta map
+  // ([[stageEngineMeta]]) — a resume reads it back in O(1) instead of
+  // scanning the frontier/metrics/log tables before batch 1 (at 10^10
+  // pending rows the open scan was a full-table pass). The scans below
+  // remain as the fallback for legacy stores, foreign writers (a
+  // publish without the ledger CLEARS it — Store.meta doc), and the
+  // explicit cfg.rebuildState escape hatch. The ledger is an exact
+  // arithmetic mirror of the tables by induction; EngineSpec pins
+  // journal-resume ≡ scan-rebuild equivalence.
+
+  private val resumeMeta: Map[String, String] =
+    if (cfg.rebuildState) Map.empty else store.meta
+
+  private def metaLong(key: String): Option[Long] =
+    resumeMeta.get(key).flatMap(v => scala.util.Try(v.toLong).toOption)
 
   /** running total for the stop gate (reference totalNodesAdded,
-    * crawler/metrics.go:70-77) — recovered from the metrics table on
-    * resume.
+    * crawler/metrics.go:70-77) — journal, else the metrics table.
     */
   private var totalNodesAdded: Long =
-    store.read("metrics").map(
-      _.filter(col("partition_id") === -1)
-        .agg(coalesce(sum("nodes_added"), lit(0L))).as[Long].head()
-    ).getOrElse(0L)
+    metaLong("eng.nodes_total").getOrElse(
+      store.read("metrics").map(
+        _.filter(col("partition_id") === -1)
+          .agg(coalesce(sum("nodes_added"), lit(0L))).as[Long].head()
+      ).getOrElse(0L))
 
   def nodesTotal: Long = totalNodesAdded
 
-  /** log rows by kind, read once on resume (0 = consumed, 1 = seen-new);
-    * value = (rows, canon bytes) — the bytes feed the broadcast gate
+  /** (consumed rows, consumed canon bytes, total rows) of the frontier
+    * log — journal, else one groupBy-kind scan of the (bounded) log.
     */
-  private val logCounts: Map[Int, (Long, Long)] =
-    store.read("frontier_log").map(
-      _.groupBy(col("kind"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(octet_length(col("canon"))), lit(0L)).as("b"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    ).getOrElse(Map.empty)
+  private val logStats: (Long, Long, Long) =
+    resumeMeta.get("eng.log").flatMap { s =>
+      s.split(',') match {
+        case Array(a, b, c) => scala.util.Try(
+          (a.toLong, b.toLong, c.toLong)).toOption
+        case _ => None
+      }
+    }.getOrElse {
+      val byKind: Map[Int, (Long, Long)] =
+        store.read("frontier_log").map(
+          _.groupBy(col("kind"))
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(octet_length(col("canon"))), lit(0L)).as("b"))
+            .collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        ).getOrElse(Map.empty)
+      (byKind.get(0).map(_._1).getOrElse(0L),
+        byKind.get(0).map(_._2).getOrElse(0L),
+        byKind.values.map(_._1).sum)
+    }
 
   /** rows in the consumed side of the log (anti-joined out of reads) */
-  private var consumedCount: Long = logCounts.get(0).map(_._1).getOrElse(0L)
+  private var consumedCount: Long = logStats._1
 
   /** estimated payload bytes of the consumed side — gates the
     * anti-join broadcast hint by SIZE, not row count (5M long canon
     * strings are hundreds of MB; forcing those through `broadcast()`
     * bypasses Spark's own auto threshold)
     */
-  private var consumedBytes: Long = logCounts.get(0).map(_._2).getOrElse(0L)
+  private var consumedBytes: Long = logStats._2
 
   /** total log rows — drives the compaction trigger */
-  private var logRowCount: Long = logCounts.values.map(_._1).sum
+  private var logRowCount: Long = logStats._3
 
   /** pending frontier rows BY PRIORITY TIER — maintained by arithmetic
     * per batch (prev − selected + discovered, each side's per-tier
-    * counts riding jobs that run anyway); read from the store exactly
-    * once, at open. The map picks the scheduler's tier cut — it is an
-    * optimization only, the widen-on-shortfall loop in step() keeps
-    * selection exact even if it drifted.
+    * counts riding jobs that run anyway); journaled at every publish,
+    * read from the store only as the fallback. The map picks the
+    * scheduler's tier cut — it is an optimization only, the
+    * widen-on-shortfall loop in step() keeps selection exact even if
+    * it drifted.
     */
   private var pendingByTier: Map[Int, Long] =
-    store.read("frontier").map { raw =>
-      frontierView(raw, store.readOr("frontier_log", emptyLog))
-        .groupBy(tierCol(col("priority")).as("t")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    }.getOrElse(Map.empty)
+    resumeMeta.get("eng.pending_tiers").map(CrawlEngine.parseTierCounts)
+      .getOrElse {
+        store.read("frontier").map { raw =>
+          frontierView(raw, store.readOr("frontier_log", emptyLog))
+            .groupBy(tierCol(col("priority")).as("t")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }.getOrElse(Map.empty)
+      }
 
   private def tierAdd(m: Map[Int, Long], delta: Iterable[(Int, Long)],
       sign: Long): Map[Int, Long] =
@@ -270,11 +323,13 @@ final class CrawlEngine(
     else math.max(4L * cfg.batchSize, pendingCount / 4)
 
   /** staggered-compaction rotation pointer (cfg.compactShardsPerBatch
-    * > 0): which shard the next partial fold starts at. Not persisted —
-    * a resume restarting at 0 only affects rotation fairness, never
-    * correctness (every shard's un-folded state stays in the log).
+    * > 0): which shard the next partial fold starts at. Journaled at
+    * every publish; a legacy resume restarting at 0 only affects
+    * rotation fairness, never correctness (every shard's un-folded
+    * state stays in the log).
     */
-  private var nextCompactShard: Int = 0
+  private var nextCompactShard: Int =
+    metaLong("eng.next_compact_shard").map(_.toInt).getOrElse(0)
 
   // ---- driver-resident seen state (small-state mode) ----
 
@@ -382,7 +437,12 @@ final class CrawlEngine(
     * after init/compaction.
     */
   private final class FrozenBlobs(val table: String) {
-    var upto: Long = store.maxSegmentBatch(table)
+    /** journal, else the blob segments' own max batch id (exact too —
+      * blobs are only ever written by a fold that advances upto to
+      * the folding batch; the journal just removes the asymmetry)
+      */
+    var upto: Long = metaLong(s"eng.${table}_upto")
+      .getOrElse(store.maxSegmentBatch(table))
     private var bcOpt: Option[Broadcast[Map[Int, Array[Byte]]]] = None
 
     def bc(): Broadcast[Map[Int, Array[Byte]]] = bcOpt.getOrElse {
@@ -403,6 +463,83 @@ final class CrawlEngine(
 
   private val edgeBlobs = new FrozenBlobs("edges_bloom")
   private val nodeBlobs = new FrozenBlobs("nodes_bloom")
+
+  /** Resident EXACT-membership key cache over an append-only base
+    * table — the structure behind the two-phase confirm's second
+    * phase. The shard-restricted parquet confirm was o(table) only
+    * while bloom maybes were RARE; the crawl's node lookups broke that
+    * assumption: most links point at already-known pages, so the
+    * maybes are TRUE members spread over every shard and the confirm
+    * re-read the whole (growing) dictionary from disk every batch —
+    * the measured per-batch creep. This cache holds just the JOIN
+    * KEYS (8-16 B/row: 10^10 nodes ≈ 80 GB, ~80 MB/executor on the
+    * 1000-executor target), hash-partitioned and `localCheckpoint`ed
+    * once, then probed in memory every batch:
+    *
+    *   - members() = checkpointed base ∪ the exact parquet delta
+    *     (segments published after the checkpoint — the same LSM
+    *     window contract as the frozen blooms), so membership is
+    *     exact at every batch;
+    *   - the delta folds INTO the checkpoint (in-memory union +
+    *     re-checkpoint, never a table re-read) once it spans
+    *     `foldAfterSegs` segment dirs — amortized O(delta) per batch;
+    *   - segment consolidation may rewrite already-covered rows into
+    *     post-checkpoint segments: the delta then holds duplicates of
+    *     cached keys, harmless to semi/anti-join membership and
+    *     dropped at the next fold's dedup;
+    *   - blocks live MEMORY_AND_DISK via localCheckpoint; losing an
+    *     executor loses blocks and fails the batch — the engine
+    *     resumes from the last published snapshot and rebuilds the
+    *     cache from the base table (one columnar key-column read per
+    *     process, vs the old design's one per BATCH).
+    */
+  private final class KeyCache(table: String, empty: () => DataFrame,
+      keyOf: DataFrame => DataFrame, joinCols: Seq[String]) {
+    private var dfOpt: Option[DataFrame] = None
+    private var upto: Long = -1L
+    private val foldAfterSegs = 8 * cfg.numShards
+
+    private def checkpointed(keys: DataFrame): DataFrame =
+      keys.repartition(cfg.numShards, joinCols.map(col): _*)
+        .dropDuplicates(joinCols)
+        .localCheckpoint(true)
+
+    /** exact member keys as of the CURRENT published snapshot */
+    def members(): DataFrame = {
+      val base = dfOpt.getOrElse {
+        val built = described(s"key-cache-build:$table") {
+          checkpointed(keyOf(store.readOr(table, empty())))
+        }
+        dfOpt = Some(built)
+        upto = store.batchId
+        built
+      }
+      store.readNewerThan(table, upto) match {
+        case Some(delta) =>
+          val deltaKeys = keyOf(delta)
+          if (store.segmentsNewerThan(table, upto) > foldAfterSegs) {
+            val folded = described(s"key-cache-fold:$table") {
+              checkpointed(base.unionByName(deltaKeys))
+            }
+            base.unpersist()
+            dfOpt = Some(folded)
+            upto = store.batchId
+            folded
+          } else base.unionByName(deltaKeys)
+        case None => base
+      }
+    }
+  }
+
+  /** node membership keys on the arithmetic id (names ARE their ids
+    * under S6 — the same identity the whole edge layer builds on);
+    * edge membership keys stay the raw (src, dst) pair — edges have
+    * no collision guard, so a hashed key would not be exact
+    */
+  private val nodeKeyCache = new KeyCache("nodes", () => emptyNodes,
+    df => df.select(nameKeyOf(col("name")).as("h")), Seq("h"))
+  private val edgeKeyCache = new KeyCache("edges", () => emptyEdges,
+    df => df.select(col("src"), col("dst")), Seq("src", "dst"))
 
   /** Fold every `base` segment past the family's watermark, plus the
     * staged-but-unpublished `extraKeys` delta, into the frozen blobs
@@ -479,7 +616,7 @@ final class CrawlEngine(
     store.read("seen_shards").foreach(urlSeen.load)
     // replay the un-compacted seen log into the filters (resume after
     // a crash between compactions) — bounded by the compact threshold
-    if (logCounts.get(1).exists(_._1 > 0L)) store.read("frontier_log").foreach { df =>
+    if (logRowCount - consumedCount > 0L) store.read("frontier_log").foreach { df =>
       val pairs = df.filter(col("kind") === 1)
         .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
@@ -505,8 +642,9 @@ final class CrawlEngine(
     * nothing); recovered from the blob rows on resume
     */
   private var recrawlCount: Long =
-    store.read("recrawl_shards").map(
-      _.agg(coalesce(sum("count"), lit(0L))).as[Long].head()).getOrElse(0L)
+    metaLong("eng.recrawl_count").getOrElse(
+      store.read("recrawl_shards").map(
+        _.agg(coalesce(sum("count"), lit(0L))).as[Long].head()).getOrElse(0L))
 
   /** the live pending frontier: base segments minus the consumed side
     * of the log. The log is bounded by the compaction threshold, so
@@ -619,8 +757,11 @@ final class CrawlEngine(
       staged.replace("recrawl_shards", emptyRecrawl)
       staged.replace("recrawl_keys", emptyRecrawlKeys)
     }
+    val nextPending =
+      trips.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+    stageEngineMeta(staged, nextPending, 0L, 0L, 0L, 0L, totalNodesAdded)
     staged.publish()
-    pendingByTier = trips.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+    pendingByTier = nextPending
     consumedCount = 0L
     logRowCount = 0L
     consumedBytes = 0L
@@ -684,6 +825,8 @@ final class CrawlEngine(
     } else {
       staged.replace("recrawl_shards", folded.drop("overflow"))
     }
+    stageEngineMeta(staged, pendingByTier, consumedCount, consumedBytes,
+      logRowCount, liveTotal, totalNodesAdded)
     staged.publish()
     recrawlCount = liveTotal
     keys.unpersist()
@@ -769,34 +912,10 @@ final class CrawlEngine(
       .withColumn("__ushard", shardCol(col("canon")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // node maybe-set over ALL candidate names (superset of the url
-    // survivors — the confirm is exact, extra maybes only cost reads)
-    val probedN = (if (driverSeenMode) {
-      seedDf.withColumn("maybe_node",
-        Bloom.blobsColumnBcHash(nodeBlobs.bc(), cfg.numShards,
-          nameKeyOf(col("name"))))
-    } else {
-      val probed = Bloom.probeSeenShuffleHash(
-        seedDf.select(nameKeyOf(col("name")).as("h")),
-        store.readOr("nodes_bloom", emptySeen), cfg.numShards)
-      seedDf
-        .withColumn("h", nameKeyOf(col("name")))
-        .join(probed, Seq("h"), "left")
-        .withColumn("maybe_node", coalesce(col("maybe_seen"), lit(false)))
-        .drop("h", "maybe_seen")
-    })
-    val maybeN = probedN.filter(col("maybe_node"))
-      .select(col("name")).distinct()
-      .withColumn("__nshard", nameShardOf(col("name")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ONE collect fetches both families' maybe-shard sets
-    val shardRows =
-      maybeU.select(lit(0).as("f"), col("__ushard").as("s")).distinct()
-        .unionByName(maybeN.select(lit(1).as("f"), col("__nshard").as("s")).distinct())
-        .collect()
-    val uShards = shardRows.filter(_.getInt(0) == 0).map(_.getInt(1)).toSet
-    val nShards = shardRows.filter(_.getInt(0) == 1).map(_.getInt(1)).toSet
+    // url maybe-shard set (one small collect)
+    val uShards: Set[Int] =
+      maybeU.select(col("__ushard").as("s")).distinct()
+        .collect().map(_.getInt(0)).toSet
 
     // pending-frontier confirm restricted to the maybe shards (the
     // view subtracts the consumed log exactly as step()'s reads do)
@@ -806,22 +925,17 @@ final class CrawlEngine(
         store.readShards("frontier", uShards).getOrElse(emptyFrontier),
         log.filter(Bloom.shardOf(col("canon"), cfg.numShards)
           .isin(uShards.toSeq: _*)))
-    // node-membership confirm: exact members among the bloom maybes
-    // (their shards' segments include the un-folded delta) plus the
-    // bloom's blind window (segments past the watermark) for the rest
-    val memberNames =
-      if (nShards.isEmpty) emptyNodes.select("name")
-      else store.readShards("nodes", nShards).getOrElse(emptyNodes)
-        .select("name")
-        .join(broadcast(maybeN.select("name")), Seq("name"), "left_semi")
-    val deltaN = store.readNewerThan("nodes", nodeBlobs.upto)
-    val freshNamed0 = seedDf
+    // node-membership confirm: exact anti-join against the resident
+    // dictionary key cache (same structure as step()'s confirm — the
+    // per-batch read is O(seeds + in-memory key scan), never a
+    // shard-restricted re-read of the growing dictionary)
+    val memberKeys = nodeKeyCache.members()
+    val freshNamed = seedDf
       .join(pendingMaybe.select("canon"), Seq("canon"), "left_anti")
-      .join(broadcast(memberNames), Seq("name"), "left_anti")
-    val freshNamed = (deltaN match {
-      case Some(d) => freshNamed0.join(d.select("name"), Seq("name"), "left_anti")
-      case None => freshNamed0
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__h", nameKeyOf(col("name")))
+      .join(memberKeys.withColumnRenamed("h", "__h"), Seq("__h"), "left_anti")
+      .drop("__h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val fresh = freshNamed.select(frontierCols: _*)
 
     // ---- recrawl re-admission ([[markForRecrawl]]) ----
@@ -863,10 +977,6 @@ final class CrawlEngine(
         if (t.isEmpty) { t.unpersist(); None } else Some(t)
       }
     val consumedCanons = log.filter(col("kind") === 0).select("canon")
-    val memberAll = deltaN match {
-      case Some(d) => memberNames.unionByName(d.select("name"))
-      case None => memberNames
-    }
     val (tombResurrect, tombReadmit) = tombstoned match {
       case None => (None, None)
       case Some(t) =>
@@ -877,7 +987,9 @@ final class CrawlEngine(
           .persist(StorageLevel.MEMORY_AND_DISK)
         val adm = notPending
           .join(consumedCanons, Seq("canon"), "left_anti")
-          .join(memberAll, Seq("name"), "left_semi")
+          .withColumn("__h", nameKeyOf(col("name")))
+          .join(memberKeys.withColumnRenamed("h", "__h"), Seq("__h"), "left_semi")
+          .drop("__h")
           .persist(StorageLevel.MEMORY_AND_DISK)
         (Some(res), Some(adm))
     }
@@ -927,7 +1039,7 @@ final class CrawlEngine(
     val freshCount: Long = tierCounts.map(_._2).sum
     val tombCount: Long = tombstoned.map(_.count()).getOrElse(0L)
     def cleanup(): Unit = {
-      Seq(seedDf, maybeU, maybeN, freshNamed).foreach(_.unpersist())
+      Seq(seedDf, maybeU, freshNamed).foreach(_.unpersist())
       tombstoned.foreach(_.unpersist())
       tombResurrect.foreach(_.unpersist())
       tombReadmit.foreach(_.unpersist())
@@ -988,14 +1100,21 @@ final class CrawlEngine(
       done.unpersist()
     }
     if (driverSeenMode) urlSeen.absorb(pairs)
+    val nextPending = tierAdd(tierAdd(tierAdd(
+      pendingByTier, tierCounts, 1L), resTierCounts, 1L),
+      readmitTierCounts, 1L)
+    val nextRecrawl = math.max(0L, recrawlCount - doneCount)
+    val nextConsumed = math.max(0L, consumedCount - resCount)
+    val nextConsumedBytes = math.max(0L, consumedBytes - resBytes)
+    val nextLogRows = logRowCount - resCount + freshCount + readmitCount
+    stageEngineMeta(staged, nextPending, nextConsumed, nextConsumedBytes,
+      nextLogRows, nextRecrawl, totalNodesAdded)
     staged.publish()
-    recrawlCount = math.max(0L, recrawlCount - doneCount)
-    pendingByTier = tierAdd(pendingByTier, tierCounts, 1L)
-    pendingByTier = tierAdd(pendingByTier, resTierCounts, 1L)
-    pendingByTier = tierAdd(pendingByTier, readmitTierCounts, 1L)
-    consumedCount = math.max(0L, consumedCount - resCount)
-    consumedBytes = math.max(0L, consumedBytes - resBytes)
-    logRowCount = logRowCount - resCount + freshCount + readmitCount
+    recrawlCount = nextRecrawl
+    pendingByTier = nextPending
+    consumedCount = nextConsumed
+    consumedBytes = nextConsumedBytes
+    logRowCount = nextLogRows
     cleanup()
   }
 
@@ -1055,6 +1174,8 @@ final class CrawlEngine(
     stageBlobFold(staged, nodeBlobs, "nodes", nameKeys, None, batchId)
     staged.consolidateSegments("edges", store.consolidationPlan("edges"))
     staged.consolidateSegments("nodes", store.consolidationPlan("nodes"))
+    stageEngineMeta(staged, pendingByTier, 0L, 0L, 0L, recrawlCount,
+      totalNodesAdded)
     staged.publish()
     edgeBlobs.invalidate()
     nodeBlobs.invalidate()
@@ -1064,8 +1185,29 @@ final class CrawlEngine(
     consumedBytes = 0L
   }
 
+  /** journal the driver ledger with a staged snapshot — the values are
+    * the POST-batch state the next open recovers in O(1)
+    */
+  private def stageEngineMeta(staged: Store#Staged,
+      pending: Map[Int, Long], nConsumed: Long, bConsumed: Long,
+      nLog: Long, recrawl: Long, nodesTotal: Long): Unit =
+    staged.putMeta(
+      "eng.pending_tiers" -> CrawlEngine.renderTierCounts(pending),
+      "eng.log" -> s"$nConsumed,$bConsumed,$nLog",
+      "eng.next_compact_shard" -> nextCompactShard.toString,
+      "eng.edges_bloom_upto" -> edgeBlobs.upto.toString,
+      "eng.nodes_bloom_upto" -> nodeBlobs.upto.toString,
+      "eng.recrawl_count" -> recrawl.toString,
+      "eng.nodes_total" -> nodesTotal.toString)
+
   /** Run one micro-batch. Returns None when the frontier is empty. */
   def step(): Option[BatchResult] = {
+    val phaseLog = mutable.ArrayBuffer.empty[(String, Double)]
+    val statLog = mutable.ArrayBuffer.empty[(String, Long)]
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      try f finally phaseLog += name -> ((System.nanoTime() - t0) / 1e9)
+    }
     val batchId = store.batchId + 1
     val log = store.readOr("frontier_log", emptyLog)
     // full pending view — compaction folds only; the SCHEDULE below
@@ -1116,14 +1258,14 @@ final class CrawlEngine(
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
     var selected = scheduleAt(startCut)
-    var selByTier = gate(selected)
+    var selByTier = phase("schedule") { gate(selected) }
     var selCount = selByTier.values.sum
     var schedCut = startCut
     if (selCount < cfg.batchSize && startCut.isDefined) {
       // pruned take came up short — deeper tiers may owe rows
       selected.unpersist()
       selected = scheduleAt(None)
-      selByTier = gate(selected)
+      selByTier = phase("schedule_widen") { gate(selected) }
       selCount = selByTier.values.sum
       schedCut = None
     }
@@ -1266,25 +1408,31 @@ final class CrawlEngine(
       .persist(StorageLevel.MEMORY_AND_DISK)
     // non-write job: ONE collect fetches BOTH families' (tiny)
     // maybe-shard sets — they bound the exact confirm reads
-    val maybeShardRows = described("maybe-shards") {
+    // (materializing this pipeline also runs fetch + parse + extract
+    // into the caches — the bulk of "extract_confirm" is that work)
+    val maybeShardRows = phase("extract_confirm") { described("maybe-shards") {
       maybeN.select(lit(0).as("f"), col("__nshard").as("s")).distinct()
         .unionByName(
           maybeE.select(lit(1).as("f"), col("__eshard").as("s")).distinct())
         .collect()
-    }
+    } }
     val maybeNShards =
       maybeShardRows.filter(_.getInt(0) == 0).map(_.getInt(1)).toSet
     val maybeShards =
       maybeShardRows.filter(_.getInt(0) == 1).map(_.getInt(1)).toSet
+    // exact confirms probe the RESIDENT key caches (in-memory keys ∪
+    // bounded parquet delta) — the maybes here are mostly TRUE members
+    // (links to already-known pages), so a disk confirm would re-read
+    // the whole dictionary every batch; the cache makes the per-batch
+    // cost O(maybes + in-memory key scan), flat while the table grows
     val confirmedNewNodes =
       if (maybeNShards.isEmpty) emptyNodes.select("name")
       else {
-        val existing = store.readShards("nodes", maybeNShards)
-          .getOrElse(emptyNodes).select("name")
-        val hits = existing.join(broadcast(maybeN.select("name")),
-          Seq("name"), "left_semi")
+        val memberKeys = phase("node_cache") { nodeKeyCache.members() }
         maybeN.select("name")
-          .join(broadcast(hits), Seq("name"), "left_anti")
+          .withColumn("h", nameKeyOf(col("name")))
+          .join(memberKeys, Seq("h"), "left_anti")
+          .drop("h")
       }
     val newNodes = withCollisionGuard(
       defNewN.select("name").unionByName(confirmedNewNodes))
@@ -1292,12 +1440,9 @@ final class CrawlEngine(
     val confirmedNewEdges =
       if (maybeShards.isEmpty) emptyEdges
       else {
-        val existing = store.readShards("edges", maybeShards)
-          .getOrElse(emptyEdges)
-        val hits = existing.join(broadcast(maybeE.select("src", "dst")),
-          Seq("src", "dst"), "left_semi")
+        val memberPairs = phase("edge_cache") { edgeKeyCache.members() }
         maybeE.select("src", "dst")
-          .join(broadcast(hits), Seq("src", "dst"), "left_anti")
+          .join(memberPairs, Seq("src", "dst"), "left_anti")
       }
     val newEdges = defNewE.unionByName(confirmedNewEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1363,10 +1508,12 @@ final class CrawlEngine(
     // (tiny) shard set is one more O(batch) collect; driver mode pays
     // for it by fusing the discovery-count job into the url-hash
     // collect below.
-    val maybeUShards: Set[Int] = described("url-maybe-shards") {
-      guarded.filter(col("maybe_seen"))
-        .select(shardCol(col("canon")).as("s")).distinct()
-        .collect().map(_.getInt(0)).toSet
+    val maybeUShards: Set[Int] = phase("url_probe") {
+      described("url-maybe-shards") {
+        guarded.filter(col("maybe_seen"))
+          .select(shardCol(col("canon")).as("s")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
     }
     val confirmSide =
       if (maybeUShards.isEmpty) emptyFrontier
@@ -1423,7 +1570,7 @@ final class CrawlEngine(
     // delta anti-join above), so the driver never touches per-batch
     // edge state.
     val (newByTier: Map[Int, Long], newUrlHashes: Array[(Int, Long)]) =
-      if (driverSeenMode) {
+      phase("discover") { if (driverSeenMode) {
         val rows = described("discoveries+url-hashes") {
           newFrontier.select(
             shardCol(col("canon")).as("s"),
@@ -1439,7 +1586,7 @@ final class CrawlEngine(
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         }
         (byTier, Array.empty[(Int, Long)])
-      }
+      } }
     val newCount = newByTier.values.sum
 
     // --- stage the commit; counters ride the writes as Observations.
@@ -1457,10 +1604,14 @@ final class CrawlEngine(
     // DFs exclude this batch — its appends are staged but the probe
     // plans read the previous snapshot)
     def stageBlobFolds(): Unit = {
-      stageBlobFold(staged, edgeBlobs, "edges", edgeKeys,
-        Some(edgeKeys(newEdges.select("src", "dst"))), batchId)
-      stageBlobFold(staged, nodeBlobs, "nodes", nameKeys,
-        Some(nameKeys(newNodes.select("name"))), batchId)
+      phase("blob_fold_edges") {
+        stageBlobFold(staged, edgeBlobs, "edges", edgeKeys,
+          Some(edgeKeys(newEdges.select("src", "dst"))), batchId)
+      }
+      phase("blob_fold_nodes") {
+        stageBlobFold(staged, nodeBlobs, "nodes", nameKeys,
+          Some(nameKeys(newNodes.select("name"))), batchId)
+      }
       // size-tiered segment consolidation rides the fold (the blob
       // watermarks advance to this batch in the same commit, so the
       // rewritten rows never reappear in the readNewerThan delta):
@@ -1468,17 +1619,37 @@ final class CrawlEngine(
       // batch FOREVER, and every maybe-shard confirm / delta read pays
       // the growing listing + parquet-footer tax — the measured
       // per-batch creep at a flat steal probe.
-      staged.consolidateSegments("edges", store.consolidationPlan("edges"))
-      staged.consolidateSegments("nodes", store.consolidationPlan("nodes"))
+      phase("consolidate") {
+        staged.consolidateSegments("edges", store.consolidationPlan("edges"))
+        staged.consolidateSegments("nodes", store.consolidationPlan("nodes"))
+      }
     }
+    // batch-size facts for the phase diagnosis: what the LSM deltas
+    // and listings looked like when THIS batch read them
+    statLog += "edge_segs" -> store.segmentCount("edges").toLong
+    statLog += "node_segs" -> store.segmentCount("nodes").toLong
+    statLog += "frontier_segs" -> store.segmentCount("frontier").toLong
+    statLog += "log_segs" -> store.segmentCount("frontier_log").toLong
+    statLog += "delta_edge_segs" ->
+      store.segmentsNewerThan("edges", edgeBlobs.upto).toLong
+    statLog += "delta_node_segs" ->
+      store.segmentsNewerThan("nodes", nodeBlobs.upto).toLong
+    statLog += "maybe_n_shards" -> maybeNShards.size.toLong
+    statLog += "maybe_e_shards" -> maybeShards.size.toLong
+    statLog += "maybe_u_shards" -> maybeUShards.size.toLong
+    statLog += "log_rows" -> logRowCount
     // nodes land hash-sharded (like edges) so future exact confirms
     // can read only the shards their maybes hash to
-    staged.appendSharded("nodes", shardPacked(newNodes
-      .withColumn("__shard", nameShardOf(col("name"))))
-      .observe(obsNodes, count(lit(1)).as("n")))
-    staged.appendSharded("edges", shardPacked(newEdges
-      .withColumn("__shard", edgeShardOf(col("src"), col("dst"))))
-      .observe(obsEdges, count(lit(1)).as("n")))
+    phase("commit_nodes") {
+      staged.appendSharded("nodes", shardPacked(newNodes
+        .withColumn("__shard", nameShardOf(col("name"))))
+        .observe(obsNodes, count(lit(1)).as("n")))
+    }
+    phase("commit_edges") {
+      staged.appendSharded("edges", shardPacked(newEdges
+        .withColumn("__shard", edgeShardOf(col("src"), col("dst"))))
+        .observe(obsEdges, count(lit(1)).as("n")))
+    }
     // the depth metric rides the error write's scan of `selected`
     // (observe sits between the cache scan and the anti join, so it
     // sees every selected row): maxDepth = deepest row scheduled
@@ -1489,13 +1660,14 @@ final class CrawlEngine(
       .select(col("url"), lit(batchId).as("batch_id"),
         lit("page not in corpus").as("reason"))
       .observe(obsErr, count(lit(1)).as("n"))
-    staged.append("fetch_errors", errorsObserved)
+    phase("commit_errors") { staged.append("fetch_errors", errorsObserved) }
 
     val doCompact = logRowCount + selCount + newCount >= compactThreshold
     val staggered = doCompact && cfg.compactShardsPerBatch > 0
+    statLog += "compact" -> (if (staggered) 1L else if (doCompact) 2L else 0L)
     val obsLog = Observation() // staggered: counts the log's remainder
     if (driverSeenMode) urlSeen.absorb(newUrlHashes)
-    if (!doCompact) {
+    phase("commit_frontier") { if (!doCompact) {
       // LSM append path — O(batch) bytes: new frontier rows + the
       // (canon, kind) log delta. Base shards and base blobs untouched;
       // driver-mode seen durability comes from the log itself.
@@ -1558,9 +1730,6 @@ final class CrawlEngine(
           .withColumn("__shard", col("shard"))
         staged.replaceShards("seen_shards", merged, foldShards.toSeq)
       }
-      // edge-presence blobs stay a FULL fold: their write is bounded
-      // by the filter-state limit, not by the frontier
-      stageBlobFolds()
     } else {
       // compaction batch: fold the whole log + this batch into the
       // sharded bases and truncate the log. Amortized O(frontier /
@@ -1588,8 +1757,12 @@ final class CrawlEngine(
         staged.replaceShards("seen_shards", merged, 0 until cfg.numShards,
           dropUnsharded = true)
       }
-      stageBlobFolds()
-    }
+    } }
+    // edge/node-presence blob folds + segment consolidation ride every
+    // compaction batch (staggered or full); their write is bounded by
+    // the filter-state limit, not by the frontier. Hoisted out of the
+    // branches so phase timings stay disjoint.
+    if (doCompact) stageBlobFolds()
 
     // --- metrics (A1-A3) with per-partition lineage (north_rule);
     //     written last so the batch row can carry the observed counts ---
@@ -1608,27 +1781,38 @@ final class CrawlEngine(
       (batchId, -1, selCount, nodesAddedCount, maxDepthBatch))
       .toDF("batch_id", "partition_id", "pages", "nodes_added", "max_depth")
       .withColumn("ts", current_timestamp())
-    staged.append("metrics", batchMetrics.unionByName(partMetrics))
+    phase("commit_metrics") {
+      staged.append("metrics", batchMetrics.unionByName(partMetrics))
+    }
 
-    staged.publish()
+    // ---- post-batch ledger (computed BEFORE publish so the journal
+    //      rides the same atomic manifest swap) ----
+    val nextPending =
+      tierAdd(tierAdd(pendingByTier, selByTier, -1L), newByTier, 1L)
+    val (nextConsumed, nextConsumedBytes, nextLogRows) =
+      if (staggered)
+        // partial fold: the log write's Observation reported what remains
+        (obsLog.get("n0").asInstanceOf[Long],
+          obsLog.get("b0").asInstanceOf[Long],
+          obsLog.get("n").asInstanceOf[Long])
+      else if (doCompact) (0L, 0L, 0L)
+      else (consumedCount + selCount, consumedBytes + batchConsumedBytes,
+        logRowCount + selCount + newCount)
+    val nextTotalNodes = totalNodesAdded + nodesAddedCount
+    stageEngineMeta(staged, nextPending, nextConsumed, nextConsumedBytes,
+      nextLogRows, recrawlCount, nextTotalNodes)
+
+    phase("publish") { staged.publish() }
     if (doCompact) {
-      store.sweepOrphans() // drop superseded segment dirs
+      phase("sweep") { store.sweepOrphans() } // drop superseded dirs
       // blob watermarks advanced inside stageBlobFolds
     }
 
-    pendingByTier = tierAdd(tierAdd(pendingByTier, selByTier, -1L), newByTier, 1L)
-    if (staggered) {
-      // partial fold: the log write's Observation reported what remains
-      logRowCount = obsLog.get("n").asInstanceOf[Long]
-      consumedCount = obsLog.get("n0").asInstanceOf[Long]
-      consumedBytes = obsLog.get("b0").asInstanceOf[Long]
-    } else if (doCompact) {
-      consumedCount = 0L; logRowCount = 0L; consumedBytes = 0L
-    } else {
-      consumedCount += selCount; logRowCount += selCount + newCount
-      consumedBytes += batchConsumedBytes
-    }
-    totalNodesAdded += nodesAddedCount
+    pendingByTier = nextPending
+    consumedCount = nextConsumed
+    consumedBytes = nextConsumedBytes
+    logRowCount = nextLogRows
+    totalNodesAdded = nextTotalNodes
 
     Seq(selected, extracted, named, batchNames, probedN, maybeN, newNodes,
       probedE, maybeE, newEdges, guarded, newFrontier).foreach(_.unpersist())
@@ -1639,7 +1823,8 @@ final class CrawlEngine(
     if (doCompact) { edgeBlobs.invalidate(); nodeBlobs.invalidate() }
 
     Some(BatchResult(batchId, selCount, errorCount, nodesAddedCount,
-      edgesAddedCount, maxDepthBatch, pendingCount, schedRowsRead))
+      edgesAddedCount, maxDepthBatch, pendingCount, schedRowsRead,
+      phaseLog.toSeq, statLog.toSeq))
   }
 
   /** Loop until budget (F5) or empty frontier; approximate stop at

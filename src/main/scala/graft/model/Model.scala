@@ -131,4 +131,10 @@ final case class CrawlConfig(
     // fanning out over subdomains (cdn1./cdn2./www.) can't multiply
     // its budget; hosts with no registrable domain (bare TLDs, IPs)
     // keep their own key. Empty = per-host (the reference's shape).
-    politenessSuffixRules: Seq[String] = Nil)
+    politenessSuffixRules: Seq[String] = Nil,
+    // ignore the manifest-journaled driver ledger (per-tier pending
+    // counts, log counters, rotation pointer) on open and rebuild it
+    // by scanning the tables — the recovery escape hatch for a store
+    // whose ledger is suspected corrupt. Normal opens trust the
+    // journal: O(1) instead of an O(frontier) scan before batch 1.
+    rebuildState: Boolean = false)

@@ -65,10 +65,136 @@ object Bpe {
 
   /** Train `nMerges` BPE merges over the corpus. Stops early when no
     * pair occurs at least `minCount` times. Ties break
-    * deterministically by (count desc, left asc, right asc).
+    * deterministically by (count desc, left asc, right asc) in UTF-8
+    * byte order (= the engine's string ordering, so the ranks are
+    * bit-identical to [[trainMergesDistributed]]).
+    *
+    * Scale shape: Spark does the ONE pass that is corpus-sized (fold
+    * 100 TB of documents into the distinct word-TYPE table — Heap's
+    * law bounds that at ~10^7-10^8 rows), the types collect ONCE to
+    * the driver, and the sequential merge loop — BPE is inherently
+    * serial in the merge rank — runs as Sennrich's incremental
+    * pair-count algorithm in driver memory: each merge touches only
+    * the words containing the chosen pair. The earlier shape ran a
+    * full explode+groupBy+TakeOrdered Spark job PER MERGE plus a
+    * localCheckpoint of the type table: correct, but a real 32-50k-
+    * merge vocab meant ~50k sequential jobs of pure scheduler
+    * overhead (~0.1 s each — days), for work a single core finishes
+    * in seconds. Encoding (the corpus-sized direction) stays
+    * distributed in [[encode]].
     */
   def trainMerges(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
       text: Column = col("text")): Seq[Merge] = {
+    val types = wordCounts(docs, text)
+      .select(col("word"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainMergesLocal(types, nMerges, minCount)
+  }
+
+  /** unsigned lexicographic UTF-8 byte comparison — matches Spark's
+    * UTF8String binary ordering, which the distributed loop's
+    * `orderBy(left asc, right asc)` tie-break uses
+    */
+  private def utf8Cmp(x: String, y: String): Int = {
+    val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(bx.length, by.length)
+    var i = 0
+    while (i < n) {
+      val c = (bx(i) & 0xFF) - (by(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    bx.length - by.length
+  }
+
+  /** left-to-right non-overlapping merge — the exact local twin of
+    * the codegen'd [[applyMerge]] fold
+    */
+  private def applyMergeLocal(w: IndexedSeq[String], a: String,
+      b: String): Vector[String] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val s = w(i)
+      if (acc.nonEmpty && acc(acc.length - 1) == a && s == b)
+        acc(acc.length - 1) = a + b
+      else acc += s
+      i += 1
+    }
+    acc.toVector
+  }
+
+  /** Sennrich's incremental merge loop over collected word types:
+    * pair counts and a pair→words index are maintained incrementally,
+    * so each merge costs O(words containing the pair), and the argmax
+    * is a scan of the live pair table. 2,000 merges over a
+    * 100k-type vocabulary run in seconds on one core.
+    */
+  private[graft] def trainMergesLocal(types: Array[(String, Long)],
+      nMerges: Int, minCount: Long): Seq[Merge] = {
+    import scala.collection.mutable
+    // split by code point + end-of-word marker (initSyms's local twin)
+    val syms: Array[Vector[String]] = types.map { case (w, _) =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
+      cps :+ Eow
+    }
+    val cnts: Array[Long] = types.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def foldPairs(i: Int, sign: Long, index: Boolean): Unit = {
+      val w = syms(i)
+      val c = cnts(i) * sign
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        val nv = pairCount.getOrElse(p, 0L) + c
+        if (nv == 0L) pairCount.remove(p) else pairCount(p) = nv
+        if (index) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(foldPairs(_, 1L, index = true))
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      var bestP: (String, String) = null
+      var bestN = 0L
+      pairCount.foreach { case (p, n) =>
+        if (bestP == null || n > bestN || (n == bestN && {
+          val ca = utf8Cmp(p._1, bestP._1)
+          ca < 0 || (ca == 0 && utf8Cmp(p._2, bestP._2) < 0)
+        })) { bestP = p; bestN = n }
+      }
+      if (bestP == null || bestN < minCount) exhausted = true
+      else {
+        val (a, b) = bestP
+        out += Merge(rank, a, b, a + b, bestN)
+        // the index may hold stale entries (a word rewritten since it
+        // was indexed) — cheap to skip via the live count fold
+        val affected = pairWords.remove(bestP).map(_.toArray)
+          .getOrElse(Array.empty[Int])
+        java.util.Arrays.sort(affected)
+        affected.foreach { i =>
+          foldPairs(i, -1L, index = false)
+          syms(i) = applyMergeLocal(syms(i), a, b)
+          foldPairs(i, 1L, index = true)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The original one-Spark-job-per-merge training loop, kept as the
+    * distributed reference twin (BpeSpec pins trainMerges ≡ this ≡
+    * serial Sennrich) — and as the path a deployment would take if
+    * the word-TYPE table ever outgrew driver memory.
+    */
+  private[graft] def trainMergesDistributed(docs: DataFrame, nMerges: Int,
+      minCount: Long = 2L, text: Column = col("text")): Seq[Merge] = {
     var words = wordCounts(docs, text)
       .select(initSyms(col("word")).as("syms"), col("cnt"))
       .localCheckpoint()

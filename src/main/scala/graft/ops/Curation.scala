@@ -232,6 +232,85 @@ object Curation {
         .as("avg_bll"))
   }
 
+  /** Order-`n` (default 5 — KenLM's order in CCNet/RefinedWeb
+    * filtering, Wenzek et al. 2020) hashed n-gram LM document score
+    * with STUPID BACKOFF (Brants et al. 2007, the web-scale backoff
+    * published exactly for this regime): per token position, S =
+    * α^(K−k*) · c(k*-gram)/c(its (k*−1)-prefix), where K =
+    * min(pos+1, n) is the widest context available and k* the widest
+    * order the MODEL corpus has seen (k* = 1 falls back to the
+    * unigram MLE c/N; a token unseen even as a unigram scores the
+    * add-one floor 1/(N+buckets)). The doc score is avg ln S over
+    * its positions, rounded to 4 places.
+    *
+    * The model fits on a SEPARATE reference corpus (CCNet fits on
+    * Wikipedia and scores Common Crawl) — that is what makes backoff
+    * live; self-scoring never backs off since every gram has count
+    * ≥ 1. Feed the output into [[scoreBuckets]] for the CCNet
+    * head/middle/tail cut.
+    *
+    * Scale shape: grams hash through [[md5Bucket]] (foreign-
+    * recomputable, like DSIR's bag models) so no shuffle ever carries
+    * gram STRINGS — the model is ≤ n·buckets integer-keyed rows
+    * (map-side-combinable counts, broadcast back), and scoring is
+    * two broadcast joins + one 8-byte-key per-doc avg. Hash
+    * collisions conflate counts (bounded by `buckets`, same
+    * documented approximation as DSIR).
+    */
+  def ngramLogLik(df: DataFrame, model: DataFrame, n: Int = 5,
+      text: Column = col("text"), buckets: Int = 1 << 16,
+      alpha: Double = 0.4): DataFrame = {
+    require(n >= 2 && n <= 8, s"order must be in [2, 8], got $n")
+    // every k-gram (k = 1..min(pos+1, n)) ENDING at each position,
+    // with its (k−1)-prefix gram alongside — the backoff join unit
+    def positions(src: DataFrame): DataFrame =
+      src.select(col("doc_id"), TextOps.wsTokens(text).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          s"""flatten(transform(sequence(0, size(tk) - 1), p ->
+             |  transform(sequence(1, least(p + 1, $n)), k ->
+             |    struct(p AS pos, k AS k,
+             |      array_join(slice(tk, p - k + 2, k), ' ') AS gram,
+             |      CASE WHEN k >= 2
+             |        THEN array_join(slice(tk, p - k + 2, k - 1), ' ')
+             |      END AS pgram))))""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.k").as("k"),
+          md5Bucket(col("g.gram"), buckets).as("bucket"),
+          when(col("g.k") >= 2, md5Bucket(col("g.pgram"), buckets))
+            .as("pbucket"))
+    val counts = positions(model)
+      .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("c"))
+    val nTotal = counts.filter(col("k") === 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("double").as("n_tot"))
+    val denoms = counts.select((col("k") + 1).as("k"),
+      col("bucket").as("pbucket"), col("c").as("cden"))
+    val joined = positions(df)
+      .join(broadcast(counts.withColumnRenamed("c", "cnum")),
+        Seq("k", "bucket"), "left")
+      .join(broadcast(denoms), Seq("k", "pbucket"), "left")
+    // widest model-seen order per position, carrying its counts: the
+    // struct max orders by k first, so it IS the argmax. A found
+    // k-gram's prefix is found too (every full-gram occurrence counts
+    // into the prefix bucket), so cden > 0 whenever it divides.
+    val perPos = joined.groupBy(col("doc_id"), col("pos")).agg(
+      max(col("k")).as("kmax"),
+      max(when(col("cnum").isNotNull,
+        struct(col("k"), col("cnum"), col("cden")))).as("best"))
+    val lnAlpha = math.log(alpha)
+    val lnS = when(col("best").isNull,
+        (col("kmax") - 1) * lit(lnAlpha) +
+          log(lit(1.0) / (col("n_tot") + lit(buckets.toDouble))))
+      .otherwise((col("kmax") - col("best.k")) * lit(lnAlpha) +
+        when(col("best.k") === 1,
+          log(col("best.cnum").cast("double") / col("n_tot")))
+        .otherwise(log(col("best.cnum").cast("double") /
+          col("best.cden").cast("double"))))
+    perPos.crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), lnS.as("l"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("l")), 4).as("avg_nll"))
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al. 2020): per language,
     * split the corpus into `nBuckets` equal-count tiers by an LM score
     * (head = best-scored third, middle, tail). CCNet sorts each

@@ -40,10 +40,20 @@ final class Store(val root: String, spark: SparkSession) {
   /** table -> list of live segment dirs (relative to root) */
   @volatile private var tables: Map[String, Vector[String]] = Map.empty
   @volatile private var batchIdLoaded: Long = -1L
+  @volatile private var metaLoaded: Map[String, String] = Map.empty
 
   load()
 
   def batchId: Long = batchIdLoaded
+
+  /** Driver-side ledger journaled with the snapshot (tiny key→value
+    * strings, e.g. the engine's per-tier pending counts): consistent
+    * with `tables` BY CONSTRUCTION — both swap in the same atomic
+    * manifest rename. CLEARED on any publish that does not re-put it
+    * ([[Staged.putMeta]]), so a writer that doesn't maintain a ledger
+    * can never leave a stale one behind for the next open to trust.
+    */
+  def meta: Map[String, String] = metaLoaded
 
   private def load(): Unit = {
     if (Files.exists(manifestPath)) {
@@ -51,6 +61,7 @@ final class Store(val root: String, spark: SparkSession) {
       val parsed = Store.parseManifest(json)
       batchIdLoaded = parsed._1
       tables = parsed._2
+      metaLoaded = Store.parseMeta(json)
     }
   }
 
@@ -119,18 +130,37 @@ final class Store(val root: String, spark: SparkSession) {
       .filter(_.nonEmpty)
       .map(dirs => spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
 
-  /** Size-tiered segment-consolidation plan for a hash-sharded append
-    * table: groups of ≥ `minRun` published segment dirs sharing BOTH
-    * the leaf partition path (same `__shard=K`, and `__tier=T` when
-    * present) and a geometric size tier (⌊log₄ bytes⌋). Merging only
-    * same-sized runs is the classic size-tiered LSM policy: write
-    * amplification stays O(log n) per row — vs rewriting whole shards
-    * on a rotation, which re-pays the full (growing) table every
-    * cycle — while a shard's segment count stays O(log size) instead
-    * of one-dir-per-batch forever (whose listing + parquet-footer
-    * overhead grows every read).
+  /** how many live segment dirs [[readNewerThan]] would read — the
+    * LSM-delta size, surfaced for per-batch diagnostics
     */
-  def consolidationPlan(table: String, minRun: Int = 4): Seq[Seq[String]] = {
+  def segmentsNewerThan(table: String, batch: Long): Int =
+    tables.getOrElse(table, Vector.empty)
+      .count(d => Store.batchOfDir(d) > batch)
+
+  /** live segment dir count (listing/footer tax proxy) */
+  def segmentCount(table: String): Int =
+    tables.getOrElse(table, Vector.empty).size
+
+  /** Size-tiered segment-consolidation plan for a hash-sharded append
+    * table: per leaf partition path (same `__shard=K`, and `__tier=T`
+    * when present), fold runs of `minRun` SAME-MAGNITUDE segments —
+    * the smallest-first windows where the largest member is ≤ 4× the
+    * smallest. Merging only same-magnitude runs is the classic
+    * size-tiered LSM policy: write amplification stays O(log n) per
+    * row. An earlier formulation required an ABSOLUTE geometric tier
+    * (⌊log₄ bytes⌋) to match across the run — but a crawl's per-batch
+    * segment sizes drift (discovery counts decline as the graph
+    * saturates), adjacent batches straddle tier boundaries, and runs
+    * never formed: the `nodes` table grew one dir per shard per batch
+    * FOREVER while `edges` (constant-size batches) folded fine — the
+    * measured listing/footer creep. The relative window keeps the
+    * amortization argument (a row re-merges only into a ≥2× larger
+    * segment... within a constant) without the boundary brittleness,
+    * and `maxLeafSegs` backstops pathological size sequences: a leaf
+    * over budget folds its `minRun` smallest segments regardless.
+    */
+  def consolidationPlan(table: String, minRun: Int = 4,
+      maxLeafSegs: Int = 8): Seq[Seq[String]] = {
     def dirBytes(rel: String): Long = {
       val p = Paths.get(root, rel)
       if (!Files.isDirectory(p)) 0L
@@ -144,11 +174,25 @@ final class Store(val root: String, spark: SparkSession) {
     def leafKey(rel: String): String = rel.split('/').drop(2).mkString("/")
     tables.getOrElse(table, Vector.empty)
       .filter(d => Store.shardOfDir(d).isDefined)
-      .groupBy { d =>
-        val b = dirBytes(d)
-        (leafKey(d), if (b <= 0L) 0 else (math.log(b.toDouble) / math.log(4.0)).toInt)
-      }
-      .values.filter(_.size >= minRun).map(_.toSeq).toSeq
+      .groupBy(leafKey)
+      .values.flatMap { leafDirs =>
+        val bySize = leafDirs.map(d => (d, dirBytes(d))).sortBy(_._2)
+        val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+        var i = 0
+        while (i + minRun <= bySize.length) {
+          val win = bySize.slice(i, i + minRun)
+          if (win.last._2 <= 4L * math.max(win.head._2, 1L)) {
+            groups += win.map(_._1)
+            i += minRun
+          } else i += 1
+        }
+        // over-budget leaf with no natural run: fold the smallest
+        // minRun anyway — bounds the dir count, and folding the
+        // smallest keeps the rewritten bytes minimal
+        if (groups.isEmpty && bySize.length > maxLeafSegs)
+          groups += bySize.take(minRun).map(_._1)
+        groups
+      }.toSeq
   }
 
   /** A staged batch: segments are written eagerly as each call runs
@@ -159,8 +203,23 @@ final class Store(val root: String, spark: SparkSession) {
     */
   final class Staged private[Store] (newBatchId: Long) {
     private var next = tables
+    private var nextMeta = Map.empty[String, String]
     private var appendIdx = 0
     private var published = false
+
+    /** Journal driver-ledger entries with this snapshot. Starts EMPTY
+      * every batch — the publisher must re-put everything it wants the
+      * next open to trust (an un-maintained ledger disappears rather
+      * than going stale). Keys and values must stay inside
+      * `[A-Za-z0-9_.,:;\- ]` (no JSON escaping is performed).
+      */
+    def putMeta(kv: (String, String)*): Unit = {
+      kv.foreach { case (k, v) =>
+        require(Store.metaCharsOk(k) && Store.metaCharsOk(v),
+          s"putMeta: illegal character in '$k' -> '$v'")
+      }
+      nextMeta ++= kv
+    }
 
     /** tag the write's jobs so profilers/UIs can attribute batch time */
     private def described[T](df: DataFrame, label: String)(f: => T): T = {
@@ -298,12 +357,13 @@ final class Store(val root: String, spark: SparkSession) {
 
     def publish(): Unit = {
       require(!published, "staged batch already published")
-      val json = Store.renderManifest(newBatchId, next)
+      val json = Store.renderManifest(newBatchId, next, nextMeta)
       val tmp = Paths.get(root, s"_manifest.tmp.$newBatchId")
       Files.write(tmp, json.getBytes("UTF-8"))
       Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       tables = next
+      metaLoaded = nextMeta
       batchIdLoaded = newBatchId
       published = true
     }
@@ -407,14 +467,30 @@ object Store {
     Files.deleteIfExists(p)
   }
 
+  private val metaCharRe = "^[A-Za-z0-9_.,:;\\- ]*$".r
+
+  def metaCharsOk(s: String): Boolean = metaCharRe.matches(s)
+
   // Minimal JSON for the manifest shape we write (keys/paths contain no
   // characters needing escapes beyond the ones handled here).
-  def renderManifest(batchId: Long, tables: Map[String, Vector[String]]): String = {
+  def renderManifest(batchId: Long, tables: Map[String, Vector[String]],
+      meta: Map[String, String] = Map.empty): String = {
     val body = tables.toSeq.sortBy(_._1).map { case (t, dirs) =>
       "\"" + t + "\":[" + dirs.map(d => "\"" + d + "\"").mkString(",") + "]"
     }.mkString(",")
-    s"""{"batchId":$batchId,"tables":{$body}}"""
+    val metaBody = meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\""
+    }.mkString(",")
+    s"""{"batchId":$batchId,"meta":{$metaBody},"tables":{$body}}"""
   }
+
+  /** the `"meta":{…}` ledger of a manifest (absent/legacy → empty) */
+  def parseMeta(json: String): Map[String, String] =
+    "\"meta\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json)
+      .map { m =>
+        "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
+          .map(kv => kv.group(1) -> kv.group(2)).toMap
+      }.getOrElse(Map.empty)
 
   def parseManifest(json: String): (Long, Map[String, Vector[String]]) = {
     val batchId = {

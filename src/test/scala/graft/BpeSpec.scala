@@ -71,6 +71,42 @@ class BpeSpec extends SparkSpec {
     assert(got.forall(_.pairCount >= 2L))
   }
 
+  test("driver-local merge loop ≡ the distributed job-per-merge loop, bit for bit") {
+    // same corpus: every (rank, pair, count) identical — the local
+    // incremental algorithm is a pure reimplementation, including the
+    // UTF-8-byte-order tie break the distributed orderBy used
+    val local = Bpe.trainMerges(docs, nMerges = 12)
+    val dist = Bpe.trainMergesDistributed(docs, nMerges = 12)
+    assert(local == dist)
+    // a wider corpus with heavy ties and repeated chars ("aaa…"
+    // exercises the non-overlapping left-to-right merge rule)
+    val tricky = (0L to 40L).map { i =>
+      (i, s"abab abab${"a" * (i % 5).toInt} ${"z" * (i % 3).toInt}q zz ${i % 7}")
+    }.toDF("doc_id", "text")
+    val l2 = Bpe.trainMerges(tricky, nMerges = 25, minCount = 1L)
+    val d2 = Bpe.trainMergesDistributed(tricky, nMerges = 25, minCount = 1L)
+    assert(l2 == d2)
+  }
+
+  test("driver-local loop trains thousands of merges in seconds") {
+    // a synthetic vocabulary large enough that the old loop's ~0.1 s
+    // of scheduler overhead PER MERGE would take ~3 min; the local
+    // loop must stay under a tight wall bound (generous vs the ~1 s
+    // it actually takes, but a regression to per-merge jobs trips it)
+    val words = (0 until 30000).map { i =>
+      (s"w${i % 997}x${i % 89}y${i % 13}z$i".take(4 + i % 12), 1L + i % 50)
+    }
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainMergesLocal(words.toArray, nMerges = 2000,
+      minCount = 2L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 2000, s"only ${merges.length} merges")
+    assert(sec < 60.0, f"2000 merges took $sec%.1f s")
+    // ranks are dense and counts non-increasing never below minCount
+    assert(merges.map(_.rank) == merges.indices)
+    assert(merges.forall(_.pairCount >= 2L))
+  }
+
   test("encode reproduces the training segmentation for seen words") {
     val merges = Bpe.trainMerges(docs, nMerges = 12)
     val (_, refSegs) = serialTrain(wordFreqs, n = 12, minCount = 2L)
