@@ -128,6 +128,11 @@ object Bench {
     val fresh = frontier
       .withColumn("maybe_seen", state.probeCol)
       .filter(!col("maybe_seen")).drop("maybe_seen")
+      // canon's only consumer is the probe above — dropping it here
+      // slims BOTH politeness window exchanges (it was the widest
+      // column riding two full shuffles for nothing; the extract
+      // stage re-derives it from src_url where it is actually needed)
+      .drop("canon")
 
     // schedule: salted per-host politeness cap — the per-host priority
     // ordering happens inside the window sorts; the engine's global
@@ -375,6 +380,59 @@ object Bench {
     val engineBatchSec1m =
       if (bigBatchSecs.isEmpty) -1.0 else bigBatchSecs(bigBatchSecs.size / 2)
 
+    // ---- zipf-vs-uniform host skew (SURVEY §7's promised evidence
+    //      for the salted politeness cap): same link graph, same
+    //      engine config with a BINDING per-host budget; only the
+    //      host distribution differs (h0 ~50% of pages vs uniform).
+    //      Reported as the median steady-batch ratio — the salted
+    //      two-phase cap should keep it near 1. ----
+    val skewStats: Seq[(String, Double)] = if (!sections("engine")) Seq.empty
+    else {
+      def medianBatchSec(uniform: Boolean): Double = {
+        val s = session(32)
+        try {
+          val sp = SyntheticWeb.Spec("web", numPages = 300000, seed = 42L,
+            minDeg = 15, maxDeg = 45, numHosts = 256, fillerWords = 300,
+            hostSkew = !uniform)
+          val dir =
+            s"/tmp/graft_bench_skew_${if (uniform) "uni" else "zipf"}_300000"
+          if (!new java.io.File(dir).exists())
+            SyntheticWeb.pages(s, sp).toDF()
+              .repartition(64, col("url"))
+              .write.mode("overwrite").parquet(dir)
+          val pages = s.read.parquet(dir)
+          val cfg = graft.model.CrawlConfig(site = "web", batchSize = 20000,
+            numShards = 64, bloomItemsPerShard = 1L << 17, salt = 16,
+            hostBudget = 1000, compactShardsPerBatch = 8)
+          val store = new graft.state.Store(
+            s"/dev/shm/graft-bench-skew-${System.nanoTime()}", s)
+          val eng = new graft.engine.CrawlEngine(s, store, Sites.web, cfg, pages)
+          eng.seed(Seq(SyntheticWeb.pageUrl(sp, 0L)))
+          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var go = true
+          while (go && times.length < 8) {
+            val t0 = System.nanoTime()
+            eng.step() match {
+              case Some(r) =>
+                times += (System.nanoTime() - t0) / 1e9
+                go = r.frontierPending > 0
+              case None => go = false
+            }
+          }
+          graft.state.Store.deleteRecursively(
+            java.nio.file.Paths.get(store.root))
+          val tail = times.takeRight(4).sorted
+          if (tail.isEmpty) -1.0 else tail(tail.length / 2)
+        } finally s.stop()
+      }
+      val u = medianBatchSec(uniform = true)
+      val z = medianBatchSec(uniform = false)
+      Seq("uniform_batch_sec" -> u, "zipf_batch_sec" -> z,
+        "ratio" -> (if (u > 0) z / u else -1.0))
+    }
+    val skewJson = skewStats
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+
     // ---- source-ingest throughput: WARC decode + CDX parse MB/s, and
     //      the ranged-vs-full read the index exists to enable ----
     val sourceStats: Seq[(String, Double)] =
@@ -545,6 +603,6 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"map_only_efficiency_8_32":$mapEff832%.3f,"scaling_efficiency_8_32_normalized":$effNorm832%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"sources":$srcJson,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local8":${arr(mapRuns(8).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)},"map_runs_local32":${arr(mapRuns(32).toSeq)}}""")
+      f"""{"metric":"frontier_urls_per_sec","value":${best(32)}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","throughput_local4":${best(4)}%.1f,"throughput_local8":$t8%.1f,"throughput_local16":${best(16)}%.1f,"throughput_local32":$t32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_4_16":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,"map_only_efficiency_4_16":$mapEff416%.3f,"scaling_efficiency_normalized":$effNorm%.3f,"map_only_efficiency_8_32":$mapEff832%.3f,"scaling_efficiency_8_32_normalized":$effNorm832%.3f,"corpus_pages":$nPages,"engine_batches":$engArr,"engine_batch_sec_1m_frontier":$engineBatchSec1m%.2f,"skew":$skewJson,"sources":$srcJson,"runs_local4":${arr(runs(4).toSeq)},"runs_local8":${arr(runs(8).toSeq)},"runs_local16":${arr(runs(16).toSeq)},"runs_local32":${arr(runs(32).toSeq)},"map_runs_local4":${arr(mapRuns(4).toSeq)},"map_runs_local8":${arr(mapRuns(8).toSeq)},"map_runs_local16":${arr(mapRuns(16).toSeq)},"map_runs_local32":${arr(mapRuns(32).toSeq)}}""")
   }
 }

@@ -10,6 +10,19 @@ import graft.sites.{Sites, SyntheticWeb}
   * Usage: runMain graft.EngineProfile <cpus> <corpusDir> [batches]
   */
 object EngineProfile {
+
+  private def heapMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) >> 20
+  }
+
+  private def dirMb(path: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+    sz(new java.io.File(path)) >> 20
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val corpusDir = args(1)
@@ -26,7 +39,7 @@ object EngineProfile {
     case class J(id: Int, var t0: Long = 0L, var t1: Long = 0L,
       var site: String = "", var stages: Int = 0, var tasks: Int = 0,
       var runMs: Long = 0L, var inBytes: Long = 0L, var shufRead: Long = 0L,
-      var shufWrite: Long = 0L)
+      var shufWrite: Long = 0L, var gcMs: Long = 0L)
     val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, J]
     val stageToJob = scala.collection.mutable.Map.empty[Int, Int]
     s.sparkContext.addSparkListener(new SparkListener {
@@ -50,6 +63,7 @@ object EngineProfile {
             j.inBytes += si.taskMetrics.inputMetrics.bytesRead
             j.shufRead += si.taskMetrics.shuffleReadMetrics.totalBytesRead
             j.shufWrite += si.taskMetrics.shuffleWriteMetrics.bytesWritten
+            j.gcMs += si.taskMetrics.jvmGCTime
           }
         }
     })
@@ -76,14 +90,17 @@ object EngineProfile {
           val segCounts = Seq("frontier", "frontier_log", "nodes", "edges",
             "seen_shards", "nodes_bloom", "edges_bloom")
             .map(t => s"$t=${store.segmentDirs(t).size}").mkString(" ")
-          println(f"== batch $b: ${wall}%.2fs pending=${res.frontierPending} " +
-            f"sel=${res.pagesFetched} edges+=${res.edgesAdded}")
+          val gcTotalMs: Long = jobs.synchronized(jobs.values.map(_.gcMs).sum)
+          println(s"== batch $b: " + f"${wall}%.2f" +
+            s"s pending=${res.frontierPending} sel=${res.pagesFetched} " +
+            s"edges+=${res.edgesAdded} heap=${heapMb()}MB " +
+            s"shufdir=${dirMb("/dev/shm/graft-spark")}MB gc=${gcTotalMs / 1000}s")
           println(s"   segs: $segCounts")
           jobs.synchronized {
             jobs.values.toSeq.sortBy(_.id).foreach { j =>
               println(f"  job ${j.id}%3d ${(j.t1 - j.t0) / 1e3}%6.2fs run=${j.runMs / 1e3}%7.1fs " +
-                f"tasks=${j.tasks}%4d in=${j.inBytes >> 20}%5dMB sr=${j.shufRead >> 20}%4dMB " +
-                f"sw=${j.shufWrite >> 20}%4dMB  ${j.site}")
+                f"gc=${j.gcMs / 1e3}%5.1fs tasks=${j.tasks}%4d in=${j.inBytes >> 20}%5dMB " +
+                f"sr=${j.shufRead >> 20}%4dMB sw=${j.shufWrite >> 20}%4dMB  ${j.site}")
             }
           }
           go = res.frontierPending > 0 && res.frontierPending < 3000000L
@@ -95,3 +112,4 @@ object EngineProfile {
     s.stop()
   }
 }
+// recompile

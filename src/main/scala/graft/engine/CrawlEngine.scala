@@ -1758,11 +1758,23 @@ final class CrawlEngine(
           dropUnsharded = true)
       }
     } }
-    // edge/node-presence blob folds + segment consolidation ride every
-    // compaction batch (staggered or full); their write is bounded by
-    // the filter-state limit, not by the frontier. Hoisted out of the
-    // branches so phase timings stay disjoint.
-    if (doCompact) stageBlobFolds()
+    // edge/node-presence blob folds + segment consolidation ride
+    // compaction batches (staggered or full), but only once the
+    // un-folded delta has accumulated blobFoldDeltaBatches of appends:
+    // in steady state every batch is a staggered compaction, and
+    // folding 60 MB of blobs + rebroadcasting them per batch was GC
+    // churn, not progress — the exact delta anti-join covers the
+    // (bounded) window between folds either way. A full (non-
+    // staggered) compaction always folds: its readers expect the base
+    // tables and derived snapshots to line up at one batch id.
+    val deltaReady =
+      store.segmentsNewerThan("edges", edgeBlobs.upto) >=
+        cfg.blobFoldDeltaBatches * cfg.numShards ||
+      store.segmentsNewerThan("nodes", nodeBlobs.upto) >=
+        cfg.blobFoldDeltaBatches * cfg.numShards
+    val doFold = doCompact && (!staggered || deltaReady)
+    statLog += "fold" -> (if (doFold) 1L else 0L)
+    if (doFold) stageBlobFolds()
 
     // --- metrics (A1-A3) with per-partition lineage (north_rule);
     //     written last so the batch row can carry the observed counts ---
@@ -1818,9 +1830,11 @@ final class CrawlEngine(
       probedE, maybeE, newEdges, guarded, newFrontier).foreach(_.unpersist())
     if (fetcher.isDefined) pageSource.unpersist()
     probeBc.foreach(_.destroy())
-    // a compaction rewrote the edge blobs — the cached probe broadcast
-    // is stale; the next batch re-reads + re-broadcasts the snapshot
-    if (doCompact) { edgeBlobs.invalidate(); nodeBlobs.invalidate() }
+    // a fold rewrote the presence blobs — the cached probe broadcasts
+    // are stale; the next batch re-reads + re-broadcasts the snapshot.
+    // Non-folding compactions keep the caches warm (that is the point
+    // of the fold cadence: no per-batch 60 MB broadcast churn).
+    if (doFold) { edgeBlobs.invalidate(); nodeBlobs.invalidate() }
 
     Some(BatchResult(batchId, selCount, errorCount, nodesAddedCount,
       edgesAddedCount, maxDepthBatch, pendingCount, schedRowsRead,

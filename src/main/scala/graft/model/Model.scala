@@ -120,6 +120,16 @@ final case class CrawlConfig(
     // write-stall instead of rewriting the whole base in one batch).
     // -1 = fold everything in one batch
     compactShardsPerBatch: Int = -1,
+    // minimum un-folded delta (in appended batches ≈ segment dirs /
+    // numShards) before a compaction batch also folds the frozen
+    // edge/node presence blobs and consolidates segments. In steady
+    // state EVERY batch is a staggered compaction, and folding the
+    // blobs each time meant ~60 MB of blob reads + broadcasts + two
+    // table rewrites per batch — pure allocation churn that showed up
+    // as GC-bound batch-time creep. The exact delta anti-join already
+    // covers the un-folded window at any cadence; this only sets how
+    // big that (bounded) window may grow.
+    blobFoldDeltaBatches: Int = 4,
     // per-shard capacity of the recrawl-tombstone cuckoo filters —
     // sized for the active recrawl wave, not the corpus (tombstones
     // are deleted as they re-admit); overflow rebuilds from the exact

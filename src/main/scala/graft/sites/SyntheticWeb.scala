@@ -38,6 +38,10 @@ object SyntheticWeb {
     math.min(tz, numHosts - 1)
   }
 
+  /** uniform host id — the no-skew control twin of [[hostOfPage]] */
+  def uniformHostOfPage(seed: Long, i: Long, numHosts: Int): Int =
+    (pos(mix(seed, i, 8888L)) % numHosts).toInt
+
   final case class Spec(
       site: String,
       numPages: Long,
@@ -45,7 +49,11 @@ object SyntheticWeb {
       minDeg: Int = 2,
       maxDeg: Int = 8,
       numHosts: Int = 16, // web profile only
-      fillerWords: Int = 0) // body text volume (real pages are ~10-100KB)
+      fillerWords: Int = 0, // body text volume (real pages are ~10-100KB)
+      // web profile host distribution: zipf-ish by default (h0 owns
+      // ~half the corpus — the designed hot-host case); false = the
+      // uniform control the skew bench compares against
+      hostSkew: Boolean = true)
 
   def pageUrl(spec: Spec, i: Long): String = spec.site match {
     case "wikipedia" => s"https://en.wikipedia.org/wiki/Node_$i"
@@ -57,7 +65,10 @@ object SyntheticWeb {
     case "us_counties" =>
       s"https://en.wikipedia.org/wiki/${countyName(i)}"
     case _ =>
-      s"https://h${hostOfPage(spec.seed, i, spec.numHosts)}.web.test/wiki/Node_$i"
+      val h =
+        if (spec.hostSkew) hostOfPage(spec.seed, i, spec.numHosts)
+        else uniformHostOfPage(spec.seed, i, spec.numHosts)
+      s"https://h$h.web.test/wiki/Node_$i"
   }
 
   /** relative (or absolute, web) href from page i to page j */

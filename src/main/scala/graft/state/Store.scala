@@ -404,15 +404,15 @@ final class Store(val root: String, spark: SparkSession) {
     def sweep(p: Path, rel: String): Unit = {
       if (live.contains(rel)) return
       if (live.exists(_.startsWith(rel + "/")))
-        Files.list(p).iterator().asScala.toList
+        Store.listDir(p)
           .foreach(c => sweep(c, s"$rel/${c.getFileName}"))
       else Store.deleteRecursively(p)
     }
-    Files.list(rootPath).iterator().asScala
+    Store.listDir(rootPath)
       .filter(Files.isDirectory(_))
       .filter(d => tables.contains(d.getFileName.toString))
       .foreach { tableDir =>
-        Files.list(tableDir).iterator().asScala.toList.foreach { seg =>
+        Store.listDir(tableDir).foreach { seg =>
           sweep(seg, s"${tableDir.getFileName}/${seg.getFileName}")
         }
       }
@@ -420,6 +420,17 @@ final class Store(val root: String, spark: SparkSession) {
 }
 
 object Store {
+
+  /** Directory listing that CLOSES its stream. `Files.list` holds an
+    * open directory fd until the stream is closed or GC'd — the
+    * unclosed-iterator form leaked one fd per listed directory, and a
+    * store teardown (deleteRecursively over thousands of segment
+    * dirs) could exhaust the process fd limit between GCs.
+    */
+  private[state] def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
 
   /** shard number of a shard-replacement segment dir, None for plain
     * segments
@@ -440,7 +451,7 @@ object Store {
   def leafSegmentDirs(base: Path, rel: String): Vector[String] = {
     def children(p: Path): List[Path] =
       if (!Files.isDirectory(p)) Nil
-      else Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).toList
+      else listDir(p).filter(Files.isDirectory(_))
     children(base).flatMap { c =>
       val name = c.getFileName.toString
       if (name.startsWith("__shard=")) List(s"$rel/$name")
@@ -463,7 +474,7 @@ object Store {
 
   def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 

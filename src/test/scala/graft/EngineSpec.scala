@@ -311,6 +311,86 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(engA.nodesTotal === engB2.nodesTotal)
   }
 
+  test("journaled ledger: O(1) open (no frontier scan), ≡ scan rebuild, crash-at-every-boundary") {
+    val seedUrl = SyntheticWeb.pageUrl(spec, 0L)
+    val cfg = CrawlConfig(site = "wikipedia", batchSize = 6)
+    val root = Files.createTempDirectory("graft-journal").toString
+    val eng1 = newEngine(root, cfg)
+    eng1.seed(Seq(seedUrl))
+    eng1.step(); eng1.step()
+    // the ledger rides the manifest
+    val m = new Store(root, spark).meta
+    for (k <- Seq("eng.pending_tiers", "eng.log", "eng.next_compact_shard",
+        "eng.edges_bloom_upto", "eng.nodes_bloom_upto", "eng.nodes_total"))
+      assert(m.contains(k), s"missing $k in ${m.keySet}")
+
+    // count Spark actions during construction: the journal open must
+    // run strictly fewer than the rebuildState scan open (which pays
+    // the frontier/metrics/log scans), and at most the seen-state
+    // load + log replay
+    def actionsDuring(f: => CrawlEngine): (CrawlEngine, Int) = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            counter.incrementAndGet()
+          case _ => ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val eng =
+        try {
+          val e = f
+          var last = -1; var stable = 0
+          while (stable < 3) {
+            Thread.sleep(120)
+            val c = counter.get()
+            if (c == last) stable += 1 else { stable = 0; last = c }
+          }
+          e
+        } finally spark.sparkContext.removeSparkListener(l)
+      (eng, counter.get())
+    }
+    // a second, deterministic copy of the same 2-batch prefix (the
+    // crawl is pinned deterministic across runs) for the scan-rebuild
+    // twin — two engines must not share one store
+    val rootS = Files.createTempDirectory("graft-journal-s").toString
+    val pre = newEngine(rootS, cfg)
+    pre.seed(Seq(seedUrl)); pre.step(); pre.step()
+
+    val (engJ, nJ) = actionsDuring(newEngine(root, cfg))
+    val (engS, nS) = actionsDuring(
+      newEngine(rootS, cfg.copy(rebuildState = true)))
+    assert(nJ < nS, s"journal open ran $nJ actions vs scan open $nS")
+    assert(nJ <= 2, s"journal open ran $nJ actions (seen load + replay max)")
+    // both recoveries drive the crawl to the identical final state
+    engJ.run()
+    engS.run()
+    assert(engJ.nodesTotal === engS.nodesTotal)
+    assert(nameEdges(engJ.store) === nameEdges(engS.store))
+
+    // crash-at-every-boundary sweep: resume after each batch count
+    // reproduces the uninterrupted run, with the journaled rotation
+    // pointer and blob watermarks asserted against the live engine
+    val rootU = Files.createTempDirectory("graft-journal-full").toString
+    val engU = newEngine(rootU, cfg)
+    engU.seed(Seq(seedUrl)); engU.run()
+    for (crashAfter <- 1 to 3) {
+      val r = Files.createTempDirectory(s"graft-journal-c$crashAfter").toString
+      val e1 = newEngine(r, cfg)
+      e1.seed(Seq(seedUrl))
+      (1 to crashAfter).foreach(_ => e1.step())
+      val st = new Store(r, spark)
+      assert(st.meta("eng.edges_bloom_upto").toLong ==
+        st.maxSegmentBatch("edges_bloom"))
+      val e2 = newEngine(r, cfg)
+      e2.run()
+      assert(nameEdges(e2.store) === nameEdges(engU.store),
+        s"crash after $crashAfter diverged")
+    }
+  }
+
   // E2E parity for the remaining site adapters (crawler_test.go:14-174
   // runs its table over injected adapters; these do the same through
   // the live engine with each site's DOM scoping + predicates wired)

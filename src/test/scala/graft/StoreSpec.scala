@@ -147,6 +147,31 @@ class StoreSpec extends SparkSpec {
     assert(got === oldKept ++ newPart)
   }
 
+  test("manifest meta: journaled with the snapshot, cleared by a publish that omits it") {
+    val store = freshStore()
+    val s0 = store.stage(0L)
+    s0.append("edges", sharded(Seq((1L, 2L)), 4).drop("__shard"))
+    s0.putMeta("eng.pending_tiers" -> "0:5,3:2", "eng.log" -> "1,2,3")
+    s0.publish()
+    assert(store.meta == Map(
+      "eng.pending_tiers" -> "0:5,3:2", "eng.log" -> "1,2,3"))
+    // survives a re-open (it rides the manifest itself)
+    val reopened = new Store(store.root, spark)
+    assert(reopened.meta("eng.pending_tiers") == "0:5,3:2")
+    // a publish that does NOT re-put the ledger clears it — a foreign
+    // writer can never leave a stale ledger for the next open
+    val s1 = store.stage(1L)
+    s1.append("edges", sharded(Seq((3L, 4L)), 4).drop("__shard"))
+    s1.publish()
+    assert(store.meta.isEmpty)
+    assert(new Store(store.root, spark).meta.isEmpty)
+    // illegal characters are rejected loudly (no JSON escaping layer)
+    val s2 = store.stage(2L)
+    intercept[IllegalArgumentException] { s2.putMeta("k" -> "a\"b") }
+    // legacy manifest without a meta object parses as empty
+    assert(Store.parseMeta("""{"batchId":3,"tables":{}}""").isEmpty)
+  }
+
   test("readNewerThan returns exactly the post-watermark segments") {
     val store = freshStore()
     (0L to 3L).foreach { b =>
