@@ -280,35 +280,90 @@ object Curation {
             .as("pbucket"))
     val counts = positions(model)
       .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("c"))
-    val nTotal = counts.filter(col("k") === 1)
-      .agg(coalesce(sum(col("c")), lit(0L)).cast("double").as("n_tot"))
-    val denoms = counts.select((col("k") + 1).as("k"),
-      col("bucket").as("pbucket"), col("c").as("cden"))
-    val joined = positions(df)
-      .join(broadcast(counts.withColumnRenamed("c", "cnum")),
-        Seq("k", "bucket"), "left")
-      .join(broadcast(denoms), Seq("k", "pbucket"), "left")
-    // widest model-seen order per position, carrying its counts: the
-    // struct max orders by k first, so it IS the argmax. A found
-    // k-gram's prefix is found too (every full-gram occurrence counts
-    // into the prefix bucket), so cden > 0 whenever it divides.
-    val perPos = joined.groupBy(col("doc_id"), col("pos")).agg(
-      max(col("k")).as("kmax"),
-      max(when(col("cnum").isNotNull,
-        struct(col("k"), col("cnum"), col("cden")))).as("best"))
+    // the model is ≤ n·buckets integer-keyed rows (tokenizer-sized,
+    // never corpus-sized): collect once, broadcast as a flat map, and
+    // score each document in ONE per-row pass — the earlier
+    // declarative scorer exploded a (pos × k) row per position and
+    // paid a corpus-sized groupBy exchange plus 2× the md5 work (a
+    // position's prefix bucket IS the previous position's (k−1)-gram
+    // bucket, reusable only row-locally). Scoring stays bit-equal to
+    // the DuckDB oracle: same buckets, same tie rules, same ln
+    // arithmetic, positions averaged in document order.
+    val modelRows = counts.collect()
+    val cmap = new java.util.HashMap[Long, Long](modelRows.length * 2)
+    var nTotL = 0L
+    modelRows.foreach { r =>
+      val k = r.getInt(0); val b = r.getLong(1); val c = r.getLong(2)
+      cmap.put(k.toLong * (1L << 21) + b, c)
+      if (k == 1) nTotL += c
+    }
+    val nTot = nTotL.toDouble
+    val bc = df.sparkSession.sparkContext.broadcast(cmap)
     val lnAlpha = math.log(alpha)
-    val lnS = when(col("best").isNull,
-        (col("kmax") - 1) * lit(lnAlpha) +
-          log(lit(1.0) / (col("n_tot") + lit(buckets.toDouble))))
-      .otherwise((col("kmax") - col("best.k")) * lit(lnAlpha) +
-        when(col("best.k") === 1,
-          log(col("best.cnum").cast("double") / col("n_tot")))
-        .otherwise(log(col("best.cnum").cast("double") /
-          col("best.cden").cast("double"))))
-    perPos.crossJoin(broadcast(nTotal))
-      .select(col("doc_id"), lnS.as("l"))
-      .groupBy(col("doc_id"))
-      .agg(round(avg(col("l")), 4).as("avg_nll"))
+    val nOrd = n
+    val nBuckets = buckets
+    val scoreUdf = udf((tokens: Seq[String]) => {
+      val m = bc.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucketOf(gram: String): Long = {
+        md.reset()
+        val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 5 hex digits = top 20 bits of the first 3 bytes
+        val hex20 = ((d(0) & 0xFF).toLong << 12) |
+          ((d(1) & 0xFF).toLong << 4) | ((d(2) & 0xF0).toLong >> 4)
+        hex20 % nBuckets
+      }
+      val L = tokens.length
+      if (L == 0) None
+      else {
+        var sum = 0.0
+        var cnt = 0L
+        var prev: Array[Long] = null // buckets of grams ending at i-1
+        var i = 0
+        while (i < L) {
+          val kmax = math.min(i + 1, nOrd)
+          val cur = new Array[Long](kmax + 1)
+          var g = ""
+          var k = 1
+          while (k <= kmax) {
+            g = if (k == 1) tokens(i) else tokens(i - k + 1) + " " + g
+            cur(k) = bucketOf(g)
+            k += 1
+          }
+          // widest model-seen order (argmax over k with a count)
+          var kstar = 0
+          var cnum = 0L
+          k = kmax
+          while (k >= 1 && kstar == 0) {
+            val c = m.getOrDefault(k.toLong * (1L << 21) + cur(k), 0L)
+            if (c != 0L) { kstar = k; cnum = c }
+            k -= 1
+          }
+          val l: java.lang.Double =
+            if (kstar == 0)
+              (kmax - 1) * lnAlpha + math.log(1.0 / (nTot + nBuckets.toDouble))
+            else if (kstar == 1)
+              (kmax - 1) * lnAlpha + math.log(cnum / nTot)
+            else {
+              // the prefix (k−1)-gram ends at i−1: its bucket was
+              // computed there. Present whenever the full gram is
+              // (every full-gram occurrence counts into it).
+              val cden = m.getOrDefault((kstar - 1).toLong * (1L << 21) + prev(kstar - 1), 0L)
+              if (cden == 0L) null // unreachable; mirrors oracle NULL-skip
+              else (kmax - kstar) * lnAlpha + math.log(cnum.toDouble / cden)
+            }
+          if (l != null) { sum += l; cnt += 1 }
+          prev = cur
+          i += 1
+        }
+        if (cnt == 0) None else Some(sum / cnt)
+      }
+    })
+    df.select(col("doc_id"), TextOps.wsTokens(text).as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), scoreUdf(col("tk")).as("l"))
+      .filter(col("l").isNotNull)
+      .select(col("doc_id"), round(col("l"), 4).as("avg_nll"))
   }
 
   /** CCNet-style quality bucketing (Wenzek et al. 2020): per language,

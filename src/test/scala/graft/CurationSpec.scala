@@ -310,6 +310,43 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(0L -> exp0, 1L -> exp1), got.toString) // doc 2 dropped
   }
 
+  test("ngramLogLik: stupid backoff matches a hand-computed model") {
+    // model corpus: one doc "a b c" — nTot = 3 unigrams, every k-gram
+    // of the chain has count 1; scored docs exercise each backoff arm
+    val model = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val scored = Seq(
+      (0L, "a b c d"), // full-context hits, then a total (kstar=0) miss
+      (1L, "b c"),     // unigram hit then bigram hit at kmax=2
+      (2L, "zz"))      // single unseen token: kmax=1, floor
+      .toDF("doc_id", "text")
+    val alpha = 0.4
+    val lnA = math.log(alpha)
+    val nTot = 3.0
+    val B = 65536.0
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 0: pos a → ln(1/3); pos b → k*=2, c(a b)/c(a)=1 → 0;
+    // pos c → k*=3, c(a b c)/c(a b)=1 → 0;
+    // pos d → kmax=4 total miss → 3·lnα + ln(1/(3+B))
+    val exp0 = r4((math.log(1 / nTot) + 0.0 + 0.0 +
+      (3 * lnA + math.log(1.0 / (nTot + B)))) / 4)
+    // doc 1: pos b → ln(1/3); pos c → k*=2, c(b c)/c(b)=1 → 0
+    val exp1 = r4((math.log(1 / nTot) + 0.0) / 2)
+    // doc 2: kmax=1 miss → 0·lnα + ln(1/(3+B))
+    val exp2 = r4(math.log(1.0 / (nTot + B)))
+    val got = Curation.ngramLogLik(scored, model, n = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> exp0, 1L -> exp1, 2L -> exp2), got.toString)
+    // order cap: with n = 2 the same scoring degenerates to bigram
+    // backoff — doc 0's pos c scores c(b c)/c(b) = 1 → 0, pos d backs
+    // off one level only
+    val got2 = Curation.ngramLogLik(scored, model, n = 2)
+      .as[(Long, Double)].collect().toMap
+    val exp0b = r4((math.log(1 / nTot) + 0.0 + 0.0 +
+      (1 * lnA + math.log(1.0 / (nTot + B)))) / 4)
+    assert(got2(0L) == exp0b, got2.toString)
+  }
+
   test("triangleCounts matches a brute-force oracle on a seeded graph") {
     val rnd = new scala.util.Random(7)
     val n = 30
