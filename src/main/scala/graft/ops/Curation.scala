@@ -593,10 +593,16 @@ object Curation {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame,
       text: Column = col("text"), buckets: Int = 1 << 18,
-      smoothing: Double = 1.0): DataFrame = {
+      smoothing: Double = 1.0, finalize: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // the raw corpus's gram buckets feed BOTH the model fit and the
+    // per-doc scoring — without the cache the md5-gram explode runs
+    // twice over the whole corpus (the dominant cost)
+    val rb = gramBuckets(raw, text, buckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tc = gramBuckets(target, text, buckets)
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val rc = gramBuckets(raw, text, buckets)
+    val rc = rb
       .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val joined = tc.join(rc, Seq("bucket"), "full_outer")
       .select(col("bucket"),
@@ -610,11 +616,20 @@ object Curation {
       col("bucket"),
       (log((col("ct") + smoothing) / (col("tt") + denom)) -
         log((col("cr") + smoothing) / (col("tr") + denom))).as("lr"))
-    gramBuckets(raw, text, buckets)
+    val result = rb
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("c") * col("lr")), 4).as("logw"))
+    // eager materialization releases the postings cache (same
+    // finalize pattern as the Dedup ops); finalize = false keeps the
+    // plan lazy for plan-inspection tests
+    if (!finalize) result
+    else {
+      val out = result.localCheckpoint(true)
+      rb.unpersist()
+      out
+    }
   }
 
   /** The resampling side of DSIR: keep the top `k` raw documents by

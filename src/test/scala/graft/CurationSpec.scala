@@ -492,7 +492,10 @@ class CurationSpec extends SparkSpec {
   }
 
   test("importanceWeights plan: gram strings never shuffle, model broadcasts") {
-    val df = Curation.importanceWeights(dsirRaw, dsirTarget, buckets = 1024)
+    // finalize = false: the production path eagerly checkpoints (one
+    // LogicalRDD scan — nothing to inspect); this keeps the plan lazy
+    val df = Curation.importanceWeights(dsirRaw, dsirTarget,
+      buckets = 1024, finalize = false)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       plan)
