@@ -256,39 +256,98 @@ final class CrawlEngine(
   /** (consumed rows, consumed canon bytes, total rows) of the frontier
     * log — journal, else one groupBy-kind scan of the (bounded) log.
     */
-  private val logStats: (Long, Long, Long) =
-    resumeMeta.get("eng.log").flatMap { s =>
-      s.split(',') match {
-        case Array(a, b, c) => scala.util.Try(
-          (a.toLong, b.toLong, c.toLong)).toOption
-        case _ => None
-      }
-    }.getOrElse {
-      val byKind: Map[Int, (Long, Long)] =
-        store.read("frontier_log").map(
-          _.groupBy(col("kind"))
-            .agg(count(lit(1)).as("n"),
-              coalesce(sum(octet_length(col("canon"))), lit(0L)).as("b"))
-            .collect()
-            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-        ).getOrElse(Map.empty)
-      (byKind.get(0).map(_._1).getOrElse(0L),
-        byKind.get(0).map(_._2).getOrElse(0L),
-        byKind.values.map(_._1).sum)
-    }
-
-  /** rows in the consumed side of the log (anti-joined out of reads) */
-  private var consumedCount: Long = logStats._1
-
-  /** estimated payload bytes of the consumed side — gates the
-    * anti-join broadcast hint by SIZE, not row count (5M long canon
-    * strings are hundreds of MB; forcing those through `broadcast()`
-    * bypasses Spark's own auto threshold)
+  /** Per-shard frontier-log fold WATERMARKS: a log row (written at
+    * batch b, canon in shard s) is LIVE iff b > logWm(s). A staggered
+    * fold retires a shard's rows by advancing its watermark — O(1)
+    * driver arithmetic, no log rewrite (the earlier design rewrote
+    * the whole log every staggered batch: O(live log) per batch,
+    * which at a 10^10 frontier's auto threshold is a gigarow rewrite
+    * per batch). Segments whose dir batch is ≤ min(logWm) hold only
+    * dead rows and drop from the manifest without I/O.
+    *
+    * Durability: the `log_wm` TABLE (64 tiny rows, replaced whenever
+    * a watermark moves) is the source of truth — it survives foreign
+    * publishes that clear the meta journal; meta carries a copy only
+    * as the O(1)-open fast path.
     */
-  private var consumedBytes: Long = logStats._2
+  private val logWm: Array[Long] = {
+    val fromMeta =
+      if (cfg.rebuildState) None
+      else resumeMeta.get("eng.log_wm").map { s =>
+        val a = Array.fill(cfg.numShards)(-1L)
+        s.split(',').filter(_.nonEmpty).foreach { kv =>
+          val Array(sh, b) = kv.split(':')
+          if (sh.toInt < cfg.numShards) a(sh.toInt) = b.toLong
+        }
+        a
+      }
+    fromMeta.getOrElse {
+      val a = Array.fill(cfg.numShards)(-1L)
+      store.read("log_wm").foreach(_.select("shard", "upto").collect()
+        .foreach(r => if (r.getInt(0) < cfg.numShards)
+          a(r.getInt(0)) = r.getLong(1)))
+      a
+    }
+  }
 
-  /** total log rows — drives the compaction trigger */
-  private var logRowCount: Long = logStats._3
+  /** the LIVE frontier log: rows past their shard's fold watermark */
+  private def liveLog(): DataFrame = {
+    val raw = store.readOr("frontier_log", emptyLog)
+    if (logWm.forall(_ < 0L)) raw
+    else {
+      val wmOf = element_at(
+        map_from_arrays(
+          array((0 until cfg.numShards).map(i => lit(i)): _*),
+          array(logWm.map(w => lit(w)): _*)),
+        shardCol(col("canon")))
+      raw.filter(col("batch") > coalesce(wmOf, lit(-1L)))
+    }
+  }
+
+  /** Per-shard LIVE-log ledger: (consumed rows, consumed canon bytes,
+    * total rows) per shard, maintained arithmetically (counts ride
+    * the schedule-gate / discovery collects), journaled at every
+    * publish; fallback = one groupBy scan of the live log. The
+    * consumed-bytes side gates the anti-join broadcast hint by SIZE,
+    * not row count.
+    */
+  private val lsN0 = Array.fill(cfg.numShards)(0L)
+  private val lsB0 = Array.fill(cfg.numShards)(0L)
+  private val lsN = Array.fill(cfg.numShards)(0L)
+
+  locally {
+    val fromMeta =
+      if (cfg.rebuildState) None else resumeMeta.get("eng.log_shards")
+    fromMeta match {
+      case Some(s) =>
+        s.split(',').filter(_.nonEmpty).foreach { kv =>
+          val Array(sh, a, b, c) = kv.split(':')
+          val i = sh.toInt
+          if (i < cfg.numShards) { lsN0(i) = a.toLong; lsB0(i) = b.toLong; lsN(i) = c.toLong }
+        }
+      case None if store.exists("frontier_log") =>
+        liveLog()
+          .groupBy(shardCol(col("canon")).as("s"), col("kind"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(octet_length(col("canon"))), lit(0L)).as("b"))
+          .collect().foreach { r =>
+            val s = r.getInt(0)
+            if (s < cfg.numShards) {
+              lsN(s) += r.getLong(2)
+              if (r.getInt(1) == 0) { lsN0(s) += r.getLong(2); lsB0(s) += r.getLong(3) }
+            }
+          }
+      case None => ()
+    }
+  }
+
+  /** rows in the consumed side of the live log */
+  private def consumedCount: Long = lsN0.sum
+
+  private def consumedBytes: Long = lsB0.sum
+
+  /** total live log rows — drives the compaction trigger */
+  private def logRowCount: Long = lsN.sum
 
   /** pending frontier rows BY PRIORITY TIER — maintained by arithmetic
     * per batch (prev − selected + discovered, each side's per-tier
@@ -302,7 +361,7 @@ final class CrawlEngine(
     resumeMeta.get("eng.pending_tiers").map(CrawlEngine.parseTierCounts)
       .getOrElse {
         store.read("frontier").map { raw =>
-          frontierView(raw, store.readOr("frontier_log", emptyLog))
+          frontierView(raw, liveLog())
             .groupBy(tierCol(col("priority")).as("t")).count()
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         }.getOrElse(Map.empty)
@@ -616,8 +675,8 @@ final class CrawlEngine(
     store.read("seen_shards").foreach(urlSeen.load)
     // replay the un-compacted seen log into the filters (resume after
     // a crash between compactions) — bounded by the compact threshold
-    if (logRowCount - consumedCount > 0L) store.read("frontier_log").foreach { df =>
-      val pairs = df.filter(col("kind") === 1)
+    if (logRowCount - consumedCount > 0L && store.exists("frontier_log")) {
+      val pairs = liveLog().filter(col("kind") === 1)
         .select(shardCol(col("canon")).as("s"), xxhash64(col("canon")).as("h"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
       urlSeen.absorb(pairs)
@@ -673,8 +732,7 @@ final class CrawlEngine(
 
   /** test hook: the pending-frontier view exactly as step() plans it */
   private[graft] def pendingFrontierView(): DataFrame =
-    frontierView(store.readOr("frontier", emptyFrontier),
-      store.readOr("frontier_log", emptyLog))
+    frontierView(store.readOr("frontier", emptyFrontier), liveLog())
 
   private def applyRobots(df: DataFrame): DataFrame = robots match {
     case Some(rules) => graft.sites.Robots.filterAllowed(df, rules)
@@ -757,14 +815,19 @@ final class CrawlEngine(
       staged.replace("recrawl_shards", emptyRecrawl)
       staged.replace("recrawl_keys", emptyRecrawlKeys)
     }
+    // a seed defines the state afresh: empty log, watermarks at this
+    // batch (any stale segment a foreign writer might leave is dead)
+    (0 until cfg.numShards).foreach(s => logWm(s) = batchId)
+    staged.replace("log_wm", wmTable(logWm))
+    java.util.Arrays.fill(lsN0, 0L)
+    java.util.Arrays.fill(lsB0, 0L)
+    java.util.Arrays.fill(lsN, 0L)
     val nextPending =
       trips.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
-    stageEngineMeta(staged, nextPending, 0L, 0L, 0L, 0L, totalNodesAdded)
+    stageEngineMeta(staged, nextPending, renderLogShards(lsN0, lsB0, lsN),
+      renderLogWm(logWm), 0L, totalNodesAdded)
     staged.publish()
     pendingByTier = nextPending
-    consumedCount = 0L
-    logRowCount = 0L
-    consumedBytes = 0L
     recrawlCount = 0L
     seedDf.unpersist()
   }
@@ -825,8 +888,8 @@ final class CrawlEngine(
     } else {
       staged.replace("recrawl_shards", folded.drop("overflow"))
     }
-    stageEngineMeta(staged, pendingByTier, consumedCount, consumedBytes,
-      logRowCount, liveTotal, totalNodesAdded)
+    stageEngineMeta(staged, pendingByTier, renderLogShards(lsN0, lsB0, lsN),
+      renderLogWm(logWm), liveTotal, totalNodesAdded)
     staged.publish()
     recrawlCount = liveTotal
     keys.unpersist()
@@ -870,7 +933,7 @@ final class CrawlEngine(
       dedup.update(u, math.min(p, dedup.getOrElse(u, Long.MaxValue)))
     }
     val seeds = dedup.toSeq
-    val log = store.readOr("frontier_log", emptyLog)
+    val log = liveLog()
     val batchId = store.batchId + 1
     val seedDf = applyRobots(
       seeds.zipWithIndex.map { case ((u, p), i) => (u, p, i) }
@@ -993,13 +1056,16 @@ final class CrawlEngine(
           .persist(StorageLevel.MEMORY_AND_DISK)
         (Some(res), Some(adm))
     }
-    // resurrect accounting: rows count + canon bytes (for the consumed-
-    // side broadcast gate) in one small agg
-    val (resCount, resBytes) = tombResurrect.map { r =>
-      val a = r.agg(count(lit(1)),
-        coalesce(sum(octet_length(col("canon"))), lit(0L))).head()
-      (a.getLong(0), a.getLong(1))
-    }.getOrElse((0L, 0L))
+    // resurrect accounting: per-SHARD rows + canon bytes in one small
+    // collect (feeds the per-shard live-log ledger and the broadcast
+    // gate)
+    val resByShard: Map[Int, (Long, Long)] = tombResurrect.map { r =>
+      r.groupBy(shardCol(col("canon")).as("s"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(octet_length(col("canon"))), lit(0L)).as("b"))
+        .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+    }.getOrElse(Map.empty)
+    val resCount = resByShard.values.map(_._1).sum
     // resurrected rows keep their ORIGINAL priority (they come back as
     // the base rows they are) — tier counts read from the raw shards
     // already restricted to uShards
@@ -1009,10 +1075,13 @@ final class CrawlEngine(
         .join(tombResurrect.get.select("canon"), Seq("canon"), "left_semi")
         .groupBy(tierCol(col("priority")).as("t")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
-    val readmitTierCounts: Seq[(Int, Long)] = tombReadmit.map {
-      _.groupBy(tierCol(col("priority")).as("t")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val readmitCells: Seq[(Int, Int, Long)] = tombReadmit.map {
+      _.groupBy(tierCol(col("priority")).as("t"),
+          shardCol(col("canon")).as("s")).count()
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
     }.getOrElse(Nil)
+    val readmitTierCounts: Seq[(Int, Long)] =
+      readmitCells.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._3).sum }.toSeq
     val readmitCount = readmitTierCounts.map(_._2).sum
     // only driver-seen mode needs the actual (shard, hash) pairs on the
     // driver (to fold into the resident filters); shuffle mode needs
@@ -1030,12 +1099,16 @@ final class CrawlEngine(
           .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
       else Array.empty
     val pairs: Array[(Int, Long)] = trips.map(p => (p._1, p._2))
-    val tierCounts: Seq[(Int, Long)] =
+    val freshCells: Seq[(Int, Int, Long)] =
       if (driverSeenMode)
-        trips.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }.toSeq
+        trips.groupBy(t => (t._3, t._1))
+          .map { case ((t, sh), xs) => (t, sh, xs.length.toLong) }.toSeq
       else
-        fresh.groupBy(tierCol(col("priority")).as("t")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        fresh.groupBy(tierCol(col("priority")).as("t"),
+            shardCol(col("canon")).as("s")).count()
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val tierCounts: Seq[(Int, Long)] =
+      freshCells.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._3).sum }.toSeq
     val freshCount: Long = tierCounts.map(_._2).sum
     val tombCount: Long = tombstoned.map(_.count()).getOrElse(0L)
     def cleanup(): Unit = {
@@ -1068,7 +1141,8 @@ final class CrawlEngine(
     staged.appendSharded("frontier", shardPacked(
       frontierRows.withColumn("__tier", tierCol(col("priority")))
         .withColumn("__shard", shardCol(col("canon")))))
-    val logNew = frontierRows.select(col("canon"), lit(1).as("kind"))
+    val logNew = frontierRows.select(col("canon"), lit(1).as("kind"),
+      lit(batchId).as("batch"))
     if (resCount > 0L) {
       // resurrection = drop the resurrected canons' kind-0 masks from
       // the (bounded) log; their kind-1 rows stay — the canons remain
@@ -1077,7 +1151,8 @@ final class CrawlEngine(
       val resC = tombResurrect.get.select("canon").withColumn("__res", lit(true))
       val keptLog = log.join(resC, Seq("canon"), "left")
         .filter(!(coalesce(col("__res"), lit(false)) && col("kind") === 0))
-        .select("canon", "kind")
+        .select("canon", "kind", "batch") // rows KEEP their batch ids —
+        // liveness against the unchanged watermarks is preserved
       staged.replace("frontier_log", keptLog.unionByName(logNew))
     } else {
       staged.append("frontier_log", logNew)
@@ -1104,17 +1179,21 @@ final class CrawlEngine(
       pendingByTier, tierCounts, 1L), resTierCounts, 1L),
       readmitTierCounts, 1L)
     val nextRecrawl = math.max(0L, recrawlCount - doneCount)
-    val nextConsumed = math.max(0L, consumedCount - resCount)
-    val nextConsumedBytes = math.max(0L, consumedBytes - resBytes)
-    val nextLogRows = logRowCount - resCount + freshCount + readmitCount
-    stageEngineMeta(staged, nextPending, nextConsumed, nextConsumedBytes,
-      nextLogRows, nextRecrawl, totalNodesAdded)
+    // per-shard live-log ledger: resurrect removed kind-0 rows, the
+    // fresh + readmit rows appended kind-1 rows
+    resByShard.foreach { case (sh, (n, b)) =>
+      lsN0(sh) = math.max(0L, lsN0(sh) - n)
+      lsB0(sh) = math.max(0L, lsB0(sh) - b)
+      lsN(sh) = math.max(0L, lsN(sh) - n)
+    }
+    (freshCells ++ readmitCells).foreach { case (_, sh, n) =>
+      if (sh < cfg.numShards) lsN(sh) += n
+    }
+    stageEngineMeta(staged, nextPending, renderLogShards(lsN0, lsB0, lsN),
+      renderLogWm(logWm), nextRecrawl, totalNodesAdded)
     staged.publish()
     recrawlCount = nextRecrawl
     pendingByTier = nextPending
-    consumedCount = nextConsumed
-    consumedBytes = nextConsumedBytes
-    logRowCount = nextLogRows
     cleanup()
   }
 
@@ -1174,26 +1253,45 @@ final class CrawlEngine(
     stageBlobFold(staged, nodeBlobs, "nodes", nameKeys, None, batchId)
     staged.consolidateSegments("edges", store.consolidationPlan("edges"))
     staged.consolidateSegments("nodes", store.consolidationPlan("nodes"))
-    stageEngineMeta(staged, pendingByTier, 0L, 0L, 0L, recrawlCount,
-      totalNodesAdded)
+    (0 until cfg.numShards).foreach(s => logWm(s) = batchId)
+    staged.replace("log_wm", wmTable(logWm))
+    java.util.Arrays.fill(lsN0, 0L)
+    java.util.Arrays.fill(lsB0, 0L)
+    java.util.Arrays.fill(lsN, 0L)
+    stageEngineMeta(staged, pendingByTier, renderLogShards(lsN0, lsB0, lsN),
+      renderLogWm(logWm), recrawlCount, totalNodesAdded)
     staged.publish()
     edgeBlobs.invalidate()
     nodeBlobs.invalidate()
     store.sweepOrphans() // superseded segments are garbage once swapped
-    consumedCount = 0L
-    logRowCount = 0L
-    consumedBytes = 0L
   }
+
+  /** serialized per-shard live-log ledger (only non-zero shards) */
+  private def renderLogShards(n0: Array[Long], b0: Array[Long],
+      n: Array[Long]): String =
+    (0 until cfg.numShards).iterator
+      .filter(i => n(i) != 0L || n0(i) != 0L)
+      .map(i => s"$i:${n0(i)}:${b0(i)}:${n(i)}").mkString(",")
+
+  /** serialized watermarks (only folded shards) */
+  private def renderLogWm(wm: Array[Long]): String =
+    (0 until cfg.numShards).iterator.filter(i => wm(i) >= 0L)
+      .map(i => s"$i:${wm(i)}").mkString(",")
+
+  /** the 64-row log_wm snapshot table */
+  private def wmTable(wm: Array[Long]): DataFrame =
+    (0 until cfg.numShards).map(i => LogWatermark(i, wm(i))).toDF()
 
   /** journal the driver ledger with a staged snapshot — the values are
     * the POST-batch state the next open recovers in O(1)
     */
   private def stageEngineMeta(staged: Store#Staged,
-      pending: Map[Int, Long], nConsumed: Long, bConsumed: Long,
-      nLog: Long, recrawl: Long, nodesTotal: Long): Unit =
+      pending: Map[Int, Long], logShards: String, logWmS: String,
+      recrawl: Long, nodesTotal: Long): Unit =
     staged.putMeta(
       "eng.pending_tiers" -> CrawlEngine.renderTierCounts(pending),
-      "eng.log" -> s"$nConsumed,$bConsumed,$nLog",
+      "eng.log_shards" -> logShards,
+      "eng.log_wm" -> logWmS,
       "eng.next_compact_shard" -> nextCompactShard.toString,
       "eng.edges_bloom_upto" -> edgeBlobs.upto.toString,
       "eng.nodes_bloom_upto" -> nodeBlobs.upto.toString,
@@ -1209,7 +1307,7 @@ final class CrawlEngine(
       try f finally phaseLog += name -> ((System.nanoTime() - t0) / 1e9)
     }
     val batchId = store.batchId + 1
-    val log = store.readOr("frontier_log", emptyLog)
+    val log = liveLog()
     // full pending view — compaction folds only; the SCHEDULE below
     // reads a tier-pruned subset and the URL membership confirm reads
     // a shard-pruned one, so a non-compacting batch never evaluates
@@ -1251,21 +1349,31 @@ final class CrawlEngine(
         .orderBy(ordering: _*).limit(cfg.batchSize)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    // non-write job 1 (the batch gate) — its collect also carries the
-    // batch's per-tier counts for the pending ledger
-    def gate(df: DataFrame): Map[Int, Long] = described("schedule-gate") {
-      df.groupBy(tierCol(col("priority")).as("t")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    }
+    // non-write job 1 (the batch gate) — its collect carries the
+    // batch's per-(tier, shard) counts AND consumed canon bytes for
+    // the pending + per-shard log ledgers in one pass
+    def gate(df: DataFrame): Array[(Int, Int, Long, Long)] =
+      described("schedule-gate") {
+        df.groupBy(tierCol(col("priority")).as("t"),
+            shardCol(col("canon")).as("s"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(octet_length(col("canon"))), lit(0L)).as("b"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      }
     var selected = scheduleAt(startCut)
-    var selByTier = phase("schedule") { gate(selected) }
+    var selGate = phase("schedule") { gate(selected) }
+    def tierSums(g: Array[(Int, Int, Long, Long)]): Map[Int, Long] =
+      g.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._3).sum }
+    var selByTier = tierSums(selGate)
     var selCount = selByTier.values.sum
     var schedCut = startCut
     if (selCount < cfg.batchSize && startCut.isDefined) {
       // pruned take came up short — deeper tiers may owe rows
       selected.unpersist()
       selected = scheduleAt(None)
-      selByTier = phase("schedule_widen") { gate(selected) }
+      selGate = phase("schedule_widen") { gate(selected) }
+      selByTier = tierSums(selGate)
       selCount = selByTier.values.sum
       schedCut = None
     }
@@ -1569,7 +1677,8 @@ final class CrawlEngine(
     // blobs are compaction-frozen (the un-folded segments are the
     // delta anti-join above), so the driver never touches per-batch
     // edge state.
-    val (newByTier: Map[Int, Long], newUrlHashes: Array[(Int, Long)]) =
+    val (newByTier: Map[Int, Long], newByShard: Map[Int, Long],
+        newUrlHashes: Array[(Int, Long)]) =
       phase("discover") { if (driverSeenMode) {
         val rows = described("discoveries+url-hashes") {
           newFrontier.select(
@@ -1579,13 +1688,20 @@ final class CrawlEngine(
         }
         val byTier = rows.groupBy(_.getInt(2))
           .map { case (t, rs) => t -> rs.length.toLong }
-        (byTier, rows.map(r => (r.getInt(0), r.getLong(1))))
+        val byShard = rows.groupBy(_.getInt(0))
+          .map { case (s, rs) => s -> rs.length.toLong }
+        (byTier, byShard, rows.map(r => (r.getInt(0), r.getLong(1))))
       } else {
-        val byTier = described("discoveries") {
-          newFrontier.groupBy(tierCol(col("priority")).as("t")).count()
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val cells = described("discoveries") {
+          newFrontier.groupBy(tierCol(col("priority")).as("t"),
+              shardCol(col("canon")).as("s")).count()
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
         }
-        (byTier, Array.empty[(Int, Long)])
+        val byTier = cells.groupBy(_._1)
+          .map { case (t, xs) => t -> xs.map(_._3).sum }
+        val byShard = cells.groupBy(_._2)
+          .map { case (s, xs) => s -> xs.map(_._3).sum }
+        (byTier, byShard, Array.empty[(Int, Long)])
       } }
     val newCount = newByTier.values.sum
 
@@ -1654,8 +1770,7 @@ final class CrawlEngine(
     // (observe sits between the cache scan and the anti join, so it
     // sees every selected row): maxDepth = deepest row scheduled
     val errorsObserved = selected
-      .observe(obsDepth, coalesce(max(col("depth")), lit(0)).as("maxd"),
-        coalesce(sum(octet_length(col("canon"))), lit(0L)).as("cbytes"))
+      .observe(obsDepth, coalesce(max(col("depth")), lit(0)).as("maxd"))
       .join(pageSource.select(col("url")), Seq("url"), "left_anti")
       .select(col("url"), lit(batchId).as("batch_id"),
         lit("page not in corpus").as("reason"))
@@ -1665,8 +1780,25 @@ final class CrawlEngine(
     val doCompact = logRowCount + selCount + newCount >= compactThreshold
     val staggered = doCompact && cfg.compactShardsPerBatch > 0
     statLog += "compact" -> (if (staggered) 1L else if (doCompact) 2L else 0L)
-    val obsLog = Observation() // staggered: counts the log's remainder
+    // rotation advance for a staggered batch (hoisted: the post-batch
+    // per-shard ledger needs the fold set too)
+    val staggeredFoldShards: Set[Int] =
+      if (!staggered) Set.empty
+      else {
+        val k = cfg.compactShardsPerBatch
+        val f = (0 until k)
+          .map(i => (nextCompactShard + i) % cfg.numShards).toSet
+        nextCompactShard = (nextCompactShard + k) % cfg.numShards
+        f
+      }
     if (driverSeenMode) urlSeen.absorb(newUrlHashes)
+    // the batch's log delta — O(batch) rows, ONE plain append in every
+    // branch that keeps a log; liveness rides the batch column
+    def logDelta: DataFrame =
+      selected.select(col("canon"), lit(0).as("kind"),
+          lit(batchId).as("batch"))
+        .unionByName(newFrontier.select(col("canon"), lit(1).as("kind"),
+          lit(batchId).as("batch")))
     phase("commit_frontier") { if (!doCompact) {
       // LSM append path — O(batch) bytes: new frontier rows + the
       // (canon, kind) log delta. Base shards and base blobs untouched;
@@ -1674,9 +1806,7 @@ final class CrawlEngine(
       staged.appendSharded("frontier", shardPacked(
         newFrontier.withColumn("__tier", tierCol(col("priority")))
           .withColumn("__shard", shardCol(col("canon")))))
-      staged.append("frontier_log",
-        selected.select(col("canon"), lit(0).as("kind"))
-          .unionByName(newFrontier.select(col("canon"), lit(1).as("kind"))))
+      staged.append("frontier_log", logDelta)
     } else if (staggered) {
       // staggered compaction: fold only K shards this batch, rotating
       // through the shard space across compactions — the full-base
@@ -1684,9 +1814,7 @@ final class CrawlEngine(
       // 10^10 rows) becomes numShards/K bounded pauses. Reads AND
       // writes of the fold are restricted to the K shards
       // (readShards + the sharded append layout).
-      val k = cfg.compactShardsPerBatch
-      val foldShards = (0 until k).map(i => (nextCompactShard + i) % cfg.numShards).toSet
-      nextCompactShard = (nextCompactShard + k) % cfg.numShards
+      val foldShards = staggeredFoldShards
       val inFold = Bloom.shardOf(col("canon"), cfg.numShards)
         .isin(foldShards.toSeq: _*)
       val rawS = store.readShards("frontier", foldShards)
@@ -1701,18 +1829,20 @@ final class CrawlEngine(
         newFrontier.filter(!inFold)
           .withColumn("__tier", tierCol(col("priority")))
           .withColumn("__shard", shardCol(col("canon")))))
-      // the log keeps only non-folded shards' entries (folded shards'
-      // state now lives in their base segments + blobs); the write's
-      // Observation reports the remainder for the driver counters
-      val logDelta = selected.select(col("canon"), lit(0).as("kind"))
-        .unionByName(newFrontier.select(col("canon"), lit(1).as("kind")))
-      staged.replace("frontier_log",
-        log.unionByName(logDelta).filter(!inFold)
-          .observe(obsLog,
-            count(lit(1)).as("n"),
-            coalesce(sum(when(col("kind") === 0, 1L).otherwise(0L)), lit(0L)).as("n0"),
-            coalesce(sum(when(col("kind") === 0, octet_length(col("canon")))
-              .otherwise(0L)), lit(0L)).as("b0")))
+      // log maintenance is O(batch) + O(1): append the FULL delta and
+      // retire the folded shards by advancing their WATERMARKS — their
+      // rows (old segments AND this delta, batch = batchId, wm =
+      // batchId ⇒ dead on arrival, matching liveS having folded them
+      // into the base). No rewrite of the live remainder; segments
+      // whose dir batch is ≤ every shard's watermark hold only dead
+      // rows and drop from the manifest without I/O. (The earlier
+      // design rewrote the whole live log every staggered batch —
+      // O(pending/4) per batch at the auto threshold, a gigarow
+      // rewrite per batch at a 10^10 frontier.)
+      staged.append("frontier_log", logDelta)
+      foldShards.foreach(s => logWm(s) = batchId)
+      staged.replace("log_wm", wmTable(logWm))
+      staged.dropSegmentsUpTo("frontier_log", logWm.min)
       if (driverSeenMode) {
         staged.replaceShards("seen_shards",
           urlSeen.rows().filter(col("shard").isin(foldShards.toSeq: _*)),
@@ -1742,6 +1872,8 @@ final class CrawlEngine(
       staged.replaceShards("frontier", pendingAll, 0 until cfg.numShards,
         dropUnsharded = true)
       staged.replace("frontier_log", emptyLog)
+      (0 until cfg.numShards).foreach(s => logWm(s) = batchId)
+      staged.replace("log_wm", wmTable(logWm))
       if (driverSeenMode) {
         staged.replaceShards("seen_shards", urlSeen.rows(),
           0 until cfg.numShards, dropUnsharded = true)
@@ -1782,7 +1914,6 @@ final class CrawlEngine(
     val edgesAddedCount = obsEdges.get("n").asInstanceOf[Long]
     val errorCount = obsErr.get("n").asInstanceOf[Long]
     val maxDepthBatch = obsDepth.get("maxd").asInstanceOf[Int]
-    val batchConsumedBytes = obsDepth.get("cbytes").asInstanceOf[Long]
     val partMetrics = newFrontier
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("nodes_added"), max("depth").as("max_depth"))
@@ -1798,21 +1929,33 @@ final class CrawlEngine(
     }
 
     // ---- post-batch ledger (computed BEFORE publish so the journal
-    //      rides the same atomic manifest swap) ----
+    //      rides the same atomic manifest swap; the per-shard arrays
+    //      mutate in place — on a publish failure the engine object is
+    //      not reusable, the same contract as the rotation pointer) ----
     val nextPending =
       tierAdd(tierAdd(pendingByTier, selByTier, -1L), newByTier, 1L)
-    val (nextConsumed, nextConsumedBytes, nextLogRows) =
-      if (staggered)
-        // partial fold: the log write's Observation reported what remains
-        (obsLog.get("n0").asInstanceOf[Long],
-          obsLog.get("b0").asInstanceOf[Long],
-          obsLog.get("n").asInstanceOf[Long])
-      else if (doCompact) (0L, 0L, 0L)
-      else (consumedCount + selCount, consumedBytes + batchConsumedBytes,
-        logRowCount + selCount + newCount)
+    val selByShard: Map[Int, (Long, Long)] = selGate.groupBy(_._2)
+      .map { case (s, xs) => s -> (xs.map(_._3).sum, xs.map(_._4).sum) }
+    if (doCompact && !staggered) {
+      java.util.Arrays.fill(lsN0, 0L)
+      java.util.Arrays.fill(lsB0, 0L)
+      java.util.Arrays.fill(lsN, 0L)
+    } else {
+      staggeredFoldShards.foreach { s =>
+        lsN0(s) = 0L; lsB0(s) = 0L; lsN(s) = 0L
+      }
+      selByShard.foreach { case (s, (n, b)) =>
+        if (!staggeredFoldShards(s)) {
+          lsN0(s) += n; lsB0(s) += b; lsN(s) += n
+        }
+      }
+      newByShard.foreach { case (s, n) =>
+        if (!staggeredFoldShards(s)) lsN(s) += n
+      }
+    }
     val nextTotalNodes = totalNodesAdded + nodesAddedCount
-    stageEngineMeta(staged, nextPending, nextConsumed, nextConsumedBytes,
-      nextLogRows, recrawlCount, nextTotalNodes)
+    stageEngineMeta(staged, nextPending, renderLogShards(lsN0, lsB0, lsN),
+      renderLogWm(logWm), recrawlCount, nextTotalNodes)
 
     phase("publish") { staged.publish() }
     if (doCompact) {
@@ -1821,9 +1964,6 @@ final class CrawlEngine(
     }
 
     pendingByTier = nextPending
-    consumedCount = nextConsumed
-    consumedBytes = nextConsumedBytes
-    logRowCount = nextLogRows
     totalNodesAdded = nextTotalNodes
 
     Seq(selected, extracted, named, batchNames, probedN, maybeN, newNodes,

@@ -50,10 +50,21 @@ final case class SeenShard(shard: Int, bloom: Array[Byte], count: Long)
 
 /** One LSM-log row for the frontier/seen state: kind 0 = canon was
   * consumed (selected) from the frontier; kind 1 = canon entered the
-  * frontier (and the seen set). Compaction folds the log into the
-  * sharded base tables and truncates it.
+  * frontier (and the seen set). `batch` is the writing batch id — a
+  * row is LIVE while batch > the fold watermark of its canon's shard
+  * ([[LogWatermark]]); a staggered fold retires a shard's rows by
+  * advancing the watermark (O(1)) instead of rewriting the log, and
+  * a segment whose batch is ≤ every shard's watermark is dropped from
+  * the manifest without I/O.
   */
-final case class FrontierLogRow(canon: String, kind: Int)
+final case class FrontierLogRow(canon: String, kind: Int, batch: Long)
+
+/** Per-shard frontier-log fold watermark (the liveness boundary for
+  * [[FrontierLogRow]]); persisted as the tiny `log_wm` table so
+  * liveness survives any writer, journaled in manifest meta for the
+  * O(1) open fast path.
+  */
+final case class LogWatermark(shard: Int, upto: Long)
 
 /** Serialized cuckoo-filter shard of the recrawl tombstone set — the
   * DELETABLE exception set over the monotone url-seen Bloom (the

@@ -311,6 +311,18 @@ final class Store(val root: String, spark: SparkSession) {
         next.getOrElse(table, Vector.empty).filterNot(dropped) ++ written)
     }
 
+    /** Drop (from the manifest only — no I/O; [[sweepOrphans]] deletes
+      * the dirs later) every segment of `table` whose encoded batch id
+      * is ≤ `batch`. The caller owns the proof that those segments'
+      * rows are all dead (the frontier-log watermark GC: a log
+      * segment's rows carry batch ids ≤ its dir batch, so dir batch ≤
+      * min-over-shards watermark ⇒ every row is retired).
+      */
+    def dropSegmentsUpTo(table: String, batch: Long): Unit =
+      next = next.updated(table,
+        next.getOrElse(table, Vector.empty)
+          .filterNot(d => Store.batchOfDir(d) <= batch))
+
     def replace(table: String, df: DataFrame): Unit = {
       val rel = s"$table/r$newBatchId"
       described(df, s"replace:$table") {

@@ -320,8 +320,9 @@ class EngineSpec extends SparkSpec with BeforeAndAfterAll {
     eng1.step(); eng1.step()
     // the ledger rides the manifest
     val m = new Store(root, spark).meta
-    for (k <- Seq("eng.pending_tiers", "eng.log", "eng.next_compact_shard",
-        "eng.edges_bloom_upto", "eng.nodes_bloom_upto", "eng.nodes_total"))
+    for (k <- Seq("eng.pending_tiers", "eng.log_shards", "eng.log_wm",
+        "eng.next_compact_shard", "eng.edges_bloom_upto",
+        "eng.nodes_bloom_upto", "eng.nodes_total"))
       assert(m.contains(k), s"missing $k in ${m.keySet}")
 
     // count Spark actions during construction: the journal open must
