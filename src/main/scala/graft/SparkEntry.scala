@@ -865,20 +865,25 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(2)) === 0))
         .select(col("doc_id"))
     }),
+    // md5 signature mode (r5): the cross-snapshot candidate join is
+    // recomputed by the DuckDB oracle, corpus-side bucket cap included
     "q_dedup_incr_near" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Dedup.minhashNearDupsAgainst(
+      Dedup.minhashNearDupsAgainstMd5(
         d.filter(pmod(col("doc_id"), lit(2)) === 1),
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
         k = 16, bands = 4, shingleN = 3, threshold = 0.8)
     }),
 
-    // BPE tokenizer training + encoding: iterative argmax over the
-    // word-type table — not ANSI-SQL-expressible (rows-only here;
-    // BpeSpec pins merge-for-merge parity with an independent serial
-    // implementation of Sennrich's algorithm)
+    // BPE tokenizer training: hash-verified (r5) — the oracle unrolls
+    // all 30 merge rounds in SQL (pair-count + argmax per round, the
+    // q_classifier_train unrolling pattern), applying each chosen
+    // merge with a delimiter-exact string replace. Encoding stays
+    // rows-only (greedy lowest-rank merge loop per word; BpeSpec pins
+    // parity with an independent serial Sennrich implementation).
     "q_bpe_merges" -> ((s, dir) =>
-      Bpe.trainMergesDF(t(s, dir, "documents"), nMerges = 30)),
+      Bpe.trainMergesDF(t(s, dir, "documents"), nMerges = 30)
+        .withColumn("rank", col("rank").cast("long"))),
     "q_bpe_encode" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Bpe.encode(d, Bpe.trainMerges(d, nMerges = 20))
@@ -886,18 +891,22 @@ object SparkEntry {
           concat_ws(" ", col("tokens")).as("tokens"))
     }),
 
-    // LSH/minhash/simhash: not ANSI-SQL-expressible — rows-only here,
-    // recall-vs-exact oracles live in DedupSpec
+    // MinHash/LSH near-dup chain in md5-arithmetic signature mode
+    // (r5): DuckDB recomputes signatures → bands → buckets → capped
+    // candidate pairs → exact-Jaccard verify, so the flagship dedup
+    // path itself is hash-verified. The xxhash64 production mode stays
+    // OpsSpec-pinned (recall-vs-exact + signature equivalences).
     "q_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashNearDups(t(s, dir, "documents"), k = 16, bands = 4,
+      Dedup.minhashNearDupsMd5(t(s, dir, "documents"), k = 16, bands = 4,
         shingleN = 3, threshold = 0.8)),
 
     // near-dup pairs closed under transitivity into keep/drop clusters
-    // (LSH-based → rows-only here; OpsSpec pins the cluster structure
-    // and the canonical keep-pass against the synthetic corpus)
+    // — md5-mode pairs + star-contraction components, hash-verified
+    // against a recursive-CTE closure of the same recomputed pair list
     "q_dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(t(s, dir, "documents"), k = 16, bands = 4,
-        shingleN = 3, threshold = 0.8)),
+      Dedup.nearDupClustersMd5(t(s, dir, "documents"), k = 16, bands = 4,
+        shingleN = 3, threshold = 0.8)
+        .withColumn("is_canonical", col("is_canonical").cast("long"))),
 
     // the CLUSTERING half of q_dedup_clusters, hash-verified: the
     // star-contraction connected components run over the EXACT
@@ -935,9 +944,21 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // md5-arithmetic fingerprint mode (r5): DuckDB recomputes all 64
+    // majority votes and the reassembled fingerprint bit-identically
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        TextOps.simhash(col("text")).as("fp"))),
+        TextOps.simhashMd5(col("text")).as("fp"))),
+
+    // the full simhash near-dup chain over md5-mode fingerprints:
+    // identical-fp star collapse + 16-bit-chunk candidate join +
+    // exact Hamming ≤ 3 — every stage recomputed by the oracle
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupsFromFps(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextOps.simhashMd5(col("text")).as("fp")),
+        maxDist = 3)
+        .withColumn("dist", col("dist").cast("long"))),
 
     "q_knn_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1351,6 +1372,20 @@ object SparkEntry {
         "(SELECT unnest(range(1, 100000)) AS i) i WHERE i.i <= len(t) - 2 GROUP BY doc_id"),
 
     "q_jaccard_pairs" -> jaccardOracle,
+
+    "q_minhash_pairs" ->
+      ("WITH " + minhashPairsCte + "\nSELECT doc_a, doc_b, jaccard FROM pr"),
+
+    "q_dedup_clusters" -> dedupClustersOracle,
+
+    "q_dedup_incr_near" -> incrNearOracle,
+
+    "q_simhash" ->
+      ("WITH " + simhashFpCte + "\nSELECT doc_id, fp FROM fp"),
+
+    "q_simhash_pairs" -> simhashPairsOracle,
+
+    "q_bpe_merges" -> bpeMergesOracle(30),
 
     "q_cluster_components" -> clusterComponentsOracle,
 
@@ -2319,6 +2354,206 @@ object SparkEntry {
 
   private def jaccardOracle: String =
     "WITH " + jaccardPairsCte + "\nSELECT doc_a, doc_b, jaccard FROM pr"
+
+  /** first-5-md5-hex-digits integer of SQL expression `c` — the DuckDB
+    * spelling of Spark's conv(substring(md5(c), 1, 5), 16, 10), shared
+    * by every md5-arithmetic signature oracle
+    */
+  private def md5Int20(c: String): String = {
+    def hd(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($c), $i, 1)) - 1)"
+    s"(${hd(1)} * 65536 + ${hd(2)} * 4096 + ${hd(3)} * 256 + " +
+      s"${hd(4)} * 16 + ${hd(5)})"
+  }
+
+  /** md5-mode MinHash band keys over `documents` — the foreign twin of
+    * [[graft.ops.Dedup.lshBandKeysMd5]] (k=16, bands=4, shingleN=3):
+    * x = first-5-md5-hex-digits integer of the 3-gram shingle, sig[j]
+    * = min over shingles of the j-th affine permutation (A_j·x + B_j)
+    * mod 2²⁰ (constants mirrored from Dedup.minhashPermA/B), bucket =
+    * the band's 4 signature values comma-joined. Docs with no shingles
+    * are absent here where Spark emits all-sentinel signatures — their
+    * buckets can only pair empty docs with each other, and those pairs
+    * die in the verify stage on both sides. Emits CTEs toks, sh, xs,
+    * hs, bk.
+    */
+  private def minhashBandCte: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       | sh AS (SELECT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS s
+       |        FROM toks, unnest(range(1, len(t) - 1)) i(i)),
+       | xs AS (SELECT doc_id, ${md5Int20("s")} AS x FROM sh),
+       | hs AS (SELECT doc_id, j.j AS j,
+       |          min((x * (((2 * j.j + 1) * 2654435761) % 1048576)
+       |               + ((40503 * j.j + 17) % 1048576)) % 1048576) AS sig
+       |        FROM xs, unnest(range(0, 16)) j(j) GROUP BY doc_id, j.j),
+       | bk AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+       |          string_agg(sig::VARCHAR, ',' ORDER BY j) AS bucket
+       |        FROM hs GROUP BY doc_id, j // 4)""".stripMargin
+
+  /** capped within-corpus candidate pairs + exact-Jaccard verify over
+    * the md5 band keys — ends in CTE `pr` (doc_a, doc_b, jaccard ≥
+    * 0.8), the foreign twin of Dedup.minhashNearDupsMd5's chain
+    */
+  private def minhashPairsCte: String =
+    minhashBandCte + ",\n" +
+      """ bsz AS (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |            AND a.doc_id < b.doc_id
+        |          JOIN bsz z ON z.band = a.band AND z.bucket = a.bucket
+        |          WHERE z.n <= 1000),
+        | g AS (SELECT DISTINCT doc_id, s AS gram FROM sh),
+        | sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        | inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+        |           FROM cand c JOIN g ga ON ga.doc_id = c.doc_a
+        |           JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+        |           GROUP BY 1, 2),
+        | pr AS (SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+        |   FROM inter JOIN sz s1 ON s1.doc_id = doc_a JOIN sz s2 ON s2.doc_id = doc_b
+        |   WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)""".stripMargin
+
+  /** recursive-CTE closure of the md5-mode pair list — the foreign
+    * twin of Dedup.nearDupClustersMd5 (pairs + star-contraction CC)
+    */
+  private def dedupClustersOracle: String =
+    "WITH RECURSIVE " + minhashPairsCte + ",\n" +
+      """ e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |       UNION ALL SELECT doc_b, doc_a FROM pr),
+        | reach(node, lbl) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id,
+        |  CAST(min(lbl) = node AS BIGINT) AS is_canonical
+        |FROM reach GROUP BY node""".stripMargin
+
+  /** cross-snapshot (odd = new, even = corpus) md5-mode candidate join
+    * with the corpus-side bucket cap, then exact-Jaccard verify — the
+    * foreign twin of Dedup.minhashNearDupsAgainstMd5
+    */
+  private def incrNearOracle: String =
+    "WITH " + minhashBandCte + ",\n" +
+      """ csz AS (SELECT band, bucket, count(*) AS n FROM bk
+        |         WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        | cand AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+        |          FROM bk nb JOIN bk cb ON nb.band = cb.band AND nb.bucket = cb.bucket
+        |          JOIN csz z ON z.band = cb.band AND z.bucket = cb.bucket
+        |          WHERE nb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0 AND z.n <= 1000),
+        | g AS (SELECT DISTINCT doc_id, s AS gram FROM sh),
+        | sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        | inter AS (SELECT c.new_id, c.corpus_id, count(*) AS c
+        |           FROM cand c JOIN g ga ON ga.doc_id = c.new_id
+        |           JOIN g gb ON gb.doc_id = c.corpus_id AND gb.gram = ga.gram
+        |           GROUP BY 1, 2)
+        |SELECT i.new_id, i.corpus_id,
+        |  CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) AS jaccard
+        |FROM inter i JOIN sz s1 ON s1.doc_id = i.new_id
+        |  JOIN sz s2 ON s2.doc_id = i.corpus_id
+        |WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= 0.8""".stripMargin
+
+  /** md5-mode SimHash fingerprints — the foreign twin of
+    * [[graft.ops.TextOps.simhashMd5]]: per-token-occurrence ±1 votes
+    * on 64 bits (bit i = bit i%4 of md5 hex digit 16 - i/4), sign
+    * bits reassembled with bit 63 wrapping negative like Java's
+    * 1L << 63. Votes fold token MULTIPLICITY so each distinct token's
+    * md5 is computed once. Ends in CTE fp (doc_id, fp).
+    */
+  private def simhashFpCte: String = {
+    val dig = "(strpos('0123456789abcdef', " +
+      "substr(md5(tok), CAST(16 - b.b // 4 AS INT), 1)) - 1)"
+    s"""stoks AS (SELECT doc_id, u.tok AS tok
+       |   FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+       |         FROM documents), unnest(t) u(tok)),
+       | tcnt AS (SELECT doc_id, tok, count(*) AS m FROM stoks GROUP BY 1, 2),
+       | votes AS (SELECT doc_id, b.b AS bit,
+       |     sum(CASE WHEN ($dig >> CAST(b.b % 4 AS INT)) & 1 = 1
+       |         THEN m ELSE -m END) AS v
+       |   FROM tcnt, unnest(range(0, 64)) b(b) GROUP BY doc_id, b.b),
+       | fp AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+       |       CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+       |            ELSE (1::BIGINT << CAST(bit AS INT)) END
+       |     ELSE 0 END) AS BIGINT) AS fp
+       |   FROM votes GROUP BY doc_id)""".stripMargin
+  }
+
+  /** the full simhash near-dup chain over md5-mode fingerprints — the
+    * foreign twin of Dedup.simhashNearDupsFromFps: identical-fp star
+    * collapse, 16-bit-chunk buckets (capped at 1000 distinct fps),
+    * exact Hamming ≤ 3. Unsigned chunk extraction goes through
+    * HUGEINT division (DuckDB's >> is arithmetic on negative BIGINT).
+    */
+  private def simhashPairsOracle: String =
+    "WITH " + simhashFpCte + ",\n" +
+      """ grp AS (SELECT fp, min(doc_id) AS rep FROM fp GROUP BY fp),
+        | within AS (SELECT g.rep AS doc_a, f.doc_id AS doc_b, 0::BIGINT AS dist
+        |   FROM fp f JOIN grp g ON g.fp = f.fp WHERE f.doc_id <> g.rep),
+        | ufp AS (SELECT rep, fp,
+        |     CASE WHEN fp < 0 THEN CAST(fp AS HUGEINT) + 18446744073709551616
+        |          ELSE CAST(fp AS HUGEINT) END AS u
+        |   FROM grp),
+        | chunks AS (SELECT rep, fp, p.p AS chunk_pos,
+        |     CAST((u // (CASE p.p WHEN 0 THEN 1 WHEN 1 THEN 65536
+        |       WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536
+        |       AS BIGINT) AS chunk
+        |   FROM ufp, unnest(range(0, 4)) p(p)),
+        | bsz AS (SELECT chunk_pos, chunk, count(*) AS n FROM chunks
+        |         GROUP BY 1, 2),
+        | crossp AS (SELECT DISTINCT least(a.rep, b.rep) AS doc_a,
+        |     greatest(a.rep, b.rep) AS doc_b,
+        |     CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+        |   FROM chunks a JOIN chunks b ON a.chunk_pos = b.chunk_pos
+        |     AND a.chunk = b.chunk AND a.rep < b.rep
+        |   JOIN bsz z ON z.chunk_pos = a.chunk_pos AND z.chunk = a.chunk
+        |   WHERE z.n <= 1000)
+        |SELECT doc_a, doc_b, dist FROM within
+        |UNION ALL
+        |SELECT doc_a, doc_b, dist FROM crossp WHERE dist <= 3""".stripMargin
+
+  /** All `n` BPE merge rounds of [[graft.ops.Bpe.trainMerges]]
+    * unrolled in SQL (the q_classifier_train unrolling pattern): each
+    * round recounts adjacent symbol pairs over the evolving word-type
+    * table, picks argmax with the (count DESC, left, right) binary-
+    * collation tie-break, and applies the merge via delimiter-exact
+    * string replace. Words are stored as symbols joined by TWO spaces
+    * and padded with one space per side for the replace, so the
+    * pattern ' a  b ' can neither match inside a symbol nor chain
+    * into an overlapping occurrence — sequential leftmost replace
+    * then equals Sennrich's left-to-right non-overlapping merge.
+    */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val sb = new StringBuilder
+    // every evolving CTE is MATERIALIZED: the default inlining expands
+    // w30 into a plan that re-opens the documents parquet once per
+    // round per reference and exhausts the process fd limit
+    sb ++= s"""WITH wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM
+       |   (SELECT u.word AS word FROM
+       |      (SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+       |      unnest(t) u(word))
+       |  WHERE length(word) > 0 GROUP BY word),
+       | w0 AS MATERIALIZED (SELECT array_to_string(
+       |     list_append(regexp_extract_all(word, '.'), '</w>'), '  ') AS w,
+       |   cnt FROM wc)""".stripMargin
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+         | p$i AS MATERIALIZED (SELECT s[k.k] AS a, s[k.k + 1] AS b, sum(cnt) AS c
+         |   FROM (SELECT string_split(w, '  ') AS s, cnt FROM w${i - 1}),
+         |     unnest(range(1, len(s))) k(k)
+         |   GROUP BY 1, 2),
+         | m$i AS MATERIALIZED (SELECT a, b, c FROM p$i WHERE c >= 2
+         |   ORDER BY c DESC, a, b LIMIT 1),
+         | w$i AS MATERIALIZED (SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM m$i) THEN w
+         |     ELSE trim(replace(' ' || w || ' ',
+         |       ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+         |       ' ' || (SELECT a || b FROM m$i) || ' ')) END AS w, cnt
+         |   FROM w${i - 1})""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to nMerges).map(i =>
+      s"""SELECT ${i - 1}::BIGINT AS "rank", a AS "left", b AS "right", """ +
+        s"a || b AS merged, c::BIGINT AS pair_count FROM m$i")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
 
   /** recursive-CTE min-label closure over the exact pair list — the
     * foreign twin of star-contraction connected components

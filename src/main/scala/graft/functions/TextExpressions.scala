@@ -316,6 +316,104 @@ object TextKernel {
     }
     UTF8String.fromBytes(hex)
   }
+
+  /** md5-arithmetic MinHash signature — classic k-PERMUTATION MinHash
+    * over a 20-bit md5-hashed shingle universe, in one pass:
+    * x(gram) = first 5 md5 hex digits as an integer (the raw-digest
+    * extraction below ≡ `conv(substring(md5(gram), 1, 5), 16, 10)`,
+    * which an ANSI oracle recomputes digit by digit), and
+    * sig[j] = min over grams of (A_j·x + B_j) mod 2²⁰ with
+    * A_j = ((2j+1)·2654435761) mod 2²⁰ (odd ⇒ a bijection on Z_2²⁰)
+    * and B_j = (40503·j + 17) mod 2²⁰ — one md5 per gram instead of k,
+    * the rest integer arithmetic below 2⁴⁰ (no overflow on either
+    * engine). Docs under n tokens yield [2²⁰ × k] sentinels (the value
+    * is outside the hash range, so short docs only ever bucket with
+    * each other). Formula changes here must be mirrored in
+    * Dedup.minhashPermA/B and SparkEntry's minhashBandCte.
+    */
+  def md5MinhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, 1L << 20)
+    val toks = text.toString.split("\\s+", -1)
+    if (toks.length >= n) {
+      val tb = new Array[Array[Byte]](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+      }
+      val md = md5Local.get()
+      var buf = new Array[Byte](128)
+      i = 0
+      while (i <= toks.length - n) {
+        var len = 0
+        var j = 0
+        while (j < n) {
+          val t = tb(i + j)
+          val need = len + t.length + 1
+          if (need > buf.length) buf = java.util.Arrays.copyOf(buf, need << 1)
+          if (j > 0) { buf(len) = ' '; len += 1 }
+          System.arraycopy(t, 0, buf, len, t.length)
+          len += t.length
+          j += 1
+        }
+        md.reset()
+        md.update(buf, 0, len)
+        val d = md.digest()
+        val x = ((d(0) & 0xffL) << 12) | ((d(1) & 0xffL) << 4) |
+          ((d(2) & 0xffL) >>> 4)
+        j = 0
+        while (j < k) {
+          val a = ((2L * j + 1L) * 2654435761L) % 1048576L
+          val b = (40503L * j + 17L) % 1048576L
+          val v = (x * a + b) % 1048576L
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** md5-arithmetic SimHash in one pass — value-identical to the
+    * Column formulation it replaces (OpsSpec pins it against an
+    * independent MessageDigest reference): per token OCCURRENCE
+    * (including empty split artifacts) the 64-bit hash is the first 8
+    * md5 bytes big-endian (hi = bytes 0-3 ≡ hex digits 1-8, lo =
+    * bytes 4-7 ≡ hex digits 9-16; fp bit i = bit i of lo for i < 32,
+    * bit i−32 of hi above), ±1 votes per bit, sign bits reassembled
+    * with bit 63 wrapping negative exactly like Java's 1L << 63.
+    */
+  def md5Simhash(text: UTF8String): Long = {
+    val toks = text.toString.split("\\s+", -1)
+    val votes = new Array[Int](64)
+    val md = md5Local.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var b = 0
+      while (b < 64) {
+        val bit = if (b < 32) (lo >>> b) & 1L else (hi >>> (b - 32)) & 1L
+        votes(b) += (if (bit == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
 }
 
 /** `shingle_hash64(text, n)` → ARRAY<BIGINT> of hashed n-gram
@@ -405,12 +503,44 @@ case class GopherStats(child: Expression, minWords: Long, maxWords: Long)
     copy(child = c)
 }
 
+/** `md5_minhash_sig(text, n, k)` → ARRAY<BIGINT> length k: the
+  * foreign-verifiable k-permutation MinHash signature in one codegen'd
+  * pass (see TextKernel.md5MinhashSig for the exact arithmetic).
+  */
+case class Md5MinhashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.md5MinhashSig(v.asInstanceOf[UTF8String], n, k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernel.md5MinhashSig($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Md5MinhashSig =
+    copy(child = c)
+}
+
+/** `md5_simhash(text)` → BIGINT: the foreign-verifiable SimHash
+  * fingerprint in one codegen'd pass.
+  */
+case class Md5Simhash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.md5Simhash(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.md5Simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Simhash =
+    copy(child = c)
+}
+
 object texthash {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def shingle_hash64(c: Column, n: Int): Column = column(ShingleHash64(expression(c), n))
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def repetition_stats(c: Column, n: Int): Column = column(RepetitionStats(expression(c), n))
   def min_md5_shingle(c: Column, n: Int): Column = column(MinMd5Shingle(expression(c), n))
+  def md5_minhash_sig(c: Column, n: Int, k: Int): Column =
+    column(Md5MinhashSig(expression(c), n, k))
+  def md5_simhash(c: Column): Column = column(Md5Simhash(expression(c)))
   def gopher_stats(c: Column, minWords: Long, maxWords: Long): Column =
     column(GopherStats(expression(c), minWords, maxWords))
 }

@@ -90,6 +90,68 @@ object Dedup {
       (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
         (a, j) => least(a, xxhash64(h, j))))
 
+  // ---- md5-arithmetic (foreign-verifiable) signature mode ----------
+  // The xxhash64 family above is the production path (codegen'd, 64-bit
+  // min-wise hashes) but no other engine reproduces Spark's xxhash64 —
+  // so the LSH chain could only ever be rows-only at the driver's
+  // DuckDB correctness gate. This mode is classic k-PERMUTATION
+  // MinHash over a 20-bit md5-hashed shingle universe, built from the
+  // repo's established md5-bucket arithmetic (Curation.md5Bucket /
+  // q_ngram_ll / DSIR): x(gram) = first 5 md5 hex digits as an
+  // integer, sig[j] = min over grams of the j-th affine permutation
+  // (A_j·x + B_j) mod 2²⁰ — one md5 per gram, everything else integer
+  // arithmetic below 2⁴⁰, all recomputable in ANSI SQL digit by digit.
+  // The band bucket is the signature slice ITSELF (joined as a short
+  // string) rather than a re-hash, so an oracle reproduces signatures,
+  // bands, buckets, candidate pairs and verified pairs bit-
+  // identically. The permuted-single-hash family is weaker than k
+  // independent 64-bit hashes (two grams colliding in x collide for
+  // every seed: per-doc collision mass ~|grams|/2²⁰), but collisions
+  // are deterministic and identical on both sides, and recall-vs-
+  // exact stays OpsSpec-pinned separately.
+
+  /** empty-shingle sentinel: outside the 20-bit hash range, so a short
+    * doc can never share a band bucket with a real signature
+    */
+  private[graft] val md5SigSentinel: Long = 1L << 20
+
+  /** the j-th permutation's multiplier — odd, so x ↦ A_j·x + B_j is a
+    * bijection on Z_2²⁰ (mirrored in SparkEntry's minhashBandCte SQL)
+    */
+  private[graft] def minhashPermA(j: Int): Long =
+    ((2L * j + 1L) * 2654435761L) % 1048576L
+
+  /** the j-th permutation's offset */
+  private[graft] def minhashPermB(j: Int): Long =
+    (40503L * j + 17L) % 1048576L
+
+  /** MinHash signature in md5 mode — the single-pass
+    * [[graft.functions.TextKernel.md5MinhashSig]] kernel (OpsSpec pins
+    * it against the Column-algebra formulation over
+    * [[TextOps.shingles]]).
+    */
+  def minhashSignatureMd5(text: Column, k: Int, shingleN: Int): Column =
+    graft.functions.texthash.md5_minhash_sig(text, shingleN, k)
+
+  /** [[lshBandKeys]] in md5 mode — bucket is the band's signature
+    * slice joined as a comma string (no re-hash: what an ANSI oracle
+    * can group on verbatim), so the column is STRING here vs LONG in
+    * the production variant.
+    */
+  def lshBandKeysMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    docs
+      .select(col("doc_id"),
+        minhashSignatureMd5(col("text"), k, shingleN).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(transform(slice(col("sig"), b * r + 1, lit(r)),
+            _.cast("string")), ",")))
+          .as(Seq("band", "bucket")))
+  }
+
   /** LSH candidate pairs: signatures split into `bands` bands of
     * r = k/bands rows; docs sharing any band hash become a candidate
     * pair. Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
@@ -103,7 +165,21 @@ object Dedup {
     */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, maxBucket: Int = 1000): DataFrame =
-    lshBuckets(docs, k, bands, shingleN)
+    pairsFromBuckets(lshBuckets(docs, k, bands, shingleN), maxBucket)
+
+  /** [[lshCandidates]] over md5-mode band keys (foreign-verifiable
+    * candidate generation — see [[minhashSignatureMd5]]).
+    */
+  def lshCandidatesMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame =
+    pairsFromBuckets(
+      bucketsOf(lshBandKeysMd5(docs, k, bands, shingleN)), maxBucket)
+
+  /** bucket ids → all within-bucket pairs, capped (shared by both hash
+    * modes)
+    */
+  private def pairsFromBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
@@ -133,7 +209,10 @@ object Dedup {
   /** (band, bucket, ids): the raw LSH buckets behind lshCandidates. */
   private def lshBuckets(docs: DataFrame, k: Int, bands: Int,
       shingleN: Int): DataFrame =
-    lshBandKeys(docs, k, bands, shingleN)
+    bucketsOf(lshBandKeys(docs, k, bands, shingleN))
+
+  private def bucketsOf(bandKeys: DataFrame): DataFrame =
+    bandKeys
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
 
@@ -265,10 +344,31 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, threshold: Double = 0.9,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    verifiedPairs(docs, lshCandidates(docs, k, bands, shingleN, maxBucket),
+      shingleN, threshold)
+
+  /** [[minhashNearDups]] with md5-mode candidate generation — the
+    * variant the driver's DuckDB gate hash-verifies end-to-end
+    * (signatures → bands → buckets → capped pairs → exact-Jaccard
+    * verify). The verify stage is shared with the production path and
+    * still counts intersections over 64-bit shingle hashes; an ANSI
+    * oracle counts distinct shingle STRINGS instead, the same
+    * negligible-collision equivalence q_jaccard_pairs already pins.
+    */
+  def minhashNearDupsMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxBucket: Int = 1000): DataFrame =
+    verifiedPairs(docs, lshCandidatesMd5(docs, k, bands, shingleN, maxBucket),
+      shingleN, threshold)
+
+  /** exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
+    * the second phase of both minhashNearDups modes
+    */
+  private def verifiedPairs(docs: DataFrame, cands0: DataFrame,
+      shingleN: Int, threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val cands = lshCandidates(docs, k, bands, shingleN, maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = cands0.persist(StorageLevel.MEMORY_AND_DISK)
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -309,14 +409,29 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, threshold: Double = 0.9,
-      maxBucket: Int = 1000): DataFrame = {
-    val pairs = minhashNearDups(docs, k, bands, shingleN, threshold, maxBucket)
+      maxBucket: Int = 1000): DataFrame =
+    clustersFromPairs(docs,
+      minhashNearDups(docs, k, bands, shingleN, threshold, maxBucket))
+
+  /** [[nearDupClusters]] over md5-mode pairs (foreign-verifiable:
+    * DuckDB recomputes the pair list and closes it with a recursive
+    * CTE)
+    */
+  def nearDupClustersMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxBucket: Int = 1000): DataFrame =
+    clustersFromPairs(docs,
+      minhashNearDupsMd5(docs, k, bands, shingleN, threshold, maxBucket))
+
+  /** transitive closure of a (doc_a, doc_b) pair list into keep/drop
+    * clusters over the full doc set — shared by both hash modes
+    */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
     GraphOps.connectedComponents(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
         docs.select(col("doc_id").as("node")))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),
         (col("node") === col("component")).as("is_canonical"))
-  }
 
   /** Keep one representative per near-dup cluster (the min-doc_id
     * canonical row) — the actual corpus-reduction pass.
@@ -362,6 +477,18 @@ object Dedup {
       lshBandKeys(corpus, k, bands, shingleN), corpus,
       k, bands, shingleN, threshold, maxBucket)
 
+  /** [[minhashNearDupsAgainst]] in md5 mode — both sides' band keys
+    * come from [[lshBandKeysMd5]], so the driver's DuckDB gate
+    * recomputes the cross-snapshot candidate generation too.
+    */
+  def minhashNearDupsAgainstMd5(newDocs: DataFrame, corpus: DataFrame,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame =
+    nearDupsAgainstCore(newDocs,
+      lshBandKeysMd5(newDocs, k, bands, shingleN),
+      lshBandKeysMd5(corpus, k, bands, shingleN), corpus,
+      shingleN, threshold, maxBucket)
+
   /** [[minhashNearDupsAgainst]] with the corpus side's band keys
     * supplied as a PRECOMPUTED artifact (the persisted output of
     * [[lshBandKeys]], ~20 B/row) instead of recomputed from corpus
@@ -375,7 +502,17 @@ object Dedup {
   def minhashNearDupsAgainstBands(newDocs: DataFrame,
       corpusBands: DataFrame, corpusDocs: DataFrame,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame =
+    nearDupsAgainstCore(newDocs, lshBandKeys(newDocs, k, bands, shingleN),
+      corpusBands, corpusDocs, shingleN, threshold, maxBucket)
+
+  /** cross-snapshot candidate join + exact-Jaccard verify over
+    * precomputed band keys for BOTH sides — shared by the production
+    * and md5 hash modes
+    */
+  private def nearDupsAgainstCore(newDocs: DataFrame, newBands: DataFrame,
+      corpusBands: DataFrame, corpusDocs: DataFrame, shingleN: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val corpus = corpusDocs
     val corpusBuckets = corpusBands
@@ -386,7 +523,7 @@ object Dedup {
       // and silently drop real near-dup candidates
       .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
-    val cands = lshBandKeys(newDocs, k, bands, shingleN)
+    val cands = newBands
       .join(corpusBuckets, Seq("band", "bucket"))
       .select(col("doc_id").as("new_id"), explode(col("ids")).as("corpus_id"))
       .distinct()

@@ -118,6 +118,23 @@ object TextOps {
       (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** [[simhash]] in md5-arithmetic mode (foreign-verifiable): the
+    * per-token 64-bit hash is the first 16 md5 hex digits read as a
+    * big-endian integer instead of xxhash64, which no other engine
+    * reproduces. An ANSI oracle recomputes every bit with
+    * per-hex-digit arithmetic (bit i of the fingerprint = bit i%4 of
+    * hex digit 16 - i/4), so the majority votes and the reassembled
+    * fingerprint hash-verify at the driver's DuckDB gate. Same vote
+    * semantics as the production variant: one ±1 vote per token
+    * OCCURRENCE (including empty split artifacts), sign bit per
+    * position, bit 63 wraps negative exactly like Java's 1L<<63.
+    * Computed by the single-pass codegen'd
+    * [[graft.functions.TextKernel.md5Simhash]] kernel (OpsSpec pins
+    * it against an independent MessageDigest reference).
+    */
+  def simhashMd5(text: Column): Column =
+    texthash.md5_simhash(text)
+
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -276,6 +276,88 @@ class OpsSpec extends SparkSpec {
     assert(r.getSeq[Long](1) === Seq.fill(4)(Long.MaxValue))
   }
 
+  test("md5 signature mode: two-phase subset + recall parity with exact") {
+    // the foreign-verifiable hash family must keep the production
+    // contract: output ⊆ exact jaccard pairs (verify stage) and high
+    // recall at matched band geometry
+    val exact = Dedup.jaccardPairs(docs, shingleN = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = Dedup.minhashNearDupsMd5(docs, k = 16, bands = 8,
+        shingleN = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(md5Pairs.subsetOf(exact))
+    assert(md5Pairs.size.toDouble / exact.size >= 0.9,
+      s"recall ${md5Pairs.size}/${exact.size}")
+    // clusters twin: canonical rows = one per component of the pairs
+    val clusters = Dedup.nearDupClustersMd5(docs, k = 16, bands = 8,
+      shingleN = 3, threshold = 0.5).collect()
+    assert(clusters.length === docs.count())
+    assert(clusters.forall(r =>
+      r.getAs[Long]("cluster_id") <= r.getAs[Long]("doc_id")))
+    // incremental twin crosses the snapshot line and finds the mutants
+    val corpus = docs.filter(col("doc_id") < 40)
+    val newDump = docs.filter(col("doc_id") >= 100)
+    val cross = Dedup.minhashNearDupsAgainstMd5(newDump, corpus,
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(cross.forall { case (n, c) => n >= 100 && c < 40 })
+    for (i <- 0L until 10L)
+      assert(cross.contains((100L + i, i)), s"mutant ${100 + i}")
+  }
+
+  test("minhashSignatureMd5 ≡ independent nested-transform formulation") {
+    val k = 4
+    val edge = Seq((900L, "one two"), (901L, ""), (902L, " a b c d "))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).union(edge)
+    val ref = transform(sequence(lit(0), lit(k - 1)), j => {
+      val a = ((j.cast("long") * 2 + 1) * lit(2654435761L)) % 1048576L
+      val b = (j.cast("long") * 40503L + 17L) % 1048576L
+      coalesce(
+        array_min(transform(TextOps.shingles(col("text"), 3), s =>
+          (conv(substring(md5(s), 1, 5), 16, 10).cast("long") * a + b)
+            % 1048576L)),
+        lit(Dedup.md5SigSentinel))
+    })
+    val rows = all.select(
+      Dedup.minhashSignatureMd5(col("text"), k, 3).as("got"),
+      ref.as("want")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // every non-sentinel hash is inside the 20-bit domain
+    rows.flatMap(_.getSeq[Long](0)).foreach(h =>
+      assert(h >= 0 && h <= Dedup.md5SigSentinel))
+  }
+
+  test("simhashMd5 ≡ driver-side md5 bit-majority reference") {
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Long](64)
+      text.split("\\s+", -1).foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        var i = 0
+        while (i < 64) {
+          val bit = if (i < 32) (lo >> i) & 1L else (hi >> (i - 32)) & 1L
+          votes(i) += (if (bit == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (votes(i) > 0) acc | (1L << i) else acc)
+    }
+    val edge = Seq((900L, "x"), (901L, " leading"), (902L, "trailing "),
+      (903L, "a  b")).toDF("doc_id", "text")
+    val rows = docs.union(edge)
+      .select(col("text"), TextOps.simhashMd5(col("text")).as("fp"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === ref(r.getString(0)),
+      s"fp mismatch for '${r.getString(0).take(40)}'"))
+  }
+
   test("brute-force kNN matches a driver-side oracle") {
     val emb = spark.range(0, 60).select(
       col("id").as("vec_id"),
