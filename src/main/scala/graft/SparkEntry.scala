@@ -969,13 +969,15 @@ object SparkEntry {
           round(col("sim"), 4).as("sim_r"))
     }),
 
+    // md5-mode hyperplanes (r5): DuckDB recomputes every plane
+    // component, sign-bit bucket, candidate join and cosine rank
     "q_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(queries, emb, k = 5, nBits = 6, tables = 6)
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("sim"), 4).as("sim_r"))
+      Similarity.lshTopKMd5(queries, emb, k = 5, nBits = 6, tables = 6)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim_r"))
     }),
 
     "q_knn_ivf" -> ((s, dir) => {
@@ -999,8 +1001,9 @@ object SparkEntry {
       Similarity.cosinePairsExact(t(s, dir, "embeddings"), 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim_r"))),
 
+    // md5-mode hyperplanes (r5) — hash-verified like q_knn_lsh
     "q_cosine_pairs_lsh" -> ((s, dir) =>
-      Similarity.cosineNearDups(t(s, dir, "embeddings"), 0.3,
+      Similarity.cosineNearDupsMd5(t(s, dir, "embeddings"), 0.3,
         nBits = 4, tables = 8)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim_r"))),
 
@@ -1037,11 +1040,13 @@ object SparkEntry {
     // from the id, so a mis-parse (width, height, channels) breaks
     // the hash
     // image near-dup pairs over REAL decoded pixels: aHash per image,
-    // banded hamming join (not SQL-expressible → rows-only; OpsSpec
-    // pins the exact pair set on the constructed corpus)
+    // banded hamming join — hash-verified (r5): the synthetic corpus's
+    // md5-parity pixel pattern lets DuckDB recompute every expected
+    // aHash and the full pair chain while Spark decodes actual PNGs
     "q_image_neardup" -> ((s, _) => {
       import s.implicits._
       Multimodal.imageNearDups(Multimodal.syntheticNearDupImages(s, 200L))
+        .withColumn("dist", col("dist").cast("long"))
     }),
 
     "q_image_meta" -> ((s, _) => {
@@ -1384,6 +1389,8 @@ object SparkEntry {
       ("WITH " + simhashFpCte + "\nSELECT doc_id, fp FROM fp"),
 
     "q_simhash_pairs" -> simhashPairsOracle,
+
+    "q_image_neardup" -> imageNearDupOracle,
 
     "q_bpe_merges" -> bpeMergesOracle(30),
 
@@ -2036,6 +2043,12 @@ object SparkEntry {
 
     "q_knn_cosine" -> knnOracle,
 
+    "q_knn_lsh" -> knnLshOracle,
+
+    "q_knn_ivf" -> knnIvfOracle,
+
+    "q_cosine_pairs_lsh" -> cosinePairsLshOracle,
+
     "q_robots_rfc" ->
       ("""SELECT c_custkey AS doc_id,
         | CASE c_custkey % 6
@@ -2476,38 +2489,79 @@ object SparkEntry {
        |   FROM votes GROUP BY doc_id)""".stripMargin
   }
 
-  /** the full simhash near-dup chain over md5-mode fingerprints — the
-    * foreign twin of Dedup.simhashNearDupsFromFps: identical-fp star
-    * collapse, 16-bit-chunk buckets (capped at 1000 distinct fps),
-    * exact Hamming ≤ 3. Unsigned chunk extraction goes through
-    * HUGEINT division (DuckDB's >> is arithmetic on negative BIGINT).
+  /** the 64-bit banded-hamming pair machinery over a CTE named
+    * `fp($idCol, fp)` — the foreign twin of
+    * Dedup.simhashNearDupsFromFps (identical-fp star collapse,
+    * 16-bit-chunk buckets capped at 1000 distinct fps, exact
+    * Hamming ≤ 3), shared by the text-simhash and image-aHash
+    * oracles. Unsigned chunk extraction goes through HUGEINT division
+    * (DuckDB's >> is arithmetic on negative BIGINT). Yields columns
+    * (doc_a, doc_b, dist).
     */
+  private def hammingPairsSql(idCol: String): String =
+    s""" grp AS (SELECT fp, min($idCol) AS rep FROM fp GROUP BY fp),
+       | within AS (SELECT g.rep AS doc_a, f.$idCol AS doc_b, 0::BIGINT AS dist
+       |   FROM fp f JOIN grp g ON g.fp = f.fp WHERE f.$idCol <> g.rep),
+       | ufp AS (SELECT rep, fp,
+       |     CASE WHEN fp < 0 THEN CAST(fp AS HUGEINT) + 18446744073709551616
+       |          ELSE CAST(fp AS HUGEINT) END AS u
+       |   FROM grp),
+       | chunks AS (SELECT rep, fp, p.p AS chunk_pos,
+       |     CAST((u // (CASE p.p WHEN 0 THEN 1 WHEN 1 THEN 65536
+       |       WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536
+       |       AS BIGINT) AS chunk
+       |   FROM ufp, unnest(range(0, 4)) p(p)),
+       | bsz AS (SELECT chunk_pos, chunk, count(*) AS n FROM chunks
+       |         GROUP BY 1, 2),
+       | crossp AS (SELECT DISTINCT least(a.rep, b.rep) AS doc_a,
+       |     greatest(a.rep, b.rep) AS doc_b,
+       |     CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+       |   FROM chunks a JOIN chunks b ON a.chunk_pos = b.chunk_pos
+       |     AND a.chunk = b.chunk AND a.rep < b.rep
+       |   JOIN bsz z ON z.chunk_pos = a.chunk_pos AND z.chunk = a.chunk
+       |   WHERE z.n <= 1000)""".stripMargin
+
+  /** the full simhash near-dup chain over md5-mode fingerprints */
   private def simhashPairsOracle: String =
-    "WITH " + simhashFpCte + ",\n" +
-      """ grp AS (SELECT fp, min(doc_id) AS rep FROM fp GROUP BY fp),
-        | within AS (SELECT g.rep AS doc_a, f.doc_id AS doc_b, 0::BIGINT AS dist
-        |   FROM fp f JOIN grp g ON g.fp = f.fp WHERE f.doc_id <> g.rep),
-        | ufp AS (SELECT rep, fp,
-        |     CASE WHEN fp < 0 THEN CAST(fp AS HUGEINT) + 18446744073709551616
-        |          ELSE CAST(fp AS HUGEINT) END AS u
-        |   FROM grp),
-        | chunks AS (SELECT rep, fp, p.p AS chunk_pos,
-        |     CAST((u // (CASE p.p WHEN 0 THEN 1 WHEN 1 THEN 65536
-        |       WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536
-        |       AS BIGINT) AS chunk
-        |   FROM ufp, unnest(range(0, 4)) p(p)),
-        | bsz AS (SELECT chunk_pos, chunk, count(*) AS n FROM chunks
-        |         GROUP BY 1, 2),
-        | crossp AS (SELECT DISTINCT least(a.rep, b.rep) AS doc_a,
-        |     greatest(a.rep, b.rep) AS doc_b,
-        |     CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
-        |   FROM chunks a JOIN chunks b ON a.chunk_pos = b.chunk_pos
-        |     AND a.chunk = b.chunk AND a.rep < b.rep
-        |   JOIN bsz z ON z.chunk_pos = a.chunk_pos AND z.chunk = a.chunk
-        |   WHERE z.n <= 1000)
-        |SELECT doc_a, doc_b, dist FROM within
+    "WITH " + simhashFpCte + ",\n" + hammingPairsSql("doc_id") + "\n" +
+      """SELECT doc_a, doc_b, dist FROM within
         |UNION ALL
         |SELECT doc_a, doc_b, dist FROM crossp WHERE dist <= 3""".stripMargin
+
+  /** DuckDB refit of the image near-dup chain — the foreign twin of
+    * Multimodal.imageNearDups over syntheticNearDupImages(200, seed 7):
+    * the generative md5-parity pixel pattern yields each aHash cell
+    * mean arithmetically (cells are 4×4 constant-luminance blocks; the
+    * odd member's one-pixel nudge shifts cell 0 to (15v + 23)/16),
+    * the global mean folds the 64 cell means in index order, bit c =
+    * (mean_c > global), bit 63 wraps negative — then the shared
+    * banded-hamming machinery emits the pairs. Spark decodes REAL PNG
+    * bytes; the oracle recomputes the expectation, so a decode or
+    * hash mis-step breaks the driver's compare.
+    */
+  private def imageNearDupOracle: String = {
+    val bit = md5Int20("'img:7:' || (m.m // 2) || ':' || c.c")
+    s"""WITH cells AS (SELECT m.m AS media_id, c.c AS cell,
+       |     CASE WHEN $bit % 2 = 1 THEN 230 ELSE 20 END AS v
+       |   FROM unnest(range(0, 200)) m(m), unnest(range(0, 64)) c(c)),
+       | means AS (SELECT media_id, cell,
+       |     CASE WHEN cell = 0 AND media_id % 2 = 1 THEN (15.0 * v + 23.0) / 16.0
+       |          ELSE CAST(v AS DOUBLE) END AS mv
+       |   FROM cells),
+       | gm AS (SELECT media_id,
+       |     list_aggregate(list(mv ORDER BY cell), 'sum') / 64.0 AS g
+       |   FROM means GROUP BY media_id),
+       | fp AS (SELECT media_id, CAST(sum(CASE WHEN mv > g THEN
+       |       CASE WHEN cell = 63 THEN -9223372036854775807 - 1
+       |            ELSE (1::BIGINT << CAST(cell AS INT)) END
+       |     ELSE 0 END) AS BIGINT) AS fp
+       |   FROM means JOIN gm USING (media_id) GROUP BY media_id),
+       |""".stripMargin + hammingPairsSql("media_id") + "\n" +
+      """SELECT doc_a AS media_a, doc_b AS media_b, dist FROM within
+        |UNION ALL
+        |SELECT doc_a AS media_a, doc_b AS media_b, dist FROM crossp
+        |WHERE dist <= 3""".stripMargin
+  }
 
   /** All `n` BPE merge rounds of [[graft.ops.Bpe.trainMerges]]
     * unrolled in SQL (the q_classifier_train unrolling pattern): each
@@ -2580,6 +2634,135 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM documents o
         |                  WHERE o.doc_id % 2 = 0 AND o.text = n.text)
         |  AND n.doc_id NOT IN (SELECT doc_id FROM cross_new)""".stripMargin
+
+  /** md5-mode hyperplane sign-bit buckets over `embeddings` — the
+    * foreign twin of Similarity.hyperplanesMd5 + lshBucket: plane
+    * component [t][b][d] = md5Int20('h:t:b:d') / 2¹⁹ − 1 (exact
+    * power-of-two division, bit-identical doubles on both engines),
+    * dot products fold the zipped lists left-to-right (the
+    * established knnOracle summation), bucket = Σ 2^b over
+    * non-negative dots. Emits CTEs pl, plv, dots, bkt.
+    */
+  private def lshBucketCte(nBits: Int, tables: Int): String =
+    s"""pl AS (SELECT t.t AS tbl, b.b AS bit, d.d AS dim,
+       |    ${md5Int20("'h:' || t.t || ':' || b.b || ':' || d.d")} / 524288.0 - 1.0 AS w
+       |  FROM unnest(range(0, $tables)) t(t), unnest(range(0, $nBits)) b(b),
+       |    unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) d(d)),
+       | plv AS (SELECT tbl, bit, list(w ORDER BY dim) AS pw FROM pl GROUP BY 1, 2),
+       | dots AS (SELECT e.vec_id, p.tbl, p.bit,
+       |     list_aggregate(list_transform(list_zip(e.embedding, p.pw),
+       |       z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum') AS dp
+       |   FROM embeddings e, plv p),
+       | bkt AS (SELECT vec_id, tbl AS table_id,
+       |     CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << CAST(bit AS INT))
+       |              ELSE 0 END) AS BIGINT) AS bucket
+       |   FROM dots GROUP BY 1, 2)""".stripMargin
+
+  private val cosQC: String =
+    """list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+      |  / (sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |   * sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
+      .stripMargin
+
+  /** the foreign twin of Similarity.lshTopKMd5 (k=5, nBits=6,
+    * tables=6, queries = vec_id < 8)
+    */
+  private def knnLshOracle: String =
+    "WITH " + lshBucketCte(6, 6) + ",\n" +
+      s""" cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+        |   FROM bkt q JOIN bkt c ON q.table_id = c.table_id AND q.bucket = c.bucket
+        |   WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        | sims AS (SELECT cd.query_id, cd.vec_id, $cosQC AS sim
+        |   FROM cand cd JOIN embeddings q ON q.vec_id = cd.query_id
+        |     JOIN embeddings c ON c.vec_id = cd.vec_id),
+        | ranked AS (SELECT query_id, vec_id, sim,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY sim DESC, vec_id ASC) AS rank
+        |   FROM sims)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+        |  round(sim, 4) AS sim_r
+        |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB refit of the ENTIRE IVF quantizer + query path — the
+    * foreign twin of Similarity.ivfTopK (nCentroids=16, nprobe=6,
+    * k=5, 1 Lloyd iteration, queries = vec_id < 8): hash-ordered
+    * sample init, one assignment pass (argmin of |c|² − 2·v·c with
+    * lowest-index tie-break), per-(centroid, dim) means ROUNDED to
+    * 6 decimals (the rounding is part of ivfCentroidsLloyd's contract
+    * precisely so both engines' ulp-divergent partial sums collapse
+    * to the same double), empty centroids kept, re-assignment, probe
+    * of the 6 nearest centroids per query, exact cosine top-5.
+    */
+  private def knnIvfOracle: String = {
+    val dim = "(SELECT max(len(embedding)) FROM embeddings)"
+    def dotCw(e: String, c: String) =
+      s"""list_aggregate(list_transform(list_zip($e, $c),
+         |      z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum')""".stripMargin
+    s"""WITH ci AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+       |     embedding
+       |   FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+       | c0 AS (SELECT cid, d.d AS dim, CAST(embedding[d.d + 1] AS DOUBLE) AS w
+       |   FROM ci, unnest(range(0, $dim)) d(d)),
+       | c0n AS (SELECT cid, list(w ORDER BY dim) AS cw,
+       |     list_aggregate(list_transform(list(w ORDER BY dim), x -> x * x), 'sum') AS c2
+       |   FROM c0 GROUP BY cid),
+       | a0 AS (SELECT e.vec_id, c.cid,
+       |     c.c2 - 2 * ${dotCw("e.embedding", "c.cw")} AS dist
+       |   FROM embeddings e, c0n c),
+       | asg0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM a0) WHERE rn = 1),
+       | mn AS (SELECT a.cid, d.d AS dim,
+       |     round(avg(CAST(e.embedding[d.d + 1] AS DOUBLE)), 6) AS m
+       |   FROM asg0 a JOIN embeddings e USING (vec_id),
+       |     unnest(range(0, $dim)) d(d)
+       |   GROUP BY 1, 2),
+       | c1 AS (SELECT c0.cid, c0.dim, coalesce(mn.m, c0.w) AS w
+       |   FROM c0 LEFT JOIN mn ON mn.cid = c0.cid AND mn.dim = c0.dim),
+       | c1n AS (SELECT cid, list(w ORDER BY dim) AS cw,
+       |     list_aggregate(list_transform(list(w ORDER BY dim), x -> x * x), 'sum') AS c2
+       |   FROM c1 GROUP BY cid),
+       | a1 AS (SELECT e.vec_id, c.cid,
+       |     c.c2 - 2 * ${dotCw("e.embedding", "c.cw")} AS dist
+       |   FROM embeddings e, c1n c),
+       | asg1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM a1) WHERE rn = 1),
+       | probe AS (SELECT vec_id AS query_id, cid FROM (SELECT vec_id, cid,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM a1 WHERE vec_id < 8) WHERE rn <= 6),
+       | cand AS (SELECT DISTINCT p.query_id, x.vec_id
+       |   FROM probe p JOIN asg1 x ON x.cid = p.cid
+       |   WHERE x.vec_id <> p.query_id),
+       | sims AS (SELECT cd.query_id, cd.vec_id, $cosQC AS sim
+       |   FROM cand cd JOIN embeddings q ON q.vec_id = cd.query_id
+       |     JOIN embeddings c ON c.vec_id = cd.vec_id),
+       | ranked AS (SELECT query_id, vec_id, sim,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, vec_id ASC) AS rank
+       |   FROM sims)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** the foreign twin of Similarity.cosineNearDupsMd5 (threshold 0.3,
+    * nBits=4, tables=8, maxBucket=10000)
+    */
+  private def cosinePairsLshOracle: String =
+    "WITH " + lshBucketCte(4, 8) + ",\n" +
+      s""" bsz AS (SELECT table_id, bucket, count(*) AS n FROM bkt GROUP BY 1, 2),
+        | cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |   FROM bkt a JOIN bkt b ON a.table_id = b.table_id
+        |     AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |   JOIN bsz z ON z.table_id = a.table_id AND z.bucket = a.bucket
+        |   WHERE z.n <= 10000),
+        | sims AS (SELECT cd.vec_a, cd.vec_b, $cosQC AS sim
+        |   FROM cand cd JOIN embeddings q ON q.vec_id = cd.vec_a
+        |     JOIN embeddings c ON c.vec_id = cd.vec_b)
+        |SELECT vec_a, vec_b, round(sim, 4) AS sim_r FROM sims
+        |WHERE sim >= 0.3""".stripMargin
 
   private def knnOracle: String =
     """WITH sims AS (

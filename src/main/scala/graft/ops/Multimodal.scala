@@ -733,6 +733,14 @@ object Multimodal {
     * while the PNG bytes (and any exact digest) differ. Distinct
     * groups use independent random patterns (expected hamming ≈ 32,
     * never candidate pairs at maxDist ≤ 3).
+    *
+    * The per-cell on/off bit is md5-ARITHMETIC (first-5-md5-hex-digits
+    * parity of "img:seed:group:cell") rather than splitmix64, so an
+    * ANSI oracle recomputes the expected pixel pattern — and from it
+    * every aHash cell mean, the global mean, the fingerprint bits and
+    * the banded hamming pairs — while the Spark side still round-trips
+    * REAL PNG bytes through the JDK decoder (q_image_neardup: a
+    * decode or hash mis-step breaks the driver's hash compare).
     */
   def syntheticNearDupImages(spark: SparkSession, n: Long,
       seed: Long = 7L): Dataset[MediaRow] = {
@@ -746,7 +754,7 @@ object Multimodal {
         var x = 0
         while (x < 32) {
           val cell = (y / 4) * 8 + (x / 4)
-          val on = (graft.sites.SyntheticWeb.mix(seed, g, cell.toLong) & 1L) == 1L
+          val on = (Similarity.md5Int20(s"img:$seed:$g:$cell") & 1L) == 1L
           val v = if (on) 230 else 20
           img.setRGB(x, y, (v << 16) | (v << 8) | v)
           x += 1

@@ -68,6 +68,36 @@ object Similarity {
       }
     }
 
+  /** md5-arithmetic hyperplanes (foreign-verifiable mode): component
+    * [b][d] of table `table` is md5Int20("h:table:b:d") / 2¹⁹ − 1.0 in
+    * [−1, 1) — the first-5-md5-hex-digits integer the repo's oracle
+    * family (Curation.md5Bucket, the MinHash signature mode) already
+    * uses, divided by an exact power of two so the double is
+    * bit-exact on any engine. An ANSI oracle recomputes every plane
+    * component, every sign-bit bucket and the exact cosine verify —
+    * which makes the hyperplane-LSH chain hash-verifiable end to end.
+    * The splitmix64 family above stays the production default (20-bit
+    * granularity is coarser than 64-bit mixing, though for sign-bucket
+    * LSH only the direction distribution matters; recall stays
+    * OpsSpec-pinned for both).
+    */
+  def hyperplanesMd5(nBits: Int, dim: Int, table: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        md5Int20(s"h:$table:$b:$d") / 524288.0 - 1.0
+      }
+    }
+
+  /** first 5 md5 hex digits as an integer — the driver-side twin of
+    * conv(substring(md5(s), 1, 5), 16, 10) (shared with the synthetic
+    * near-dup image pattern, which must be oracle-recomputable too)
+    */
+  private[ops] def md5Int20(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 12) | ((d(1) & 0xffL) << 4) | ((d(2) & 0xffL) >>> 4)
+  }
+
   /** sign-bit bucket id of an embedding under the given hyperplanes */
   def lshBucket(embedding: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
@@ -97,6 +127,17 @@ object Similarity {
     * ≤ k·dim rows, so the shuffle is O(partitions · k · dim), never
     * O(corpus). Empty buckets keep their previous centroid, making
     * the refinement deterministic for a given corpus.
+    *
+    * Each mean is ROUNDED to 6 decimals before becoming a centroid
+    * component: a floating-point mean's last ulps depend on the
+    * partial-sum merge order (Spark's shuffle fetch order, another
+    * engine's aggregation order), and the centroid feeds distance
+    * comparisons whose argmin must reproduce bit-identically across
+    * runs AND across engines for the driver's DuckDB oracle to refit
+    * the whole quantizer (q_knn_ivf). On the 1e-6 grid both engines'
+    * rounds land on the same decimal, hence the same double; the
+    * quantization perturbs each component by ≤ 5e-7, far below any
+    * meaningful centroid separation.
     */
   def ivfCentroidsLloyd(corpus: DataFrame, k: Int, iters: Int = 1): Array[Array[Double]] = {
     var cents = ivfCentroids(corpus, k)
@@ -106,7 +147,7 @@ object Similarity {
           col("embedding"))
         .select(col("bucket"), posexplode(col("embedding")).as(Seq("idx", "v")))
         .groupBy(col("bucket"), col("idx"))
-        .agg(avg(col("v")).as("m"))
+        .agg(round(avg(col("v")), 6).as("m"))
         .collect()
       val next = cents.map(_.clone())
       means.foreach { r =>
@@ -243,7 +284,22 @@ object Similarity {
   def cosineNearDups(emb: DataFrame, threshold: Double, nBits: Int = 4,
       tables: Int = 8, maxBucket: Int = 10000, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val allPlanes = Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed + t))
+    cosineNearDupsCore(emb, threshold,
+      Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed + t)), maxBucket)
+  }
+
+  /** [[cosineNearDups]] over md5-mode hyperplanes — the variant the
+    * driver's DuckDB gate hash-verifies (see [[hyperplanesMd5]])
+    */
+  def cosineNearDupsMd5(emb: DataFrame, threshold: Double, nBits: Int = 4,
+      tables: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    cosineNearDupsCore(emb, threshold,
+      Array.tabulate(tables)(t => hyperplanesMd5(nBits, dim, t)), maxBucket)
+  }
+
+  private def cosineNearDupsCore(emb: DataFrame, threshold: Double,
+      allPlanes: Array[Array[Array[Double]]], maxBucket: Int): DataFrame = {
     val bucketed = emb.select(
       col("vec_id"),
       posexplode(array(allPlanes.map(p => lshBucket(col("embedding"), p)): _*))
@@ -275,8 +331,22 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nBits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
-    val allPlanes = Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed + t))
+    lshTopKCore(queries, corpus, k,
+      Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed + t)))
+  }
 
+  /** [[lshTopK]] over md5-mode hyperplanes — the variant the driver's
+    * DuckDB gate hash-verifies (see [[hyperplanesMd5]])
+    */
+  def lshTopKMd5(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int = 8, tables: Int = 4): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    lshTopKCore(queries, corpus, k,
+      Array.tabulate(tables)(t => hyperplanesMd5(nBits, dim, t)))
+  }
+
+  private def lshTopKCore(queries: DataFrame, corpus: DataFrame, k: Int,
+      allPlanes: Array[Array[Array[Double]]]): DataFrame = {
     def bucketed(df: DataFrame, idCol: String): DataFrame =
       df.select(
         col(idCol), col("embedding"),
