@@ -878,12 +878,16 @@ object SparkEntry {
     // BPE tokenizer training: hash-verified (r5) — the oracle unrolls
     // all 30 merge rounds in SQL (pair-count + argmax per round, the
     // q_classifier_train unrolling pattern), applying each chosen
-    // merge with a delimiter-exact string replace. Encoding stays
-    // rows-only (greedy lowest-rank merge loop per word; BpeSpec pins
-    // parity with an independent serial Sennrich implementation).
+    // merge with a delimiter-exact string replace. BpeSpec separately
+    // pins parity with an independent serial Sennrich implementation.
     "q_bpe_merges" -> ((s, dir) =>
       Bpe.trainMergesDF(t(s, dir, "documents"), nMerges = 30)
         .withColumn("rank", col("rank").cast("long"))),
+    // greedy encoding: hash-verified (r5) — the oracle refits the 20
+    // merges with the same unroll, then a recursive CTE replays
+    // encodeWord's scan-merge-rescan loop per distinct word type
+    // (lowest-ranked adjacent pair, first occurrence, until none
+    // ranks) and documents join their words' terminal states
     "q_bpe_encode" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Bpe.encode(d, Bpe.trainMerges(d, nMerges = 20))
@@ -1393,6 +1397,8 @@ object SparkEntry {
     "q_image_neardup" -> imageNearDupOracle,
 
     "q_bpe_merges" -> bpeMergesOracle(30),
+
+    "q_bpe_encode" -> bpeEncodeOracle(20),
 
     "q_cluster_components" -> clusterComponentsOracle,
 
@@ -2574,12 +2580,14 @@ object SparkEntry {
     * into an overlapping occurrence — sequential leftmost replace
     * then equals Sennrich's left-to-right non-overlapping merge.
     */
-  private def bpeMergesOracle(nMerges: Int): String = {
+  /** the shared merge-round CTE chain (wc, w0, p_i/m_i/w_i per round).
+    * Every evolving CTE is MATERIALIZED: the default inlining expands
+    * w30 into a plan that re-opens the documents parquet once per
+    * round per reference and exhausts the process fd limit.
+    */
+  private def bpeRoundsCte(nMerges: Int): String = {
     val sb = new StringBuilder
-    // every evolving CTE is MATERIALIZED: the default inlining expands
-    // w30 into a plan that re-opens the documents parquet once per
-    // round per reference and exhausts the process fd limit
-    sb ++= s"""WITH wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM
+    sb ++= s"""wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM
        |   (SELECT u.word AS word FROM
        |      (SELECT string_split_regex(text, '\\s+') AS t FROM documents),
        |      unnest(t) u(word))
@@ -2601,13 +2609,69 @@ object SparkEntry {
          |       ' ' || (SELECT a || b FROM m$i) || ' ')) END AS w, cnt
          |   FROM w${i - 1})""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to nMerges).map(i =>
-      s"""SELECT ${i - 1}::BIGINT AS "rank", a AS "left", b AS "right", """ +
-        s"a || b AS merged, c::BIGINT AS pair_count FROM m$i")
-      .mkString("\nUNION ALL\n")
     sb.toString
   }
+
+  private def bpeMergesOracle(nMerges: Int): String =
+    "WITH " + bpeRoundsCte(nMerges) + "\n" +
+      (1 to nMerges).map(i =>
+        s"""SELECT ${i - 1}::BIGINT AS "rank", a AS "left", b AS "right", """ +
+          s"a || b AS merged, c::BIGINT AS pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
+
+  /** DuckDB refit of greedy BPE ENCODING (the GPT-2 encoder loop) —
+    * the foreign twin of Bpe.encode over Bpe.trainMerges(nMerges=20):
+    * the merge table comes from the same unrolled rounds as
+    * q_bpe_merges, and each distinct word type is encoded by a
+    * RECURSIVE CTE that, per step, ranks every adjacent symbol pair
+    * against the merge list (unranked → 999999 sentinel), merges the
+    * FIRST occurrence of the lowest-ranked pair, and stops when no
+    * pair is ranked — exactly encodeWord's scan-merge-rescan loop.
+    * Document rows then join their words (in position order) to the
+    * terminal states; docs with no words survive via the final left
+    * join.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String =
+    "WITH RECURSIVE " + bpeRoundsCte(nMerges) + s""",
+      | mg AS (${(1 to nMerges).map(i =>
+           s"SELECT a, b, ${i - 1} AS r FROM m$i").mkString(" UNION ALL ")}),
+      | ml AS MATERIALIZED (SELECT list(a || ' ' || b ORDER BY r) AS l FROM mg),
+      | enc(word, st) AS (
+      |   SELECT word, array_to_string(
+      |       list_append(regexp_extract_all(word, '.'), '</w>'), '  ')
+      |   FROM wc
+      |   UNION ALL
+      |   SELECT word, array_to_string(list_concat(list_concat(
+      |       list_slice(s, 1, ba - 1), [s[ba] || s[ba + 1]]),
+      |       list_slice(s, ba + 2, len(s))), '  ')
+      |   FROM (
+      |     SELECT word, s, list_position(rks, list_aggregate(rks, 'min')) AS ba
+      |     FROM (
+      |       SELECT word, s, list_transform(range(1, len(s)),
+      |           k -> coalesce(nullif(list_position(ml.l,
+      |             s[k] || ' ' || s[k + 1]), 0), 999999)) AS rks
+      |       FROM (SELECT word, string_split(st, '  ') AS s FROM enc), ml)
+      |     WHERE len(s) > 1 AND list_aggregate(rks, 'min') < 999999)),
+      | fin AS (SELECT word, st FROM (
+      |     SELECT word, st, string_split(st, '  ') AS s FROM enc), ml
+      |   WHERE NOT (len(s) > 1 AND
+      |     coalesce(list_aggregate(list_transform(range(1, len(s)),
+      |       k -> coalesce(nullif(list_position(ml.l,
+      |         s[k] || ' ' || s[k + 1]), 0), 999999)), 'min'), 999999) < 999999)),
+      | dwords AS (SELECT doc_id, p.p AS pos, t[p.p] AS word
+      |   FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+      |         FROM documents),
+      |     unnest(range(1, len(t) + 1)) p(p)
+      |   WHERE length(t[p.p]) > 0),
+      | dtoks AS (SELECT d.doc_id, d.pos, replace(f.st, '  ', ' ') AS toks,
+      |     len(string_split(f.st, '  ')) AS ntok
+      |   FROM dwords d JOIN fin f ON f.word = d.word),
+      | agg AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |     string_agg(toks, ' ' ORDER BY pos) AS tokens
+      |   FROM dtoks GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |  coalesce(a.tokens, '') AS tokens
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** recursive-CTE min-label closure over the exact pair list — the
     * foreign twin of star-contraction connected components
