@@ -112,4 +112,3 @@ object EngineProfile {
     s.stop()
   }
 }
-// recompile

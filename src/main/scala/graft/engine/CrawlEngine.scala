@@ -290,9 +290,53 @@ final class CrawlEngine(
     }
   }
 
+  /** Batch id of the store at engine construction: segments written by
+    * THIS process are always modern-schema, so the legacy probe below
+    * only ever touches segments that predate the open.
+    */
+  private val openBatchId: Long = store.batchId
+
+  /** per-segment-dir legacy-schema verdicts, probed once per process */
+  private val legacyLogDir =
+    scala.collection.mutable.HashMap.empty[String, Boolean]
+
+  /** Schema-normalizing frontier_log reader: segments written before
+    * the log gained its `batch` column (pre-r4 stores) read that
+    * column as null under plain parquet resolution, and once any
+    * staggered fold sets a watermark, `null > wm` evaluates null and
+    * the liveness filter silently DROPS every legacy row — consumed
+    * kind-0 masks vanish and already-crawled URLs re-enter the
+    * frontier. Legacy segments (probed once per dir, only among
+    * segments that predate this open) are stamped with their dir's
+    * batch id instead: that is exactly when their rows were appended,
+    * they stay live until their shard's next fold consumes them into
+    * the base, and the watermark that fold sets then correctly
+    * retires them. The common case (no legacy segments) stays the
+    * single multi-dir parquet read.
+    */
+  private def readLogRaw(): DataFrame = {
+    val dirs = store.segmentDirs("frontier_log")
+    if (dirs.isEmpty) emptyLog
+    else {
+      val (legacy, modern) = dirs.partition { d =>
+        Store.batchOfDir(d) <= openBatchId &&
+          legacyLogDir.getOrElseUpdate(d,
+            !spark.read.parquet(s"${store.root}/$d")
+              .schema.fieldNames.contains("batch"))
+      }
+      val parts =
+        (if (modern.nonEmpty)
+          Seq(spark.read.parquet(modern.map(d => s"${store.root}/$d"): _*))
+        else Nil) ++
+        legacy.map(d => spark.read.parquet(s"${store.root}/$d")
+          .withColumn("batch", lit(Store.batchOfDir(d))))
+      parts.reduce(_.unionByName(_)).select("canon", "kind", "batch")
+    }
+  }
+
   /** the LIVE frontier log: rows past their shard's fold watermark */
   private def liveLog(): DataFrame = {
-    val raw = store.readOr("frontier_log", emptyLog)
+    val raw = readLogRaw()
     if (logWm.forall(_ < 0L)) raw
     else {
       val wmOf = element_at(

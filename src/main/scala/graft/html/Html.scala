@@ -115,11 +115,15 @@ object Html {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val declared = metaCharsetRe.findFirstMatchIn(head).map(_.group(1)).map { n =>
       // HTML5 §13.2.3.3: a meta-DECLARED utf-16 maps to UTF-8 (a
-      // BOM-less UTF-16 page could not contain an ASCII meta tag);
-      // x-user-defined likewise decodes bytes as-is, not as UTF-16
+      // BOM-less UTF-16 page could not contain an ASCII meta tag).
+      // x-user-defined maps to windows-1252 per the same spec's meta
+      // prescan — a single-byte decode that PRESERVES high bytes as
+      // characters (mapping it to UTF-8 turned every high byte into
+      // U+FFFD replacement noise)
       val l = n.toLowerCase
-      if (l.startsWith("utf-16") || l.startsWith("utf16") ||
-          l == "x-user-defined") "UTF-8" else n
+      if (l.startsWith("utf-16") || l.startsWith("utf16")) "UTF-8"
+      else if (l == "x-user-defined") "windows-1252"
+      else n
     }
     decodeWith(bytes, 0, declared.getOrElse("UTF-8"))
   }

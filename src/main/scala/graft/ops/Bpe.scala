@@ -84,11 +84,24 @@ object Bpe {
     * distributed in [[encode]].
     */
   def trainMerges(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
-      text: Column = col("text")): Seq[Merge] = {
-    val types = wordCounts(docs, text)
-      .select(col("word"), col("cnt")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    trainMergesLocal(types, nMerges, minCount)
+      text: Column = col("text"),
+      maxDriverTypes: Long = 20000000L): Seq[Merge] = {
+    import org.apache.spark.storage.StorageLevel
+    // guard the collect: a corpus whose distinct word-TYPE table
+    // exceeds driver memory must fall back to the distributed loop
+    // instead of OOMing where the pre-r4 default worked. The count
+    // reuses the persisted groupBy, so the common (small) case pays
+    // one cached read, not a recompute.
+    val wc = wordCounts(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (wc.count() > maxDriverTypes)
+        trainMergesDistributed(wc, nMerges, minCount)
+      else {
+        val types = wc.select(col("word"), col("cnt")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        trainMergesLocal(types, nMerges, minCount)
+      }
+    } finally wc.unpersist()
   }
 
   /** unsigned lexicographic UTF-8 byte comparison — matches Spark's
@@ -190,12 +203,20 @@ object Bpe {
 
   /** The original one-Spark-job-per-merge training loop, kept as the
     * distributed reference twin (BpeSpec pins trainMerges ≡ this ≡
-    * serial Sennrich) — and as the path a deployment would take if
-    * the word-TYPE table ever outgrew driver memory.
+    * serial Sennrich) — and as the PUBLIC path a deployment takes
+    * when the word-TYPE table outgrows driver memory ([[trainMerges]]
+    * auto-falls-back here past `maxDriverTypes`).
     */
-  private[graft] def trainMergesDistributed(docs: DataFrame, nMerges: Int,
-      minCount: Long = 2L, text: Column = col("text")): Seq[Merge] = {
-    var words = wordCounts(docs, text)
+  def trainMergesDistributedDocs(docs: DataFrame, nMerges: Int,
+      minCount: Long = 2L, text: Column = col("text")): Seq[Merge] =
+    trainMergesDistributed(wordCounts(docs, text), nMerges, minCount)
+
+  /** [[trainMergesDistributedDocs]] over a precomputed (word, cnt)
+    * type table
+    */
+  def trainMergesDistributed(typeCounts: DataFrame, nMerges: Int,
+      minCount: Long): Seq[Merge] = {
+    var words = typeCounts
       .select(initSyms(col("word")).as("syms"), col("cnt"))
       .localCheckpoint()
     val out = Seq.newBuilder[Merge]

@@ -76,7 +76,7 @@ class BpeSpec extends SparkSpec {
     // incremental algorithm is a pure reimplementation, including the
     // UTF-8-byte-order tie break the distributed orderBy used
     val local = Bpe.trainMerges(docs, nMerges = 12)
-    val dist = Bpe.trainMergesDistributed(docs, nMerges = 12)
+    val dist = Bpe.trainMergesDistributedDocs(docs, nMerges = 12)
     assert(local == dist)
     // a wider corpus with heavy ties and repeated chars ("aaa…"
     // exercises the non-overlapping left-to-right merge rule)
@@ -84,8 +84,13 @@ class BpeSpec extends SparkSpec {
       (i, s"abab abab${"a" * (i % 5).toInt} ${"z" * (i % 3).toInt}q zz ${i % 7}")
     }.toDF("doc_id", "text")
     val l2 = Bpe.trainMerges(tricky, nMerges = 25, minCount = 1L)
-    val d2 = Bpe.trainMergesDistributed(tricky, nMerges = 25, minCount = 1L)
+    val d2 = Bpe.trainMergesDistributedDocs(tricky, nMerges = 25, minCount = 1L)
     assert(l2 == d2)
+    // the driver-memory guard: maxDriverTypes = 0 forces the
+    // distributed fallback inside trainMerges itself — same merges,
+    // no driver collect of the type table
+    val guarded = Bpe.trainMerges(docs, nMerges = 12, maxDriverTypes = 0L)
+    assert(guarded == local)
   }
 
   test("driver-local loop trains thousands of merges in seconds") {

@@ -151,6 +151,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.decodeBytes(metaU16).contains("hi there"))
     val metaXud = "<meta charset=\"x-user-defined\">raw ok".getBytes("UTF-8")
     assert(Html.decodeBytes(metaXud).contains("raw ok"))
+    // WHATWG maps x-user-defined to windows-1252 in the meta prescan:
+    // high bytes must decode as single-byte characters, not U+FFFD
+    val xudHigh = "<meta charset=\"x-user-defined\">caf".getBytes("UTF-8") ++
+      Array(0xE9.toByte)
+    val gotXud = Html.decodeBytes(xudHigh)
+    assert(gotXud.contains("café"), gotXud)
+    assert(!gotXud.contains("�"))
   }
 
   test("extractLinksOnly: UTF-16 BOM pages bypass the byte-scan fast path") {
