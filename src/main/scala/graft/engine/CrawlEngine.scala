@@ -597,15 +597,34 @@ final class CrawlEngine(
     *     process, vs the old design's one per BATCH).
     */
   private final class KeyCache(table: String, empty: () => DataFrame,
-      keyOf: DataFrame => DataFrame, joinCols: Seq[String]) {
+      keyOf: DataFrame => DataFrame, joinCols: Seq[String],
+      keyBytes: Int) {
     private var dfOpt: Option[DataFrame] = None
     private var upto: Long = -1L
     private val foldAfterSegs = 8 * cfg.numShards
 
-    private def checkpointed(keys: DataFrame): DataFrame =
-      keys.repartition(cfg.numShards, joinCols.map(col): _*)
+    /** rows resident in the checkpointed base (−1 until first build) —
+      * counted at build/fold time against the already-materialized
+      * checkpoint (a cached scan, not a recompute), so surfacing the
+      * footprint costs one cheap job per rebuild, nothing per batch
+      */
+    @volatile private var baseRows: Long = -1L
+
+    /** (cached rows, estimated bytes at `keyBytes`/row) for the bench
+      * record — the 80 MB/executor scaling story, measured not
+      * asserted. The un-folded delta (bounded by `foldAfterSegs`
+      * segments) rides on top and is excluded.
+      */
+    def footprint: (Long, Long) =
+      (math.max(baseRows, 0L), math.max(baseRows, 0L) * keyBytes)
+
+    private def checkpointed(keys: DataFrame): DataFrame = {
+      val cp = keys.repartition(cfg.numShards, joinCols.map(col): _*)
         .dropDuplicates(joinCols)
         .localCheckpoint(true)
+      baseRows = cp.count()
+      cp
+    }
 
     /** exact member keys as of the CURRENT published snapshot */
     def members(): DataFrame = {
@@ -640,9 +659,9 @@ final class CrawlEngine(
     * no collision guard, so a hashed key would not be exact
     */
   private val nodeKeyCache = new KeyCache("nodes", () => emptyNodes,
-    df => df.select(nameKeyOf(col("name")).as("h")), Seq("h"))
+    df => df.select(nameKeyOf(col("name")).as("h")), Seq("h"), keyBytes = 8)
   private val edgeKeyCache = new KeyCache("edges", () => emptyEdges,
-    df => df.select(col("src"), col("dst")), Seq("src", "dst"))
+    df => df.select(col("src"), col("dst")), Seq("src", "dst"), keyBytes = 16)
 
   /** Fold every `base` segment past the family's watermark, plus the
     * staged-but-unpublished `extraKeys` delta, into the frozen blobs
@@ -1563,15 +1582,25 @@ final class CrawlEngine(
     // (materializing this pipeline also runs fetch + parse + extract
     // into the caches — the bulk of "extract_confirm" is that work)
     val maybeShardRows = phase("extract_confirm") { described("maybe-shards") {
-      maybeN.select(lit(0).as("f"), col("__nshard").as("s")).distinct()
+      maybeN.select(lit(0).as("f"), col("__nshard").as("s"))
         .unionByName(
-          maybeE.select(lit(1).as("f"), col("__eshard").as("s")).distinct())
+          maybeE.select(lit(1).as("f"), col("__eshard").as("s")))
+        .groupBy(col("f"), col("s")).count()
         .collect()
     } }
     val maybeNShards =
       maybeShardRows.filter(_.getInt(0) == 0).map(_.getInt(1)).toSet
     val maybeShards =
       maybeShardRows.filter(_.getInt(0) == 1).map(_.getInt(1)).toSet
+    // maybe-ROW counts (same collect, now per-shard counted): the
+    // quantitative side of the post-first-fold step — once the
+    // presence blobs come alive, most re-seen names probe "maybe" and
+    // the exact-confirm joins enter the discovery plan (see the
+    // `discover` phase note in BASELINE.md)
+    val maybeNRows = maybeShardRows.filter(_.getInt(0) == 0)
+      .map(_.getLong(2)).sum
+    val maybeERows = maybeShardRows.filter(_.getInt(0) == 1)
+      .map(_.getLong(2)).sum
     // exact confirms probe the RESIDENT key caches (in-memory keys ∪
     // bounded parquet delta) — the maybes here are mostly TRUE members
     // (links to already-known pages), so a disk confirm would re-read
@@ -1797,7 +1826,19 @@ final class CrawlEngine(
     statLog += "maybe_n_shards" -> maybeNShards.size.toLong
     statLog += "maybe_e_shards" -> maybeShards.size.toLong
     statLog += "maybe_u_shards" -> maybeUShards.size.toLong
+    statLog += "maybe_n_rows" -> maybeNRows
+    statLog += "maybe_e_rows" -> maybeERows
     statLog += "log_rows" -> logRowCount
+    // resident KeyCache footprint (rows + estimated bytes): the 8-16
+    // B/row scaling claim, recorded per batch instead of asserted
+    locally {
+      val (nr, nb) = nodeKeyCache.footprint
+      val (er, eb) = edgeKeyCache.footprint
+      statLog += "node_cache_rows" -> nr
+      statLog += "node_cache_bytes" -> nb
+      statLog += "edge_cache_rows" -> er
+      statLog += "edge_cache_bytes" -> eb
+    }
     // nodes land hash-sharded (like edges) so future exact confirms
     // can read only the shards their maybes hash to
     phase("commit_nodes") {
