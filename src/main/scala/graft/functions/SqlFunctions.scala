@@ -110,6 +110,19 @@ object SqlFunctions {
       GopherStats(args.head,
         intLit(args(1), "gopher_stats", "min_words").toLong,
         intLit(args(2), "gopher_stats", "max_words").toLong)
+    },
+    fn("md5_minhash_sig",
+      "md5_minhash_sig(text, n, k) - foreign-verifiable k-permutation " +
+        "MinHash signature over 20-bit md5 shingle hashes") { args =>
+      arity("md5_minhash_sig", 3, args)
+      Md5MinhashSig(args.head, intLit(args(1), "md5_minhash_sig", "n"),
+        intLit(args(2), "md5_minhash_sig", "k"))
+    },
+    fn("md5_simhash",
+      "md5_simhash(text) - foreign-verifiable 64-bit SimHash over " +
+        "md5 token hashes") { args =>
+      arity("md5_simhash", 1, args)
+      Md5Simhash(args.head)
     })
 
   /** Register into a live session (the config-free path; the

@@ -71,8 +71,24 @@ class SqlFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(SqlFunctions.all.map(_._1.funcName).sorted == Seq(
       "canonical_url", "clean_name", "dot_product", "gopher_stats",
-      "host_of", "min_md5_shingle", "nfc_normalize", "public_suffix",
-      "reg_domain", "repetition_stats", "shingle_hash64"))
+      "host_of", "md5_minhash_sig", "md5_simhash", "min_md5_shingle",
+      "nfc_normalize", "public_suffix", "reg_domain",
+      "repetition_stats", "shingle_hash64"))
+  }
+
+  test("SQL md5_minhash_sig / md5_simhash ≡ Column API") {
+    val df = Seq((0L, "a b c d e f"), (1L, "x"), (2L, "one two three"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("sqlfn_md5")
+    val viaSql = spark.sql(
+      """SELECT doc_id, md5_minhash_sig(text, 3, 4) AS sig,
+        | md5_simhash(text) AS fp FROM sqlfn_md5""".stripMargin)
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    val viaCols = df.select(col("doc_id"),
+        texthash.md5_minhash_sig(col("text"), 3, 4).as("sig"),
+        texthash.md5_simhash(col("text")).as("fp"))
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    assert(viaSql == viaCols && viaSql.nonEmpty)
   }
 
   test("SQL gopher_stats ≡ Column API") {
