@@ -445,4 +445,74 @@ class PropertySpec extends SparkSpec {
       assert(keep == expKeep, s"doc $id keep flag")
     }
   }
+
+  // ---- md5-arithmetic signature kernels (foreign-verifiable mode) ----
+
+  /** driver-side md5 → first-5-hex-digits integer */
+  private def md5Int20Ref(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8))
+    ((d(0) & 0xffL) << 12) | ((d(1) & 0xffL) << 4) | ((d(2) & 0xffL) >>> 4)
+  }
+
+  private val textGen: Gen[String] = {
+    val tok = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(5)),
+      Gen.oneOf("é", "中文", "a-b", "x%20y", ""))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tok)
+      seps <- Gen.listOfN(math.max(0, n - 1), sep)
+      lead <- Gen.oneOf("", " ")
+      trail <- Gen.oneOf("", " ")
+    } yield lead + (toks, seps :+ "").zipped.map(_ + _).mkString + trail
+  }
+
+  test("prop: md5MinhashSig ≡ per-gram reference over arbitrary text") {
+    val n = 3
+    val k = 4
+    check("md5-minhash", Prop.forAll(textGen) { text =>
+      val got = TextKernel.md5MinhashSig(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), n, k)
+        .toLongArray().toSeq
+      val toks = text.split("\\s+", -1)
+      val want =
+        if (toks.length < n) Seq.fill(k)(1L << 20)
+        else (0 until k).map { j =>
+          val a = ((2L * j + 1L) * 2654435761L) % 1048576L
+          val b = (40503L * j + 17L) % 1048576L
+          (0 to toks.length - n).map { i =>
+            val x = md5Int20Ref(toks.slice(i, i + n).mkString(" "))
+            (x * a + b) % 1048576L
+          }.min
+        }
+      got == want && got.forall(v => v >= 0L && v <= (1L << 20))
+    })
+  }
+
+  test("prop: md5Simhash ≡ bit-majority reference over arbitrary text") {
+    check("md5-simhash", Prop.forAll(textGen) { text =>
+      val got = TextKernel.md5Simhash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val votes = new Array[Long](64)
+      text.split("\\s+", -1).foreach { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes(UTF_8))
+        val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var i = 0
+        while (i < 64) {
+          val bit = if (i < 32) (lo >>> i) & 1L else (hi >>> (i - 32)) & 1L
+          votes(i) += (if (bit == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      val want = (0 until 64).foldLeft(0L)((acc, i) =>
+        if (votes(i) > 0) acc | (1L << i) else acc)
+      got == want
+    })
+  }
 }
