@@ -386,7 +386,12 @@ object Bench {
           .empty[(Long, Double, Long, Long, Double, String)]
         var cumEdges = 0L
         var go = true
-        while (go && out.length < 12) {
+        // soak knob: GRAFT_BENCH_ENGINE_BATCHES extends the run past
+        // the driver's default 12 (e.g. 20 for a longer flat-tail
+        // record across more state growth)
+        val maxBatches = sys.env.get("GRAFT_BENCH_ENGINE_BATCHES")
+          .map(_.toInt).getOrElse(12)
+        while (go && out.length < maxBatches) {
           val probe = cpuProbeMs()
           val t0 = System.nanoTime()
           eng.step() match {
