@@ -612,7 +612,7 @@ object Bench {
       "q_politeness_cap", "q_frontier_order", "q_token_count", "q_quality",
       "q_dedup_exact", "q_minhash_pairs", "q_jaccard_pairs", "q_knn_cosine",
       "q_knn_lsh", "q_knn_ivf", "q_cosine_pairs", "q_cosine_pairs_lsh",
-      "q_simhash", "q_fingerprint", "q_lang_id",
+      "q_simhash", "q_simhash_pairs", "q_fingerprint", "q_lang_id",
       "q_valid_link_wiki", "q_clean_name", "q_canonical_url",
       "q_split", "q_sample_stratified", "q_normalize", "q_pii_redact",
       "q_corpus_stats", "q_vocab", "q_triangles",
